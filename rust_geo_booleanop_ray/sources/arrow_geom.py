@@ -1,0 +1,158 @@
+"""Arrow ⇄ Python geometry codec.
+
+Geometry columns use the geoarrow-style nested-list layout:
+
+    multipolygon: list<polygon: list<ring: list<vertex: fixed_size_list<double, 2>>>>
+
+which is zero-copy sliceable into numpy (flat (N,2) coord buffer + three
+offset arrays).  The kernel consumes plain tuple rings; these helpers
+convert per-row at batch boundaries and compute vectorized per-row
+bboxes straight from the offsets (the batch-level analogue of the
+reference's bbox accumulation, fill_queue.rs:77-80).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+COORD_T = pa.list_(pa.float64(), 2)
+RING_T = pa.list_(COORD_T)
+POLYGON_T = pa.list_(RING_T)
+MULTIPOLYGON_T = pa.list_(POLYGON_T)
+
+
+def mps_to_arrow(mps) -> pa.ListArray:
+    """List of multipolygons (nested python lists/tuples) → Arrow array."""
+    return pa.array(
+        [
+            [[[list(pt) for pt in ring] for ring in poly] for poly in mp]
+            if mp is not None
+            else None
+            for mp in mps
+        ],
+        type=MULTIPOLYGON_T,
+    )
+
+
+def arrow_to_mps(arr: pa.Array):
+    """Arrow multipolygon array → list of multipolygons with tuple points.
+
+    Uses the flat coordinate buffer + offsets (no per-value Arrow calls).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # offsets at each nesting level
+    mp_off = arr.offsets.to_numpy(zero_copy_only=False)
+    poly_arr = arr.values  # list<ring>
+    poly_off = poly_arr.offsets.to_numpy(zero_copy_only=False)
+    ring_arr = poly_arr.values  # list<coord>
+    ring_off = ring_arr.offsets.to_numpy(zero_copy_only=False)
+    coord_arr = ring_arr.values  # fixed_size_list<double,2>
+    flat = coord_arr.values.to_numpy(zero_copy_only=False)
+    coords = flat.reshape(-1, 2)
+
+    valid = None
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+
+    out = []
+    for i in range(len(arr)):
+        if valid is not None and not valid[i]:
+            out.append(None)
+            continue
+        mp = []
+        for p in range(mp_off[i], mp_off[i + 1]):
+            poly = []
+            for r in range(poly_off[p], poly_off[p + 1]):
+                lo, hi = ring_off[r], ring_off[r + 1]
+                ring = [(coords[k, 0], coords[k, 1]) for k in range(lo, hi)]
+                poly.append(ring)
+            mp.append(poly)
+        out.append(mp)
+    return out
+
+
+def mp_bounds(mp):
+    """bbox of one multipolygon: (minx, miny, maxx, maxy)."""
+    minx = miny = np.inf
+    maxx = maxy = -np.inf
+    for poly in mp:
+        for ring in poly:
+            for x, y in ring:
+                if x < minx:
+                    minx = x
+                if y < miny:
+                    miny = y
+                if x > maxx:
+                    maxx = x
+                if y > maxy:
+                    maxy = y
+    return (minx, miny, maxx, maxy)
+
+
+def arrow_mp_bounds(arr: pa.Array):
+    """Vectorized per-row bboxes of a multipolygon column.
+
+    Returns dict of 4 float64 numpy arrays (minx, miny, maxx, maxy);
+    empty/null rows get +inf/-inf bounds (disjoint from everything, the
+    same convention as the reference's initial bbox accumulator).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    mp_off = arr.offsets.to_numpy(zero_copy_only=False)
+    poly_arr = arr.values
+    poly_off = poly_arr.offsets.to_numpy(zero_copy_only=False)
+    ring_arr = poly_arr.values
+    ring_off = ring_arr.offsets.to_numpy(zero_copy_only=False)
+    flat = ring_arr.values.values.to_numpy(zero_copy_only=False)
+    coords = flat.reshape(-1, 2)
+
+    # Per-row coordinate ranges: row i covers coords[start_i:end_i] where
+    # start/end chase the offset chain (all levels are monotonic).
+    row_start = ring_off[poly_off[mp_off[:n]]]
+    row_end = ring_off[poly_off[mp_off[1 : n + 1]]]
+
+    minx = np.full(n, np.inf)
+    miny = np.full(n, np.inf)
+    maxx = np.full(n, -np.inf)
+    maxy = np.full(n, -np.inf)
+    nonempty = row_end > row_start
+    if nonempty.any():
+        idx = np.flatnonzero(nonempty)
+        starts = row_start[idx]
+        ends = row_end[idx]
+        # reduceat reduces [starts[j], starts[j+1]) and the tail to the
+        # array end — exact iff rows are contiguous in the flat buffer.
+        if (starts[1:] == ends[:-1]).all():
+            xs = coords[: ends[-1], 0]
+            ys = coords[: ends[-1], 1]
+            minx[idx] = np.minimum.reduceat(xs, starts)
+            miny[idx] = np.minimum.reduceat(ys, starts)
+            maxx[idx] = np.maximum.reduceat(xs, starts)
+            maxy[idx] = np.maximum.reduceat(ys, starts)
+        else:  # non-contiguous child buffer (hand-built offsets): per-row
+            for j, i in enumerate(idx):
+                seg = coords[starts[j] : ends[j]]
+                minx[i] = seg[:, 0].min()
+                miny[i] = seg[:, 1].min()
+                maxx[i] = seg[:, 0].max()
+                maxy[i] = seg[:, 1].max()
+    return {"minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy}
+
+
+def shoelace_area(mp) -> float:
+    """Signed-area sum of a multipolygon (exterior CCW positive, holes
+    subtract by their own winding).  Plain shoelace — used for metrics
+    and oracle cross-checks, not for predicates."""
+    total = 0.0
+    for poly in mp:
+        for ring in poly:
+            a = 0.0
+            for i in range(len(ring) - 1):
+                x1, y1 = ring[i]
+                x2, y2 = ring[i + 1]
+                a += x1 * y2 - x2 * y1
+            total += a / 2.0
+    return total

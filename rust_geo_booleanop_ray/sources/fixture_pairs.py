@@ -1,0 +1,58 @@
+"""Fixture corpus → Arrow pair table (engine input for conformance runs).
+
+Schema (FIXTURES.md §1):
+  case_id: string, op: string (kernel op name), op_tag: string (raw
+  5-valued fixture tag), subject/clipping/expected: multipolygon
+  nested-list, swap_ab_is_broken: bool.
+
+``diff_ba`` rows arrive with subject/clipping already swapped so the
+engine only ever computes the 4 kernel ops (mirroring
+tests/src/helper.rs:35-43).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .arrow_geom import MULTIPOLYGON_T, mps_to_arrow
+from .geojson_fixtures import OP_TAGS, load_fixture_dir
+
+DEFAULT_FIXTURE_DIR = "/root/reference/tests/fixtures/generic_test_cases"
+
+
+def fixture_pairs_table(fixture_dir: str = DEFAULT_FIXTURE_DIR) -> pa.Table:
+    case_ids, ops, op_tags, subjects, clippings, expecteds, broken = (
+        [],
+        [],
+        [],
+        [],
+        [],
+        [],
+        [],
+    )
+    for case in load_fixture_dir(fixture_dir):
+        for exp in case.expected:
+            op, swap = OP_TAGS[exp.op_tag]
+            case_ids.append(case.name)
+            ops.append(op)
+            op_tags.append(exp.op_tag)
+            if swap:
+                subjects.append(case.clipping)
+                clippings.append(case.subject)
+            else:
+                subjects.append(case.subject)
+                clippings.append(case.clipping)
+            expecteds.append(exp.result)
+            broken.append(exp.swap_ab_is_broken)
+
+    return pa.table(
+        {
+            "case_id": pa.array(case_ids, pa.string()),
+            "op": pa.array(ops, pa.string()),
+            "op_tag": pa.array(op_tags, pa.string()),
+            "subject": mps_to_arrow(subjects),
+            "clipping": mps_to_arrow(clippings),
+            "expected": mps_to_arrow(expecteds),
+            "swap_ab_is_broken": pa.array(broken, pa.bool_()),
+        }
+    )

@@ -1,0 +1,87 @@
+"""Boolean ops as stateless Ray Data batch kernels.
+
+The reference's unit of work is one polygon pair per call
+(lib/src/boolean/mod.rs:88); here the unit is an Arrow batch of pairs —
+rows are independent, so parallelism is across rows/batches and the
+sweep stays sequential per row.  The batch-level vectorized bbox
+prefilter reproduces the reference's disjoint short-circuit
+(mod.rs:106-109) across the whole batch at once (numpy on the offset
+buffers, no per-row Python until a pair actually overlaps).
+
+Usage:
+    ds.map_batches(BooleanOpBatch("intersection"), batch_format="pyarrow")
+    ds.map_batches(BooleanOpBatch(op_column="op"), batch_format="pyarrow")
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..geom import OPERATIONS, boolean_op, trivial_result
+from ..sources.arrow_geom import (
+    MULTIPOLYGON_T,
+    arrow_mp_bounds,
+    arrow_to_mps,
+    mps_to_arrow,
+)
+
+
+class BooleanOpBatch:
+    """Callable batch kernel: subject × clipping → result multipolygon.
+
+    Stateless — safe as a plain map_batches function (Ray task pool).
+    ``operation`` fixes one op for the whole stage; ``op_column`` reads a
+    per-row op tag instead.
+    """
+
+    def __init__(
+        self,
+        operation: str | None = None,
+        op_column: str | None = None,
+        subject_col: str = "subject",
+        clipping_col: str = "clipping",
+        result_col: str = "result",
+    ):
+        if (operation is None) == (op_column is None):
+            raise ValueError("exactly one of operation / op_column required")
+        if operation is not None and operation not in OPERATIONS:
+            raise ValueError(f"unknown operation: {operation!r}")
+        self.operation = operation
+        self.op_column = op_column
+        self.subject_col = subject_col
+        self.clipping_col = clipping_col
+        self.result_col = result_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        subj_arr = batch[self.subject_col]
+        clip_arr = batch[self.clipping_col]
+
+        # Vectorized disjoint-bbox prefilter (trivial result, no sweep).
+        sb = arrow_mp_bounds(subj_arr)
+        cb = arrow_mp_bounds(clip_arr)
+        disjoint = (
+            (sb["minx"] > cb["maxx"])
+            | (cb["minx"] > sb["maxx"])
+            | (sb["miny"] > cb["maxy"])
+            | (cb["miny"] > sb["maxy"])
+        )
+
+        subjects = arrow_to_mps(subj_arr)
+        clippings = arrow_to_mps(clip_arr)
+        if self.op_column is not None:
+            ops = batch[self.op_column].to_pylist()
+        else:
+            ops = [self.operation] * len(subjects)
+
+        results = []
+        for i, (s, c, op) in enumerate(zip(subjects, clippings, ops)):
+            if s is None or c is None:
+                results.append(None)
+            elif disjoint[i]:
+                results.append(trivial_result(s, c, op))
+            else:
+                results.append(boolean_op(s, c, op))
+
+        return batch.append_column(
+            pa.field(self.result_col, MULTIPOLYGON_T), mps_to_arrow(results)
+        )

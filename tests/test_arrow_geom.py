@@ -1,0 +1,68 @@
+"""Arrow geometry codec round-trip + vectorized bbox tests."""
+
+import numpy as np
+import pyarrow as pa
+
+from rust_geo_booleanop_ray.sources.arrow_geom import (
+    arrow_mp_bounds,
+    arrow_to_mps,
+    mp_bounds,
+    mps_to_arrow,
+    shoelace_area,
+)
+
+MPS = [
+    [[[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]]],
+    [
+        [
+            [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+            [(1.0, 1.0), (1.0, 3.0), (3.0, 3.0), (3.0, 1.0), (1.0, 1.0)],
+        ],
+        [[(10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 11.0), (10.0, 10.0)]],
+    ],
+    [],  # empty multipolygon
+    [[[(-5.0, -7.0), (-4.0, -7.0), (-4.0, -6.0), (-5.0, -7.0)]]],
+]
+
+
+def test_round_trip():
+    arr = mps_to_arrow(MPS)
+    back = arrow_to_mps(arr)
+    assert back == [
+        [[[tuple(map(float, pt)) for pt in ring] for ring in poly] for poly in mp]
+        for mp in MPS
+    ]
+
+
+def test_round_trip_nulls():
+    arr = mps_to_arrow([MPS[0], None, MPS[3]])
+    back = arrow_to_mps(arr)
+    assert back[1] is None
+    assert back[0] == MPS[0]
+
+
+def test_bounds_vectorized_matches_scalar():
+    arr = mps_to_arrow(MPS)
+    b = arrow_mp_bounds(arr)
+    for i, mp in enumerate(MPS):
+        if not mp:
+            assert b["minx"][i] == np.inf and b["maxx"][i] == -np.inf
+            continue
+        exp = mp_bounds(mp)
+        got = (b["minx"][i], b["miny"][i], b["maxx"][i], b["maxy"][i])
+        assert got == exp
+
+
+def test_bounds_on_slice():
+    arr = mps_to_arrow(MPS)
+    sl = arr.slice(1, 2)
+    b = arrow_mp_bounds(sl)
+    exp = mp_bounds(MPS[1])
+    assert (b["minx"][0], b["miny"][0], b["maxx"][0], b["maxy"][0]) == exp
+    assert b["minx"][1] == np.inf
+
+
+def test_shoelace():
+    assert shoelace_area(MPS[0]) == 4.0
+    # square with hole: 16 - 4 (hole ring is CW) + 1
+    assert shoelace_area(MPS[1]) == 13.0
