@@ -1,0 +1,126 @@
+"""Deterministic Lance-shaped image+caption table (BASELINE.json input_hint).
+
+Schema: (image_id: string, bytes: binary, w: int32, h: int32,
+fmt: string, caption: string, phash: int64).
+
+At 10^12-image scale this table would be read with
+``ray.data.read_parquet/read_lance`` from object storage; in this
+sandbox the source is a deterministic generator (seeded, pure function
+of the row index) exposed both as a streaming Ray datasource
+(``read_synth_images`` — generation happens inside map_batches tasks,
+never materialized on the driver) and as a parquet writer for
+fixed-input benchmarks.
+
+Payloads are raw RGB byte planes (``fmt="raw"``) generated from a
+per-row PCG64 stream; a slice of rows is tagged ``fmt="png"`` to
+exercise the stubbed-codec path (this container has no image codecs —
+see stages/image_ops.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+CAPTION_SUBJECTS = (
+    "a satellite view",
+    "an aerial photo",
+    "a drone capture",
+    "a map tile",
+    "a scanned chart",
+)
+CAPTION_PLACES = (
+    "of coastal wetlands",
+    "of an urban grid",
+    "of farmland parcels",
+    "of a mountain ridge",
+    "of river meanders",
+    "of desert dunes",
+    "of a forest canopy",
+)
+CAPTION_EXTRAS = (
+    "at dawn",
+    "after rainfall",
+    "in false color",
+    "with cloud cover",
+    "at high zoom",
+)
+
+# Image dims are small so a row stays a few KiB; at real scale rows are
+# MBs and the same pipeline shrinks batch_size instead (memory-aware).
+_SIZES = np.array([8, 12, 16, 24, 32], dtype=np.int32)
+
+
+def _phash64(pixels: np.ndarray) -> np.int64:
+    """Deterministic 64-bit average-hash of an (h, w, 3) uint8 image:
+    grayscale → 8×8 downsample → bit = cell > mean."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(8) * h // 8).astype(np.int64)
+    xs = (np.arange(8) * w // 8).astype(np.int64)
+    cells = gray[np.ix_(ys, xs)]
+    bits = (cells > cells.mean()).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        val |= b << np.uint64(i)
+    return np.int64(val.astype(np.int64))
+
+
+def synth_image_batch(indices: np.ndarray, seed: int = 42) -> pa.Table:
+    """Generate rows for the given global indices (pure function)."""
+    indices = np.asarray(indices, dtype=np.int64)
+    n = len(indices)
+    ws = _SIZES[indices % len(_SIZES)]
+    hs = _SIZES[(indices // 3) % len(_SIZES)]
+    fmts = np.where(indices % 11 == 0, "png", "raw")
+
+    ids, payloads, captions, phashes = [], [], [], []
+    for j in range(n):
+        i = int(indices[j])
+        rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
+        w, h = int(ws[j]), int(hs[j])
+        pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        ids.append(f"img-{i:08d}")
+        payloads.append(pixels.tobytes())
+        captions.append(
+            f"{CAPTION_SUBJECTS[i % 5]} {CAPTION_PLACES[(i // 5) % 7]} "
+            f"{CAPTION_EXTRAS[(i // 35) % 5]} #{i}"
+        )
+        phashes.append(_phash64(pixels))
+
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts.tolist(), pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+        }
+    )
+
+
+def read_synth_images(n_images: int, seed: int = 42, override_num_blocks: int | None = None):
+    """Streaming Ray Data source: rd.range → per-batch generation in tasks.
+
+    The driver never holds the table; blocks are produced under
+    backpressure exactly like a parquet read would be.
+    """
+    import ray.data as rd
+
+    ds = rd.range(n_images, override_num_blocks=override_num_blocks)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return synth_image_batch(batch["id"].to_numpy(), seed=seed)
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=2048)
+
+
+def write_synth_images(path: str, n_images: int, seed: int = 42, rows_per_file: int = 100_000):
+    """Materialize the synthetic table as partitioned parquet (bench input)."""
+    import ray.data as rd
+
+    read_synth_images(n_images, seed=seed).write_parquet(
+        path, min_rows_per_file=min(rows_per_file, n_images)
+    )

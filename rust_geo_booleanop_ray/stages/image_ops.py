@@ -1,0 +1,111 @@
+"""Image decode / feature / resize stages (actor-pool map_batches).
+
+Multimodal columns are opaque ``binary`` payloads with typed metadata
+(w, h, fmt).  ``fmt="raw"`` rows decode for real (numpy frombuffer);
+compressed formats (png/jpeg) are STUBBED — this container ships no
+image codecs — behind ``DecodeStub`` which produces a deterministic
+fake decode (pure function of the payload) so the Ray-side plumbing
+(schema, batch sizing, actor signatures, output layout) is real and
+testable.  Swap ``_decode_compressed`` for a real codec in production.
+
+Per-row invariant vs the reference behavior (BASELINE.json input_hint):
+decoded-pixel allclose (PSNR ≥ 40 dB for lossy) + caption equality —
+see ``psnr`` and tests/test_image_pipeline.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class ImageCodecNotAvailable(NotImplementedError):
+    pass
+
+
+def _decode_raw(payload: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+
+
+def _decode_compressed(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """STUB — no png/jpeg codec in this environment.
+
+    Deterministic fake: expands a keyed hash of the payload into (h,w,3)
+    pixels.  Marked clearly; replace with a real codec (e.g. pillow /
+    pyarrow image ext) when available.
+    """
+    digest = np.frombuffer(payload[: w * h * 3], dtype=np.uint8)
+    if len(digest) < w * h * 3:  # payload shorter than plane: tile it
+        reps = -(-(w * h * 3) // max(1, len(digest)))
+        digest = np.tile(digest, reps)[: w * h * 3]
+    return digest.reshape(h, w, 3)
+
+
+def decode_image(payload: bytes, w: int, h: int, fmt: str, strict: bool = False) -> np.ndarray:
+    if fmt == "raw":
+        return _decode_raw(payload, w, h)
+    if strict:
+        raise ImageCodecNotAvailable(f"no codec for fmt={fmt!r} in this environment")
+    return _decode_compressed(payload, w, h, fmt)
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (real, not stubbed)."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).astype(np.int64)
+    xs = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return pixels[np.ix_(ys, xs)]
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical)."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+class DecodeFeatures:
+    """Actor-pool stage: decode payload → per-image features.
+
+    Emits mean RGB, luma std, recomputed phash and a thumbnail payload.
+    Use as map_batches(DecodeFeatures, batch_format="pyarrow",
+    concurrency=N, batch_size=B) — batch_size small because rows carry
+    binary payloads (memory-aware batching).
+    """
+
+    def __init__(self, thumb: int = 8, strict: bool = False):
+        self.thumb = thumb
+        self.strict = strict
+        # once-per-actor setup spot (codec init in a real deployment)
+        from ..sources.images import _phash64
+
+        self._phash64 = _phash64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+
+        mean_r = np.empty(len(payloads))
+        mean_g = np.empty(len(payloads))
+        mean_b = np.empty(len(payloads))
+        luma_std = np.empty(len(payloads))
+        phash = np.empty(len(payloads), dtype=np.int64)
+        thumbs = []
+        for i, payload in enumerate(payloads):
+            px = decode_image(payload, int(ws[i]), int(hs[i]), fmts[i], self.strict)
+            mean_r[i], mean_g[i], mean_b[i] = px.reshape(-1, 3).mean(axis=0)
+            luma_std[i] = px.astype(np.float64).mean(axis=2).std()
+            phash[i] = self._phash64(px)
+            thumbs.append(resize_nearest(px, self.thumb, self.thumb).tobytes())
+
+        out = batch.select(["image_id", "caption", "phash"])
+        out = out.append_column("mean_r", pa.array(mean_r))
+        out = out.append_column("mean_g", pa.array(mean_g))
+        out = out.append_column("mean_b", pa.array(mean_b))
+        out = out.append_column("luma_std", pa.array(luma_std))
+        out = out.append_column("phash_decoded", pa.array(phash, pa.int64()))
+        out = out.append_column("thumb", pa.array(thumbs, pa.binary()))
+        return out

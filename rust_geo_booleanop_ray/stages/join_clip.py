@@ -1,0 +1,208 @@
+"""Spatial join + clip stages.
+
+Three join strategies, picked by data shape (ray_guide join patterns):
+
+1. ``TileJoinClip`` — footprints × the regular tile grid.  Tiles are
+   cells (stages/cells.py) at ``tile_res``; the cover is computed
+   arithmetically (no index needed), the clip is the exact Martinez
+   kernel against the tile rect.  Stateless map_batches.
+2. ``BroadcastPolyJoinClip`` — footprints × an *irregular* polygon set
+   small enough to broadcast (``ray.put`` once).  Actor-pool stage: the
+   STR-tree over the polygon bboxes is built ONCE per actor in
+   __init__, batches stream through __call__.
+3. ``join_cells_within_group`` — both sides large: tag + union both
+   datasets, groupby(cell), join inside each cell group with a local
+   STR-tree on the smaller side.  Used via
+   ``ds.groupby("cell").map_groups(join_cells_within_group,
+   batch_format="pyarrow")``.
+
+All outputs carry (image_id, tile_id, cell, clip geometry, clip_area)
+— deduplicate PBSM replicas downstream on (image_id, tile_id) when
+geometries were replicated to multiple cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.rtree import STRtree
+from ..geom import boolean_op
+from ..sources.arrow_geom import (
+    MULTIPOLYGON_T,
+    arrow_to_mps,
+    mps_to_arrow,
+    shoelace_area,
+)
+from .cells import cell_bounds, cover_bbox
+
+_EMPTY_JOIN_SCHEMA = pa.schema(
+    [
+        pa.field("image_id", pa.string()),
+        pa.field("tile_id", pa.int64()),
+        pa.field("clip", MULTIPOLYGON_T),
+        pa.field("clip_area", pa.float64()),
+    ]
+)
+
+
+class TileJoinClip:
+    """Footprints × regular tile grid → clipped pieces.
+
+    mode='assign': bbox-level tile assignment only (no exact geometry) —
+    the cheap path whose output is SQL-checkable.
+    mode='exact': Martinez clip footprint ∩ tile rect; rows whose exact
+    intersection is empty are dropped (bbox cover is a superset).
+    """
+
+    def __init__(self, tile_res: int, mode: str = "exact"):
+        if mode not in ("assign", "exact"):
+            raise ValueError(mode)
+        self.tile_res = tile_res
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        row_idx, tiles = cover_bbox(
+            batch["minx"].to_numpy(),
+            batch["miny"].to_numpy(),
+            batch["maxx"].to_numpy(),
+            batch["maxy"].to_numpy(),
+            self.tile_res,
+        )
+        image_ids = batch["image_id"].take(pa.array(row_idx))
+        tile_col = pa.array(tiles.view(np.int64), pa.int64())
+
+        if self.mode == "assign":
+            return pa.table({"image_id": image_ids, "tile_id": tile_col})
+
+        mps = arrow_to_mps(batch["footprint"])
+        clips, areas, keep = [], [], []
+        for j in range(len(row_idx)):
+            fp = mps[row_idx[j]]
+            tile_poly = _tile_multipolygon(int(tiles[j]))
+            clipped = boolean_op(fp, tile_poly, "intersection")
+            if clipped:
+                keep.append(j)
+                clips.append(clipped)
+                areas.append(abs(shoelace_area(clipped)))
+        keep_arr = pa.array(np.asarray(keep, dtype=np.int64))
+        return pa.table(
+            {
+                "image_id": image_ids.take(keep_arr),
+                "tile_id": tile_col.take(keep_arr),
+                "clip": mps_to_arrow(clips),
+                "clip_area": pa.array(areas, pa.float64()),
+            }
+        )
+
+
+def _tile_multipolygon(tile_id: int):
+    x0, y0, x1, y1 = cell_bounds(tile_id)
+    return [[[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]]
+
+
+class BroadcastPolyJoinClip:
+    """Actor-pool join against a broadcast irregular polygon table.
+
+    ``polys`` is either a plain pyarrow Table or a ``ray.ObjectRef`` to
+    one (ray.put once on the driver; each actor ray.gets it once).
+    Expected columns: tile_id:int64, geom:multipolygon, minx..maxy.
+    """
+
+    def __init__(self, polys, op: str = "intersection"):
+        try:
+            import ray
+
+            if isinstance(polys, ray.ObjectRef):
+                polys = ray.get(polys)
+        except ImportError:
+            pass
+        self.op = op
+        self.tile_ids = polys["tile_id"].to_numpy()
+        self.geoms = arrow_to_mps(polys["geom"])
+        self.tree = STRtree(
+            polys["minx"].to_numpy(),
+            polys["miny"].to_numpy(),
+            polys["maxx"].to_numpy(),
+            polys["maxy"].to_numpy(),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mps = arrow_to_mps(batch["footprint"])
+        bminx = batch["minx"].to_numpy()
+        bminy = batch["miny"].to_numpy()
+        bmaxx = batch["maxx"].to_numpy()
+        bmaxy = batch["maxy"].to_numpy()
+        image_ids = batch["image_id"].to_pylist()
+
+        out_img, out_tile, out_clip, out_area = [], [], [], []
+        for i in range(batch.num_rows):
+            cands = self.tree.query(bminx[i], bminy[i], bmaxx[i], bmaxy[i])
+            for c in cands:
+                clipped = boolean_op(mps[i], self.geoms[c], self.op)
+                if clipped:
+                    out_img.append(image_ids[i])
+                    out_tile.append(int(self.tile_ids[c]))
+                    out_clip.append(clipped)
+                    out_area.append(abs(shoelace_area(clipped)))
+        if not out_img:
+            return _EMPTY_JOIN_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "image_id": pa.array(out_img, pa.string()),
+                "tile_id": pa.array(out_tile, pa.int64()),
+                "clip": mps_to_arrow(out_clip),
+                "clip_area": pa.array(out_area, pa.float64()),
+            }
+        )
+
+
+def join_cells_within_group(group: pa.Table) -> pa.Table:
+    """Large×large within-cell join for groupby(cell).map_groups.
+
+    Input: one cell's rows from BOTH sides, tagged by ``side`` column
+    ('probe' carries image_id+footprint, 'build' carries tile_id+geom).
+    Builds an STR-tree on the build side (small per cell), probes with
+    the probe side, emits exact clipped intersections.
+    """
+    side = group["side"].to_pylist()
+    is_build = np.array([s == "build" for s in side])
+    build = group.filter(pa.array(is_build))
+    probe = group.filter(pa.array(~is_build))
+    if build.num_rows == 0 or probe.num_rows == 0:
+        return _EMPTY_JOIN_SCHEMA.empty_table()
+
+    tree = STRtree(
+        build["minx"].to_numpy(),
+        build["miny"].to_numpy(),
+        build["maxx"].to_numpy(),
+        build["maxy"].to_numpy(),
+    )
+    build_geoms = arrow_to_mps(build["geom"])
+    build_tiles = build["tile_id"].to_numpy()
+    probe_geoms = arrow_to_mps(probe["footprint"])
+    pminx = probe["minx"].to_numpy()
+    pminy = probe["miny"].to_numpy()
+    pmaxx = probe["maxx"].to_numpy()
+    pmaxy = probe["maxy"].to_numpy()
+    image_ids = probe["image_id"].to_pylist()
+
+    out_img, out_tile, out_clip, out_area = [], [], [], []
+    for i in range(probe.num_rows):
+        for c in tree.query(pminx[i], pminy[i], pmaxx[i], pmaxy[i]):
+            clipped = boolean_op(probe_geoms[i], build_geoms[c], "intersection")
+            if clipped:
+                out_img.append(image_ids[i])
+                out_tile.append(int(build_tiles[c]))
+                out_clip.append(clipped)
+                out_area.append(abs(shoelace_area(clipped)))
+    if not out_img:
+        return _EMPTY_JOIN_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "image_id": pa.array(out_img, pa.string()),
+            "tile_id": pa.array(out_tile, pa.int64()),
+            "clip": mps_to_arrow(out_clip),
+            "clip_area": pa.array(out_area, pa.float64()),
+        }
+    )

@@ -1,0 +1,122 @@
+"""Tile materialization: raster ⇄ vector.
+
+Tiles are cells at a fixed resolution (one id space for partitioning,
+join keys and tile naming).  ``RasterizeTile`` turns the clipped
+pieces of one tile into a coverage-count raster (vectorized PIP on the
+pixel-center grid); ``raster_to_rects`` extracts maximal horizontal-run
+rectangles back into vector space (raster→vector).  Together they give
+the raster↔vector round trip of the north star.
+
+Used as: join_output.groupby("tile_id").map_groups(RasterizeTile(px),
+batch_format="pyarrow") — the groupby is the one shuffle, keyed by the
+same cell-id space as everything else.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.pip import points_in_multipolygon
+from ..sources.arrow_geom import arrow_to_mps, mps_to_arrow
+from .cells import cell_bounds
+
+
+class RasterizeTile:
+    """Per-tile coverage raster from clipped geometries (map_groups fn)."""
+
+    def __init__(self, px: int = 32):
+        self.px = px
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        tile_id = int(group["tile_id"][0].as_py())
+        x0, y0, x1, y1 = cell_bounds(tile_id)
+        px = self.px
+        xs = x0 + (np.arange(px) + 0.5) * (x1 - x0) / px
+        ys = y0 + (np.arange(px) + 0.5) * (y1 - y0) / px
+        gx, gy = np.meshgrid(xs, ys)
+        gx = gx.ravel()
+        gy = gy.ravel()
+
+        counts = np.zeros(px * px, dtype=np.uint16)
+        for mp in arrow_to_mps(group["clip"]):
+            counts += points_in_multipolygon(gx, gy, mp).astype(np.uint16)
+
+        covered = int((counts > 0).sum())
+        return pa.table(
+            {
+                "tile_id": pa.array([tile_id], pa.int64()),
+                "px": pa.array([px], pa.int32()),
+                "raster": pa.array([counts.tobytes()], pa.binary()),
+                "n_pieces": pa.array([group.num_rows], pa.int64()),
+                "coverage_fraction": pa.array([covered / (px * px)], pa.float64()),
+            }
+        )
+
+
+def raster_to_rects(raster: bytes, px: int, tile_id: int):
+    """Coverage raster → vector multipolygon of axis-aligned rectangles.
+
+    Greedy row-wise run-length extraction of the covered mask: each
+    maximal horizontal run of covered pixels in a row becomes one rect;
+    vertically adjacent identical runs are merged.  Deterministic.
+    """
+    counts = np.frombuffer(raster, dtype=np.uint16).reshape(px, px)
+    mask = counts > 0
+    x0, y0, x1, y1 = cell_bounds(tile_id)
+    wx = (x1 - x0) / px
+    wy = (y1 - y0) / px
+
+    # collect runs per row: (row, start_col, end_col)
+    active: dict = {}  # (start_col, end_col) -> start_row
+    polys = []
+
+    def flush(start_col, end_col, start_row, end_row):
+        rx0 = x0 + start_col * wx
+        rx1 = x0 + (end_col + 1) * wx
+        ry0 = y0 + start_row * wy
+        ry1 = y0 + (end_row + 1) * wy
+        polys.append([[(rx0, ry0), (rx1, ry0), (rx1, ry1), (rx0, ry1), (rx0, ry0)]])
+
+    for row in range(px):
+        runs = set()
+        col = 0
+        while col < px:
+            if mask[row, col]:
+                start = col
+                while col < px and mask[row, col]:
+                    col += 1
+                runs.add((start, col - 1))
+            else:
+                col += 1
+        # close runs that ended
+        for key in list(active):
+            if key not in runs:
+                flush(key[0], key[1], active.pop(key), row - 1)
+        for key in runs:
+            if key not in active:
+                active[key] = row
+    for key, start_row in active.items():
+        flush(key[0], key[1], start_row, px - 1)
+
+    polys.sort(key=lambda p: (p[0][0][1], p[0][0][0]))
+    return polys
+
+
+def vectorize_tiles_batch(batch: pa.Table) -> pa.Table:
+    """map_batches kernel: raster rows → vector multipolygon rows."""
+    mps = [
+        raster_to_rects(
+            batch["raster"][i].as_py(),
+            int(batch["px"][i].as_py()),
+            int(batch["tile_id"][i].as_py()),
+        )
+        for i in range(batch.num_rows)
+    ]
+    return pa.table(
+        {
+            "tile_id": batch["tile_id"],
+            "geom": mps_to_arrow(mps),
+            "coverage_fraction": batch["coverage_fraction"],
+        }
+    )

@@ -1,0 +1,158 @@
+"""Spatial join + clip strategies: tile grid, broadcast poly, within-cell;
+tiles raster/vector; lineage resume.  Local (no Ray) where possible."""
+
+import numpy as np
+import pyarrow as pa
+
+from rust_geo_booleanop_ray.sources.arrow_geom import (
+    arrow_to_mps,
+    mp_bounds,
+    mps_to_arrow,
+    shoelace_area,
+)
+from rust_geo_booleanop_ray.sources.images import synth_image_batch
+from rust_geo_booleanop_ray.stages.cells import cell_bounds, cell_encode
+from rust_geo_booleanop_ray.stages.footprint import derive_footprints
+from rust_geo_booleanop_ray.stages.join_clip import (
+    BroadcastPolyJoinClip,
+    TileJoinClip,
+    _tile_multipolygon,
+    join_cells_within_group,
+)
+from rust_geo_booleanop_ray.stages.tiles import RasterizeTile, raster_to_rects
+
+
+def _footprints(n=80):
+    return derive_footprints(synth_image_batch(np.arange(n)))
+
+
+def test_tile_join_exact_area_conservation():
+    """Clipped pieces of one footprint sum to the footprint area
+    (tiles partition the plane)."""
+    f = _footprints(60)
+    out = TileJoinClip(tile_res=4, mode="exact")(f)
+    assert out.num_rows >= f.num_rows  # at least one tile per footprint
+    areas = {}
+    for i in range(out.num_rows):
+        img = out["image_id"][i].as_py()
+        areas[img] = areas.get(img, 0.0) + out["clip_area"][i].as_py()
+    mps = arrow_to_mps(f["footprint"])
+    for i in range(f.num_rows):
+        img = f["image_id"][i].as_py()
+        expected = abs(shoelace_area(mps[i]))
+        assert abs(areas[img] - expected) < 1e-9 * max(1.0, expected), img
+
+
+def test_tile_join_assign_superset_of_exact():
+    f = _footprints(40)
+    assign = TileJoinClip(tile_res=4, mode="assign")(f)
+    exact = TileJoinClip(tile_res=4, mode="exact")(f)
+    a = set(zip(assign["image_id"].to_pylist(), assign["tile_id"].to_pylist()))
+    e = set(zip(exact["image_id"].to_pylist(), exact["tile_id"].to_pylist()))
+    assert e <= a
+
+
+def test_clip_stays_inside_tile():
+    f = _footprints(30)
+    out = TileJoinClip(tile_res=4, mode="exact")(f)
+    clips = arrow_to_mps(out["clip"])
+    for i in range(out.num_rows):
+        x0, y0, x1, y1 = cell_bounds(int(out["tile_id"][i].as_py()))
+        bx0, by0, bx1, by1 = mp_bounds(clips[i])
+        assert bx0 >= x0 - 1e-9 and bx1 <= x1 + 1e-9
+        assert by0 >= y0 - 1e-9 and by1 <= y1 + 1e-9
+
+
+def _poly_table(tile_ids):
+    geoms = [_tile_multipolygon(t) for t in tile_ids]
+    bounds = [mp_bounds(g) for g in geoms]
+    return pa.table(
+        {
+            "tile_id": pa.array(tile_ids, pa.int64()),
+            "geom": mps_to_arrow(geoms),
+            "minx": pa.array([b[0] for b in bounds]),
+            "miny": pa.array([b[1] for b in bounds]),
+            "maxx": pa.array([b[2] for b in bounds]),
+            "maxy": pa.array([b[3] for b in bounds]),
+        }
+    )
+
+
+def test_broadcast_join_matches_tile_join():
+    """Broadcast join against the full res-4 tile set must equal
+    TileJoinClip exact output."""
+    f = _footprints(40)
+    exact = TileJoinClip(tile_res=4, mode="exact")(f)
+    tile_ids = sorted(set(exact["tile_id"].to_pylist()))
+    stage = BroadcastPolyJoinClip(_poly_table(tile_ids))
+    out = stage(f)
+    got = set(zip(out["image_id"].to_pylist(), out["tile_id"].to_pylist()))
+    exp = set(zip(exact["image_id"].to_pylist(), exact["tile_id"].to_pylist()))
+    assert got == exp
+    # areas match row-for-row
+    ga = {(r["image_id"], r["tile_id"]): r["clip_area"] for r in out.to_pylist()}
+    ea = {(r["image_id"], r["tile_id"]): r["clip_area"] for r in exact.to_pylist()}
+    for k in ga:
+        assert abs(ga[k] - ea[k]) < 1e-12
+
+
+def test_within_cell_group_join():
+    f = _footprints(40)
+    exact = TileJoinClip(tile_res=4, mode="exact")(f)
+    tile_ids = sorted(set(exact["tile_id"].to_pylist()))
+    build = _poly_table(tile_ids)
+    # one mega-group (single cell) exercises the group-join path
+    probe = f.select(["image_id", "footprint", "minx", "miny", "maxx", "maxy"])
+    probe = probe.append_column("side", pa.array(["probe"] * probe.num_rows))
+    probe = probe.append_column("tile_id", pa.array([0] * probe.num_rows, pa.int64()))
+    probe = probe.append_column("geom", probe["footprint"])
+    build2 = build.append_column("side", pa.array(["build"] * build.num_rows))
+    build2 = build2.append_column("image_id", pa.array([""] * build.num_rows))
+    build2 = build2.append_column("footprint", build2["geom"])
+    cols = ["image_id", "tile_id", "footprint", "geom", "minx", "miny", "maxx", "maxy", "side"]
+    group = pa.concat_tables([probe.select(cols), build2.select(cols)])
+    out = join_cells_within_group(group)
+    got = set(zip(out["image_id"].to_pylist(), out["tile_id"].to_pylist()))
+    exp = set(zip(exact["image_id"].to_pylist(), exact["tile_id"].to_pylist()))
+    assert got == exp
+
+
+def test_rasterize_and_vectorize():
+    # one tile fully covered by one clip = the tile rect itself
+    tile = int(cell_encode(np.array([10.0]), np.array([10.0]), 4)[0])
+    tile_poly = _tile_multipolygon(tile)
+    g = pa.table(
+        {
+            "tile_id": pa.array([tile], pa.int64()),
+            "clip": mps_to_arrow([tile_poly]),
+        }
+    )
+    r = RasterizeTile(px=16)(g)
+    assert r["coverage_fraction"][0].as_py() == 1.0
+    rects = raster_to_rects(r["raster"][0].as_py(), 16, tile)
+    assert len(rects) == 1
+    x0, y0, x1, y1 = cell_bounds(tile)
+    assert abs(shoelace_area(rects) - (x1 - x0) * (y1 - y0)) < 1e-9
+
+
+def test_lineage_resume(tmp_path):
+    from rust_geo_booleanop_ray.state.lineage import (
+        PartitionCommitWriter,
+        completed_partitions,
+    )
+
+    out = str(tmp_path / "out")
+    w = PartitionCommitWriter(out, config_hash="cfg1")
+    g1 = pa.table({"part": pa.array([3, 3], pa.int64()), "v": pa.array([1, 2])})
+    m1 = w(g1)
+    assert m1["skipped"][0].as_py() is False
+    assert completed_partitions(out, "cfg1") == {3}
+    # re-run skips
+    m2 = w(g1)
+    assert m2["skipped"][0].as_py() is True
+    # different config rewrites
+    w2 = PartitionCommitWriter(out, config_hash="cfg2")
+    m3 = w2(g1)
+    assert m3["skipped"][0].as_py() is False
+    assert completed_partitions(out, "cfg2") == {3}
+    assert completed_partitions(out, "cfg1") == set()
