@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (list<float>).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (ray.put once; each batch task reads the same
+object), per-batch partial top-k, then a tiny groupby(query) merge.
+Scale path: sign-LSH bucketing (stages/dedup.EmbeddingLshBucket) —
+probe only matching buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _embedding_matrix(batch_col) -> np.ndarray:
+    emb = batch_col
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    flat = emb.values.to_numpy(zero_copy_only=False)
+    return flat.reshape(len(emb), -1)
+
+
+class BruteForceTopK:
+    """map_batches stage: per-batch cosine top-k against broadcast queries.
+
+    ``queries`` is a ray.ObjectRef to (query_ids: int64[Q],
+    matrix: float64[Q, D]) or the plain tuple.  Emits per-batch partial
+    candidates (query_id, vec_id, cosine) — merge with TopKPerQuery.
+    """
+
+    def __init__(self, queries, k: int):
+        try:
+            import ray
+
+            if isinstance(queries, ray.ObjectRef):
+                queries = ray.get(queries)
+        except ImportError:
+            pass
+        self.query_ids, qmat = queries
+        qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+        self.qunit = qmat / np.maximum(qnorm, 1e-12)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _embedding_matrix(batch["embedding"]).astype(np.float64)
+        ids = batch["vec_id"].to_numpy()
+        unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = self.qunit @ unit.T  # (Q, n)
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        q_idx = np.repeat(np.arange(sims.shape[0]), k)
+        v_idx = part.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(self.query_ids[q_idx], pa.int64()),
+                "vec_id": pa.array(ids[v_idx], pa.int64()),
+                "cosine": pa.array(sims[q_idx, v_idx].astype(np.float64)),
+            }
+        )
+
+
+class TopKPerQuery:
+    """map_groups fn: merge partial candidates → global top-k.
+
+    Deterministic tie-break: (-cosine, vec_id)."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas().drop_duplicates(subset=["query_id", "vec_id"])
+        df = df.sort_values(
+            ["cosine", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(self.k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def brute_force_topk(embeddings_ds, queries, k: int):
+    """Assemble the two-stage ANN baseline over a Dataset with
+    (vec_id, embedding)."""
+    cands = embeddings_ds.map_batches(
+        BruteForceTopK(queries, k), batch_format="pyarrow"
+    )
+    return cands.groupby("query_id").map_groups(
+        TopKPerQuery(k), batch_format="pyarrow"
+    )
+
+
+def lsh_bucketed_topk(embeddings_ds, queries, k: int, dim: int = 64, n_bits: int = 8, seed: int = 13):
+    """Scale-path ANN: probe only rows sharing the query's LSH bucket.
+
+    PARTITIONING ASSUMPTION: recall is bounded by bucket collision
+    probability; n_bits trades recall for candidate volume.  Exactness
+    is NOT guaranteed — this is the approximate path; use
+    brute_force_topk as ground truth.
+    """
+    from .dedup import EmbeddingLshBucket
+
+    bucketer = EmbeddingLshBucket(dim=dim, n_bits=n_bits, seed=seed)
+    query_ids, qmat = queries
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qbits = (qnorm @ bucketer.planes) > 0
+    qbucket = np.zeros(len(query_ids), dtype=np.int64)
+    for b in range(qbits.shape[1]):
+        qbucket |= qbits[:, b].astype(np.int64) << b
+    by_bucket: dict = {}
+    for qi, qb in enumerate(qbucket):
+        by_bucket.setdefault(int(qb), []).append(qi)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bucketed = bucketer(batch)
+        buckets = bucketed["bucket"].to_numpy()
+        vecs = _embedding_matrix(bucketed["embedding"]).astype(np.float64)
+        ids = bucketed["vec_id"].to_numpy()
+        unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        out_q, out_v, out_s = [], [], []
+        for qb, q_idxs in by_bucket.items():
+            mask = buckets == qb
+            if not mask.any():
+                continue
+            sims = qnorm[q_idxs] @ unit[mask].T
+            sub_ids = ids[mask]
+            for row, qi in enumerate(q_idxs):
+                out_q.extend([query_ids[qi]] * len(sub_ids))
+                out_v.extend(sub_ids.tolist())
+                out_s.extend(sims[row].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cands = embeddings_ds.map_batches(probe, batch_format="pyarrow")
+    return cands.groupby("query_id").map_groups(
+        TopKPerQuery(k), batch_format="pyarrow"
+    )

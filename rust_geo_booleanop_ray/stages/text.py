@@ -1,0 +1,119 @@
+"""Text analysis stages over document tables.
+
+Definitions are chosen to be SQL-mirrorable so the DuckDB oracle can
+check them value-for-value:
+  - tokens      = text split on single spaces (len(string_split(text,' ')))
+  - n_chars     = character count (length(text))
+  - stop ratio  = fraction of tokens in a fixed stopword set
+  - fingerprint = min 64-bit rolling hash over 8-char windows (not SQL;
+                  rows-only check)
+
+Language ID is an n-gram/stopword heuristic scored against the table's
+own ``lang`` labels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# tiny per-language marker sets (heuristic language ID)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "value", "row"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pour"},
+    "es": {"el", "la", "los", "las", "es", "un", "una", "por"},
+    "zh": {"的", "是", "了", "在", "和"},
+}
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized per-doc stats (pyarrow compute kernels)."""
+    text = batch["text"]
+    tokens = pc.split_pattern(text, " ")
+    n_tokens = pc.list_value_length(tokens)
+    n_chars = pc.utf8_length(text)
+
+    # stopword count: per-token membership via flattening (vectorized)
+    flat = pc.list_flatten(tokens)
+    is_stop = pc.is_in(flat, value_set=pa.array(list(_STOPWORDS)))
+    offsets = np.concatenate(
+        ([0], np.cumsum(n_tokens.to_numpy(zero_copy_only=False)))
+    )
+    stop_np = is_stop.to_numpy(zero_copy_only=False).astype(np.int64)
+    stops = np.add.reduceat(stop_np, offsets[:-1]) if len(flat) else np.zeros(0)
+    stops = np.where(
+        offsets[1:] > offsets[:-1], stops, 0
+    )  # reduceat quirk on empty segments
+
+    out = batch.select([c for c in ("doc_id", "lang", "source") if c in batch.column_names])
+    out = out.append_column("n_chars", pc.cast(n_chars, pa.int64()))
+    out = out.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+    out = out.append_column("n_stopwords", pa.array(stops.astype(np.int64)))
+    ratio = stops / np.maximum(1, n_tokens.to_numpy(zero_copy_only=False))
+    out = out.append_column("stop_ratio", pa.array(ratio))
+    return out
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Quality heuristics: length band + stopword band + mean token len."""
+    stats = text_stats_batch(batch)
+    n_chars = stats["n_chars"].to_numpy()
+    n_tokens = stats["n_tokens"].to_numpy()
+    ratio = stats["stop_ratio"].to_numpy()
+    mean_tok = n_chars / np.maximum(1, n_tokens)
+    score = (
+        np.clip(n_chars / 500.0, 0, 1) * 0.4
+        + np.clip(1.0 - np.abs(ratio - 0.08) * 5.0, 0, 1) * 0.3
+        + np.clip(1.0 - np.abs(mean_tok - 5.0) / 5.0, 0, 1) * 0.3
+    )
+    return stats.append_column("quality", pa.array(score))
+
+
+class LangId:
+    """Actor-pool stage: heuristic language ID (markers compiled once)."""
+
+    def __init__(self):
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        pred = []
+        for t in texts:
+            toks = t.lower().split(" ")
+            best_lang, best = "und", 0
+            for lang, marks in self.markers.items():
+                score = sum(1 for w in toks if w in marks)
+                if score > best:
+                    best, best_lang = score, lang
+            pred.append(best_lang)
+        out = batch.select(
+            [c for c in ("doc_id", "lang") if c in batch.column_names]
+        )
+        return out.append_column("lang_pred", pa.array(pred, pa.string()))
+
+
+_FP_WINDOW = 8
+_FP_BASE = np.uint64(1099511628211)
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Rolling-hash document fingerprint: min 64-bit hash over all
+    8-char windows (Rabin–Karp / winnowing-lite).  Deterministic."""
+    texts = batch["text"].to_pylist()
+    fps = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(data) < _FP_WINDOW:
+            data = np.pad(data, (0, _FP_WINDOW - len(data)), constant_values=32)
+        # vectorized rolling hash: polynomial over a sliding window
+        n = len(data) - _FP_WINDOW + 1
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(_FP_WINDOW):
+            h = h * _FP_BASE + data[j : j + n]
+        fps[i] = np.int64(h.min().astype(np.int64))
+    out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
+    return out.append_column("fingerprint", pa.array(fps, pa.int64()))

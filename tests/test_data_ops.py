@@ -1,0 +1,187 @@
+"""Text analysis, dedup family, ANN — local batch-level tests over the
+driver-generated documents/embeddings tables."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rust_geo_booleanop_ray.stages.ann import BruteForceTopK, TopKPerQuery
+from rust_geo_booleanop_ray.stages.dedup import (
+    EmbeddingLshBucket,
+    EmbeddingNearDupPairs,
+    LshCandidatePairs,
+    MinHasher,
+    SimHasher,
+    SimhashPairs,
+    content_hash_batch,
+    exact_dedup_merge,
+    exact_dedup_partial,
+    lsh_band_explode,
+    ngram_jaccard,
+    simhash_band_explode,
+)
+from rust_geo_booleanop_ray.stages.text import (
+    LangId,
+    fingerprint_batch,
+    quality_score_batch,
+    text_stats_batch,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pq.read_table(DOCS)
+
+
+@pytest.fixture(scope="module")
+def emb():
+    return pq.read_table(EMB)
+
+
+def test_text_stats_match_python(docs):
+    out = text_stats_batch(docs)
+    texts = docs["text"].to_pylist()
+    for i in (0, 7, 100):
+        assert out["n_tokens"][i].as_py() == len(texts[i].split(" "))
+        assert out["n_chars"][i].as_py() == len(texts[i])
+        stops = sum(
+            1 for t in texts[i].split(" ") if t in ("the", "a", "of", "and", "to", "in", "is")
+        )
+        assert out["n_stopwords"][i].as_py() == stops
+
+
+def test_quality_and_langid(docs):
+    q = quality_score_batch(docs)
+    assert (np.asarray(q["quality"].to_numpy()) >= 0).all()
+    assert (np.asarray(q["quality"].to_numpy()) <= 1).all()
+    lid = LangId()(docs)
+    # predictions come from the known label set
+    assert set(lid["lang_pred"].to_pylist()) <= {"en", "de", "fr", "es", "zh", "und"}
+
+
+def test_fingerprint_deterministic(docs):
+    a = fingerprint_batch(docs.slice(0, 50))
+    b = fingerprint_batch(docs.slice(0, 50))
+    assert a.equals(b)
+    # identical texts → identical fingerprints
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array(["same text here"] * 2)})
+    f = fingerprint_batch(t)
+    assert f["fingerprint"][0].as_py() == f["fingerprint"][1].as_py()
+
+
+def test_exact_dedup_partial_merge():
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 3, 9, 7], pa.int64()),
+            "text": pa.array(["aa", "bb", "aa", "aa"]),
+        }
+    )
+    hashed = content_hash_batch(t)
+    assert hashed["content_hash"][0].as_py() == hashed["content_hash"][2].as_py()
+    part = exact_dedup_partial(hashed)
+    assert part.num_rows == 2
+    merged = exact_dedup_merge(part.filter(pa.array([r == part["content_hash"][0].as_py() for r in part["content_hash"].to_pylist()])))
+    by_hash = {r["content_hash"]: r for r in part.to_pylist()}
+    aa_hash = hashed["content_hash"][0].as_py()
+    assert by_hash[aa_hash]["doc_id"] == 5 and by_hash[aa_hash]["n"] == 3
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(n_perm=128, seed=5)
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy cat again and again"
+    c = "completely different content with no overlap whatsoever here"
+    sa, sb, sc = mh.signature(a), mh.signature(b), mh.signature(c)
+    est_ab = (sa == sb).mean()
+    true_ab = ngram_jaccard(a, b)
+    assert abs(est_ab - true_ab) < 0.15
+    assert (sa == sc).mean() < 0.2
+
+
+def test_lsh_pipeline_finds_near_dups():
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota kappaX",  # near-dup of 0
+        "one two three four five six seven eight nine ten eleven",
+        "unrelated words entirely disjoint vocabulary sample block",
+    ]
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()), "text": pa.array(texts)})
+    sigs = MinHasher(n_perm=64, seed=5)(t)
+    exploded = lsh_band_explode(sigs, bands=8)
+    # group by (band_id, band_hash) manually
+    pairs = set()
+    df = exploded.to_pandas()
+    for _, g in df.groupby(["band_id", "band_hash"]):
+        out = LshCandidatePairs(threshold=0.5)(pa.Table.from_pandas(g, preserve_index=False))
+        for r in out.to_pylist():
+            pairs.add((r["doc_a"], r["doc_b"]))
+    assert (0, 1) in pairs
+    assert (2, 3) not in pairs
+
+
+def test_simhash_blocking():
+    texts = [
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12",
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w13",  # one word changed
+        "zz yy xx ww vv uu tt ss rr qq pp oo",
+    ]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(texts)})
+    sh = SimHasher()(t)
+    h0 = np.uint64(sh["simhash"][0].as_py())
+    h1 = np.uint64(sh["simhash"][1].as_py())
+    ham = bin(int(h0 ^ h1)).count("1")
+    exploded = simhash_band_explode(sh, bands=4)
+    df = exploded.to_pandas()
+    pairs = set()
+    for _, g in df.groupby(["band_id", "band_val"]):
+        out = SimhashPairs(max_hamming=max(3, ham))(pa.Table.from_pandas(g, preserve_index=False))
+        for r in out.to_pylist():
+            pairs.add((r["doc_a"], r["doc_b"]))
+    assert (0, 1) in pairs
+
+
+def test_embedding_near_dup(emb):
+    # duplicate a vector with tiny noise → must pair up
+    base = emb.slice(0, 20)
+    import pyarrow.compute as pc
+
+    vecs = base["embedding"].combine_chunks()
+    flat = vecs.values.to_numpy(zero_copy_only=False).reshape(20, -1).copy()
+    flat[1] = flat[0] * 1.001  # near-identical direction
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(20), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat.astype(np.float32).ravel()), flat.shape[1]
+            ),
+        }
+    )
+    bucketed = EmbeddingLshBucket(dim=flat.shape[1], n_bits=4)(t)
+    df = bucketed.to_pandas()
+    found = set()
+    for _, g in df.groupby("bucket"):
+        sub = t.take(pa.array(g.index.to_numpy())).append_column("bucket", pa.array(g["bucket"].to_numpy()))
+        out = EmbeddingNearDupPairs(threshold=0.999)(sub)
+        for r in out.to_pylist():
+            found.add((r["vec_a"], r["vec_b"]))
+    assert (0, 1) in found
+
+
+def test_brute_force_topk(emb):
+    vecs = emb["embedding"].combine_chunks()
+    mat = vecs.values.to_numpy(zero_copy_only=False).reshape(len(emb), -1).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    queries = (ids[:3], mat[:3])
+    stage = BruteForceTopK(queries, k=5)
+    cands = stage(emb)
+    merged = TopKPerQuery(5)(cands.filter(pa.compute.equal(cands["query_id"], ids[0])))
+    # ground truth
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit[0] @ unit.T
+    order = np.lexsort((ids, -sims))[:5]
+    assert merged["vec_id"].to_pylist() == ids[order].tolist()
+    assert merged["rank"].to_pylist() == [1, 2, 3, 4, 5]
