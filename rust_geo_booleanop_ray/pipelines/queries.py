@@ -1,0 +1,752 @@
+"""Driver-facing query catalog: Ray pipelines + DuckDB oracle SQL.
+
+Every SQL-expressible query here is value-checked by the driver against
+DuckDB at sf=0.01 (order-insensitive hash of sorted-by-name columns).
+Cross-engine float determinism rules used throughout:
+
+  - derived spatial coordinates are INTEGER-VALUED doubles (modular
+    arithmetic on keys), so rect/clip areas and squared distances are
+    exact in f64 in any summation order;
+  - money flows as cents: ``CAST(floor(x*100 + 0.5) AS BIGINT)`` — the
+    same double op sequence in numpy and DuckDB, then exact int sums;
+  - timestamps bucket via integer microsecond floor-division;
+  - ANN cosines are rounded to 4 dp (gap between neighbors ≫ fp error).
+
+Geometry queries route through the REAL engine stages (Martinez clip,
+cell-partitioned joins, kNN) — the SQL oracle computes the same answer
+with closed-form rectangle arithmetic, which is exactly what makes the
+engine's exact kernel checkable without a SQL spatial extension.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.arrow_geom import shoelace_area
+from ..stages.boolean_batch import BooleanOpBatch
+
+# ------------------------------------------------------------------ helpers
+
+CLIP_WINDOW = (10.0, 10.0, 70.0, 60.0)
+TILE = 8  # arithmetic tile size for the SQL-checkable tile queries
+KNN_K = 5
+KNN_RES = 4
+ANN_K = 10
+
+STOPWORDS_SQL = "('the','a','of','and','to','in','is')"
+
+
+def _rect_mp_array(minx, miny, maxx, maxy) -> pa.ListArray:
+    """Vectorized axis-aligned rects → multipolygon column."""
+    n = len(minx)
+    xs = np.stack([minx, maxx, maxx, minx, minx], axis=1)
+    ys = np.stack([miny, miny, maxy, maxy, miny], axis=1)
+    coords = np.empty((n * 5, 2))
+    coords[:, 0] = xs.ravel()
+    coords[:, 1] = ys.ravel()
+    coord_arr = pa.FixedSizeListArray.from_arrays(pa.array(coords.ravel()), 2)
+    ring = pa.ListArray.from_arrays(pa.array(np.arange(n + 1, dtype=np.int32) * 5), coord_arr)
+    one = pa.array(np.arange(n + 1, dtype=np.int32))
+    return pa.ListArray.from_arrays(one, pa.ListArray.from_arrays(one, ring))
+
+
+def _part_rect_batch(batch: pa.Table) -> pa.Table:
+    """part rows → deterministic integer-valued rects (+ geometry)."""
+    pk = batch["p_partkey"].to_numpy()
+    size = batch["p_size"].to_numpy().astype(np.int64)
+    cx = (pk % 97).astype(np.float64)
+    cy = ((pk * 31) % 89).astype(np.float64)
+    hw = (1 + (size % 5)).astype(np.float64)
+    hh = (1 + ((size * 3) % 7)).astype(np.float64)
+    minx = cx - hw
+    miny = cy - hh
+    maxx = cx + hw
+    maxy = cy + hh
+    out = batch.append_column("minx", pa.array(minx))
+    out = out.append_column("miny", pa.array(miny))
+    out = out.append_column("maxx", pa.array(maxx))
+    out = out.append_column("maxy", pa.array(maxy))
+    return out.append_column("footprint", _rect_mp_array(minx, miny, maxx, maxy))
+
+
+PART_RECT_SQL = """
+    SELECT p_partkey, p_brand,
+           CAST(p_partkey % 97 AS DOUBLE) - CAST(1 + (p_size % 5) AS DOUBLE) AS minx,
+           CAST((p_partkey * 31) % 89 AS DOUBLE) - CAST(1 + ((p_size * 3) % 7) AS DOUBLE) AS miny,
+           CAST(p_partkey % 97 AS DOUBLE) + CAST(1 + (p_size % 5) AS DOUBLE) AS maxx,
+           CAST((p_partkey * 31) % 89 AS DOUBLE) + CAST(1 + ((p_size * 3) % 7) AS DOUBLE) AS maxy
+    FROM part
+"""
+
+
+def _customer_point_batch(batch: pa.Table) -> pa.Table:
+    ck = batch["c_custkey"].to_numpy()
+    out = batch.append_column("px", pa.array((ck % 97).astype(np.float64)))
+    return out.append_column("py", pa.array(((ck * 13) % 89).astype(np.float64)))
+
+
+CUSTOMER_POINT_SQL = """
+    SELECT c_custkey,
+           CAST(c_custkey % 97 AS DOUBLE) AS px,
+           CAST((c_custkey * 13) % 89 AS DOUBLE) AS py
+    FROM customer
+"""
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 100.0 + 0.5).astype(np.int64)
+
+
+# ------------------------------------------------------------------ spatial
+
+
+def q_clip_area(sf_dir: str):
+    """Martinez clip of part-rects against a fixed window, per-brand
+    integer area sums.  The kernel runs inside map_batches; the oracle
+    is rectangle-intersection arithmetic."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    wx0, wy0, wx1, wy1 = CLIP_WINDOW
+    window = [[[(wx0, wy0), (wx1, wy0), (wx1, wy1), (wx0, wy1), (wx0, wy0)]]]
+
+    def clip_batch(batch: pa.Table) -> pa.Table:
+        batch = _part_rect_batch(batch)
+        n = batch.num_rows
+        from ..sources.arrow_geom import mps_to_arrow
+
+        batch = batch.append_column("clipping", mps_to_arrow([window] * n))
+        batch = batch.rename_columns(
+            [c if c != "footprint" else "subject" for c in batch.column_names]
+        )
+        out = BooleanOpBatch("intersection")(batch)
+        from ..sources.arrow_geom import arrow_to_mps
+
+        areas = np.array(
+            [abs(shoelace_area(mp)) for mp in arrow_to_mps(out["result"])]
+        )
+        return pa.table(
+            {
+                "p_brand": batch["p_brand"],
+                "clip_area_i": pa.array(areas.astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    ds = ds.map_batches(clip_batch, batch_format="pyarrow")
+    return ds.groupby("p_brand").aggregate(Sum("clip_area_i", alias_name="clip_area"))
+
+
+Q_CLIP_AREA_SQL = f"""
+    WITH d AS ({PART_RECT_SQL})
+    SELECT p_brand,
+           CAST(SUM(
+             greatest(0, least(maxx, 70.0) - greatest(minx, 10.0)) *
+             greatest(0, least(maxy, 60.0) - greatest(miny, 10.0))
+           ) AS BIGINT) AS clip_area
+    FROM d GROUP BY p_brand
+"""
+
+
+def q_tile_assign(sf_dir: str):
+    """Tile cover of each part rect (arithmetic tiling, closed-open)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        batch = _part_rect_batch(batch)
+        minx = batch["minx"].to_numpy()
+        miny = batch["miny"].to_numpy()
+        maxx = batch["maxx"].to_numpy()
+        maxy = batch["maxy"].to_numpy()
+        tx0 = np.floor(minx / TILE).astype(np.int64)
+        ty0 = np.floor(miny / TILE).astype(np.int64)
+        tx1 = np.floor(maxx / TILE).astype(np.int64)
+        ty1 = np.floor(maxy / TILE).astype(np.int64)
+        nx = tx1 - tx0 + 1
+        ny = ty1 - ty0 + 1
+        counts = nx * ny
+        row_idx = np.repeat(np.arange(len(counts)), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        local = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(starts, counts)
+        tx = np.repeat(tx0, counts) + local % np.repeat(nx, counts)
+        ty = np.repeat(ty0, counts) + local // np.repeat(nx, counts)
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"].take(pa.array(row_idx)),
+                "tx": pa.array(tx, pa.int64()),
+                "ty": pa.array(ty, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+Q_TILE_ASSIGN_SQL = f"""
+    WITH d AS ({PART_RECT_SQL}),
+    b AS (
+      SELECT p_partkey,
+             CAST(floor(minx / {TILE}.0) AS BIGINT) AS tx0,
+             CAST(floor(miny / {TILE}.0) AS BIGINT) AS ty0,
+             CAST(floor(maxx / {TILE}.0) AS BIGINT) AS tx1,
+             CAST(floor(maxy / {TILE}.0) AS BIGINT) AS ty1
+      FROM d
+    ),
+    ex AS (SELECT p_partkey, unnest(range(tx0, tx1 + 1)) AS tx, ty0, ty1 FROM b)
+    SELECT p_partkey, tx, unnest(range(ty0, ty1 + 1)) AS ty FROM ex
+"""
+
+
+def q_pip_join(sf_dir: str):
+    """Cell-partitioned spatial join: customer points inside part rects.
+
+    The engine path: both sides keyed by the shared cell space
+    (points → home cell, rects → covering cells), groupby(cell), exact
+    containment within the group, then distinct (PBSM replica dedup)."""
+    import ray.data as rd
+
+    from ..stages.cells import cell_encode, explode_to_cells
+
+    def point_rows(batch: pa.Table) -> pa.Table:
+        batch = _customer_point_batch(batch)
+        cells = cell_encode(batch["px"].to_numpy(), batch["py"].to_numpy(), KNN_RES)
+        return pa.table(
+            {
+                "cell": pa.array(cells.view(np.int64), pa.int64()),
+                "c_custkey": batch["c_custkey"],
+                "px": batch["px"],
+                "py": batch["py"],
+                "p_partkey": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+                "minx": pa.array(np.zeros(batch.num_rows)),
+                "miny": pa.array(np.zeros(batch.num_rows)),
+                "maxx": pa.array(np.zeros(batch.num_rows)),
+                "maxy": pa.array(np.zeros(batch.num_rows)),
+                "side": pa.array(["point"] * batch.num_rows),
+            }
+        )
+
+    def rect_rows(batch: pa.Table) -> pa.Table:
+        batch = _part_rect_batch(batch)
+        exploded = explode_to_cells(batch, KNN_RES)
+        n = exploded.num_rows
+        return pa.table(
+            {
+                "cell": exploded["cell"],
+                "c_custkey": pa.array(np.zeros(n, dtype=np.int64)),
+                "px": pa.array(np.zeros(n)),
+                "py": pa.array(np.zeros(n)),
+                "p_partkey": exploded["p_partkey"],
+                "minx": exploded["minx"],
+                "miny": exploded["miny"],
+                "maxx": exploded["maxx"],
+                "maxy": exploded["maxy"],
+                "side": pa.array(["rect"] * n),
+            }
+        )
+
+    def contain_join(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["side"].to_pylist())
+        pts = group.filter(pa.array(side == "point"))
+        rects = group.filter(pa.array(side == "rect"))
+        if pts.num_rows == 0 or rects.num_rows == 0:
+            return pa.schema(
+                [pa.field("p_partkey", pa.int64()), pa.field("c_custkey", pa.int64())]
+            ).empty_table()
+        px = pts["px"].to_numpy()
+        py = pts["py"].to_numpy()
+        inside = (
+            (px[None, :] >= rects["minx"].to_numpy()[:, None])
+            & (px[None, :] <= rects["maxx"].to_numpy()[:, None])
+            & (py[None, :] >= rects["miny"].to_numpy()[:, None])
+            & (py[None, :] <= rects["maxy"].to_numpy()[:, None])
+        )
+        ri, pi = np.nonzero(inside)
+        return pa.table(
+            {
+                "p_partkey": rects["p_partkey"].take(pa.array(ri)),
+                "c_custkey": pts["c_custkey"].take(pa.array(pi)),
+            }
+        )
+
+    points = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        point_rows, batch_format="pyarrow"
+    )
+    rects = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        rect_rows, batch_format="pyarrow"
+    )
+    pairs = points.union(rects).groupby("cell").map_groups(
+        contain_join, batch_format="pyarrow"
+    )
+    # PBSM replica dedup: a rect replicated to k cells can pair the same
+    # point at most once (the point lives in ONE home cell) — but keep
+    # the distinct for safety with boundary-sitting points.
+    from ray.data.aggregate import Count
+
+    distinct = pairs.groupby(["p_partkey", "c_custkey"]).aggregate(Count())
+    return distinct.select_columns(["p_partkey", "c_custkey"])
+
+
+Q_PIP_JOIN_SQL = f"""
+    WITH r AS ({PART_RECT_SQL}), p AS ({CUSTOMER_POINT_SQL})
+    SELECT r.p_partkey, p.c_custkey
+    FROM r, p
+    WHERE p.px >= r.minx AND p.px <= r.maxx AND p.py >= r.miny AND p.py <= r.maxy
+"""
+
+
+def q_spatial_knn(sf_dir: str):
+    """k nearest customers for each query customer (c_custkey ≤ 20),
+    via the cell-partitioned kNN operator (3×3 neighborhood at res 4 —
+    cell edge 22.5° ≫ k-th neighbor distance at this density)."""
+    import pyarrow.compute as pc
+
+    from ..stages.knn import knn_pipeline
+
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "cx": _customer_point_batch(b)["px"],
+                "cy": _customer_point_batch(b)["py"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = knn_pipeline(pts, k=KNN_K, res=KNN_RES, id_col="c_custkey")
+    return out.map_batches(
+        lambda b: b.filter(pc.less_equal(b["query_id"], 20)),
+        batch_format="pyarrow",
+    )
+
+
+Q_SPATIAL_KNN_SQL = f"""
+    WITH pts AS ({CUSTOMER_POINT_SQL}),
+    q AS (SELECT * FROM pts WHERE c_custkey <= 20),
+    d AS (
+      SELECT q.c_custkey AS query_id, p.c_custkey AS neighbor_id,
+             sqrt((q.px - p.px) * (q.px - p.px) + (q.py - p.py) * (q.py - p.py)) AS dist
+      FROM q, pts p WHERE p.c_custkey <> q.c_custkey
+    )
+    SELECT query_id, neighbor_id, dist, CAST(rnk AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rnk
+      FROM d
+    ) WHERE rnk <= {KNN_K}
+"""
+
+
+# ------------------------------------------------------------------ batch/agg
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary, cents-exact (partial aggregation
+    inside map_batches, then a tiny groupby merge)."""
+    from ray.data.aggregate import Count, Sum
+
+    cutoff = np.datetime64("1998-09-02T00:00:00.000000")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ship = batch["l_shipdate"].to_numpy()
+        mask = ship <= cutoff
+        qty = batch["l_quantity"].to_numpy()[mask]
+        price = batch["l_extendedprice"].to_numpy()[mask]
+        disc = batch["l_discount"].to_numpy()[mask]
+        df = pd.DataFrame(
+            {
+                "l_returnflag": np.asarray(batch["l_returnflag"].to_pylist())[mask],
+                "l_linestatus": np.asarray(batch["l_linestatus"].to_pylist())[mask],
+                "q": _cents(qty),
+                "base": _cents(price),
+                "disc": _cents(price * (1.0 - disc)),
+            }
+        )
+        agg = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(sum_qty_c=("q", "sum"), sum_base_c=("base", "sum"), sum_disc_c=("disc", "sum"), n_rows=("q", "size"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_c", alias_name="sum_qty_c"),
+        Sum("sum_base_c", alias_name="sum_base_c"),
+        Sum("sum_disc_c", alias_name="sum_disc_c"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+
+Q_PRICING_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(sf_dir: str):
+    """Top-10 customers by order spend: partial sums → shuffle →
+    sort/limit; customer names joined via broadcast lookup."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch["o_custkey"].to_numpy(),
+                "spend_c": _cents(batch["o_totalprice"].to_numpy()),
+            }
+        )
+        agg = df.groupby("o_custkey", sort=False)["spend_c"].sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    spend = orders.map_batches(partial, batch_format="pyarrow").groupby(
+        "o_custkey"
+    ).aggregate(Sum("spend_c", alias_name="spend_c"))
+    top = spend.sort(["spend_c", "o_custkey"], descending=[True, False]).limit(10)
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    names_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        keys = batch["o_custkey"].to_pylist()
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys, pa.int64()),
+                "c_name": pa.array([names.get(k) for k in keys], pa.string()),
+                "spend_c": batch["spend_c"],
+            }
+        )
+
+    return top.map_batches(attach, batch_format="pyarrow")
+
+
+Q_TOP_CUSTOMERS_SQL = """
+    SELECT c.c_custkey, c.c_name, s.spend_c
+    FROM (
+      SELECT o_custkey, CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_c
+      FROM orders GROUP BY o_custkey
+      ORDER BY spend_c DESC, o_custkey LIMIT 10
+    ) s JOIN customer c ON c.c_custkey = s.o_custkey
+"""
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour window per event_type (streaming-shaped table;
+    integer microsecond bucketing)."""
+    from ray.data.aggregate import Sum
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "window_id": ts // 3_600_000_000,
+                "value_c": _cents(batch["value"].to_numpy()),
+            }
+        )
+        agg = (
+            df.groupby(["event_type", "window_id"], sort=False)
+            .agg(n=("value_c", "size"), sum_value_c=("value_c", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return ds.map_batches(bucket, batch_format="pyarrow").groupby(
+        ["event_type", "window_id"]
+    ).aggregate(Sum("n", alias_name="n"), Sum("sum_value_c", alias_name="sum_value_c"))
+
+
+Q_EVENTS_WINDOW_SQL = """
+    SELECT event_type,
+           epoch_us(ts) // 3600000000 AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events GROUP BY event_type, window_id
+"""
+
+
+# ------------------------------------------------------------------ documents
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup groups: representative (min doc_id) + group size."""
+    from ..stages.dedup import content_hash_batch, exact_dedup_merge, exact_dedup_partial
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow")
+    partials = hashed.map_batches(exact_dedup_partial, batch_format="pyarrow")
+    merged = partials.groupby("content_hash").map_groups(
+        exact_dedup_merge, batch_format="pyarrow"
+    )
+    return merged.select_columns(["doc_id", "n"])
+
+
+Q_DEDUP_EXACT_SQL = """
+    SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY text
+"""
+
+
+def q_text_stats(sf_dir: str):
+    """Per-language corpus stats (token / char / stopword sums)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import text_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    stats = ds.map_batches(text_stats_batch, batch_format="pyarrow")
+    return stats.groupby("lang").aggregate(
+        Sum("n_chars", alias_name="sum_chars"),
+        Sum("n_tokens", alias_name="sum_tokens"),
+        Sum("n_stopwords", alias_name="sum_stopwords"),
+    )
+
+
+Q_TEXT_STATS_SQL = f"""
+    SELECT lang,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           CAST(SUM(len(list_filter(string_split(text, ' '), x -> x IN {STOPWORDS_SQL}))) AS BIGINT) AS sum_stopwords
+    FROM documents GROUP BY lang
+"""
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors (vec_id < 5)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import brute_force_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = np.asarray(qt["vec_id"].to_numpy()) < 5
+    q_ids = qt["vec_id"].to_numpy()[mask]
+    emb = qt["embedding"].combine_chunks()
+    qmat = emb.values.to_numpy(zero_copy_only=False).reshape(len(qt), -1)[mask].astype(np.float64)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, (q_ids, qmat), ANN_K)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "vec_id": batch["vec_id"],
+                "cosine_r": pa.array(np.round(batch["cosine"].to_numpy(), 4)),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+Q_ANN_TOPK_SQL = f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)
+    SELECT query_id, vec_id, cosine_r FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) AS cosine_r,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+             ) AS rnk
+      FROM embeddings e, q
+    ) WHERE rnk <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------- non-SQL (rows-only)
+
+
+def q_minhash_near_dup(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs over documents (est_jaccard
+    ≥ 0.5).  Not SQL-expressible — rows-only check."""
+    from ..stages.dedup import LshCandidatePairs, MinHasher, lsh_band_explode
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(MinHasher(), batch_format="pyarrow", concurrency=2)
+    exploded = sigs.map_batches(lsh_band_explode, batch_format="pyarrow")
+    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        LshCandidatePairs(threshold=0.5), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count, Max
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
+    )
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash hamming≤3 near-dup pairs (band blocking)."""
+    from ..stages.dedup import SimHasher, SimhashPairs, simhash_band_explode
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(SimHasher(), batch_format="pyarrow", concurrency=2)
+    exploded = hashed.map_batches(simhash_band_explode, batch_format="pyarrow")
+    pairs = exploded.groupby(["band_id", "band_val"]).map_groups(
+        SimhashPairs(max_hamming=3), batch_format="pyarrow"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints (deterministic ints)."""
+    from ..stages.text import fingerprint_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs via sign-LSH buckets.
+
+    Threshold 0.35 suits the synthetic random-vector table (true
+    near-dups don't exist there; this exercises the bucketing +
+    verify machinery and keeps the output schema non-empty)."""
+    from ..stages.dedup import EmbeddingLshBucket, EmbeddingNearDupPairs
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    bucketed = ds.map_batches(
+        EmbeddingLshBucket(n_bits=8), batch_format="pyarrow", concurrency=2
+    )
+    pairs = bucketed.groupby("bucket").map_groups(
+        EmbeddingNearDupPairs(threshold=0.35), batch_format="pyarrow"
+    )
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Max("cosine", alias_name="cosine")
+    )
+
+
+def q_martinez_fixtures(sf_dir: str):
+    """The full reference fixture corpus through the Ray boolean stage;
+    per-case structural metrics (deterministic, golden-derived)."""
+    import ray.data as rd
+
+    from ..sources.arrow_geom import arrow_to_mps
+    from ..sources.fixture_pairs import fixture_pairs_table
+
+    table = fixture_pairs_table()
+    ds = rd.from_arrow(table)
+    out = ds.map_batches(
+        BooleanOpBatch(op_column="op"), batch_format="pyarrow", batch_size=16
+    )
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        mps = arrow_to_mps(batch["result"])
+        exp = arrow_to_mps(batch["expected"])
+        return pa.table(
+            {
+                "case_id": batch["case_id"],
+                "op_tag": batch["op_tag"],
+                "n_polys": pa.array([len(m) for m in mps], pa.int64()),
+                "n_vertices": pa.array(
+                    [sum(len(r) for p in m for r in p) for m in mps], pa.int64()
+                ),
+                "matches_golden": pa.array(
+                    [m == e for m, e in zip(mps, exp)], pa.bool_()
+                ),
+            }
+        )
+
+    return out.map_batches(metrics, batch_format="pyarrow")
+
+
+def q_image_features(sf_dir: str):
+    """Synthetic image table → decode → features; phash invariance."""
+    from ..sources.images import read_synth_images
+    from ..stages.image_ops import DecodeFeatures
+
+    ds = read_synth_images(2000)
+    feats = ds.map_batches(
+        DecodeFeatures(), batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+    def check(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "phash_ok": pc.equal(batch["phash"], batch["phash_decoded"]),
+                "luma_std": batch["luma_std"],
+            }
+        )
+
+    return feats.map_batches(check, batch_format="pyarrow")
+
+
+def q_tile_coverage(sf_dir: str):
+    """Flagship tiling pipeline summary (vector tiles + coverage)."""
+    from .flagship import tile_pipeline
+
+    ds = tile_pipeline(n_images=1000, tile_res=4, raster_px=16)
+    return ds.select_columns(["tile_id", "coverage_fraction"])
+
+
+# ------------------------------------------------------------------ catalog
+
+
+def build_queries():
+    return {
+        "clip_area": q_clip_area,
+        "tile_assign": q_tile_assign,
+        "pip_join": q_pip_join,
+        "spatial_knn": q_spatial_knn,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "events_window": q_events_window,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "ann_topk": q_ann_topk,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_pairs": q_simhash_pairs,
+        "fingerprints": q_fingerprints,
+        "embedding_near_dup": q_embedding_near_dup,
+        "martinez_fixtures": q_martinez_fixtures,
+        "image_features": q_image_features,
+        "tile_coverage": q_tile_coverage,
+    }
+
+
+def build_oracle_sql():
+    return {
+        "clip_area": Q_CLIP_AREA_SQL,
+        "tile_assign": Q_TILE_ASSIGN_SQL,
+        "pip_join": Q_PIP_JOIN_SQL,
+        "spatial_knn": Q_SPATIAL_KNN_SQL,
+        "pricing_summary": Q_PRICING_SQL,
+        "top_customers": Q_TOP_CUSTOMERS_SQL,
+        "events_window": Q_EVENTS_WINDOW_SQL,
+        "dedup_exact": Q_DEDUP_EXACT_SQL,
+        "text_stats": Q_TEXT_STATS_SQL,
+        "ann_topk": Q_ANN_TOPK_SQL,
+    }

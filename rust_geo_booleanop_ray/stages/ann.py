@@ -29,7 +29,7 @@ class BruteForceTopK:
     candidates (query_id, vec_id, cosine) — merge with TopKPerQuery.
     """
 
-    def __init__(self, queries, k: int):
+    def __init__(self, queries, k: int, exclude_self: bool = False):
         try:
             import ray
 
@@ -41,21 +41,28 @@ class BruteForceTopK:
         qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
         self.qunit = qmat / np.maximum(qnorm, 1e-12)
         self.k = k
+        self.exclude_self = exclude_self
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = _embedding_matrix(batch["embedding"]).astype(np.float64)
         ids = batch["vec_id"].to_numpy()
         unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         sims = self.qunit @ unit.T  # (Q, n)
+        if self.exclude_self:
+            sims = np.where(
+                np.asarray(self.query_ids)[:, None] == ids[None, :], -np.inf, sims
+            )
         k = min(self.k, sims.shape[1])
         part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         q_idx = np.repeat(np.arange(sims.shape[0]), k)
         v_idx = part.ravel()
+        vals = sims[q_idx, v_idx]
+        keep = np.isfinite(vals)
         return pa.table(
             {
-                "query_id": pa.array(self.query_ids[q_idx], pa.int64()),
-                "vec_id": pa.array(ids[v_idx], pa.int64()),
-                "cosine": pa.array(sims[q_idx, v_idx].astype(np.float64)),
+                "query_id": pa.array(np.asarray(self.query_ids)[q_idx[keep]], pa.int64()),
+                "vec_id": pa.array(ids[v_idx[keep]], pa.int64()),
+                "cosine": pa.array(vals[keep].astype(np.float64)),
             }
         )
 
@@ -67,6 +74,7 @@ class TopKPerQuery:
 
     def __init__(self, k: int):
         self.k = k
+        self.__name__ = type(self).__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import pandas as pd

@@ -168,6 +168,7 @@ class LshCandidatePairs:
     def __init__(self, threshold: float = 0.6, cap: int = 200):
         self.threshold = threshold
         self.cap = cap
+        self.__name__ = type(self).__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
         ids = group["doc_id"].to_numpy()
@@ -271,6 +272,7 @@ class SimhashPairs:
     def __init__(self, max_hamming: int = 3, cap: int = 200):
         self.max_hamming = max_hamming
         self.cap = cap
+        self.__name__ = type(self).__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
         ids = group["doc_id"].to_numpy()
@@ -342,6 +344,7 @@ class EmbeddingNearDupPairs:
     def __init__(self, threshold: float = 0.95, cap: int = 500):
         self.threshold = threshold
         self.cap = cap
+        self.__name__ = type(self).__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
         ids = group["vec_id"].to_numpy()

@@ -23,13 +23,14 @@ import pyarrow as pa
 
 from .cells import WORLD, cell_encode, _part1by1
 
-_CAND_SCHEMA = pa.schema(
-    [
-        pa.field("query_id", pa.string()),
-        pa.field("neighbor_id", pa.string()),
-        pa.field("dist", pa.float64()),
-    ]
-)
+def _cand_schema(id_type) -> pa.Schema:
+    return pa.schema(
+        [
+            pa.field("query_id", id_type),
+            pa.field("neighbor_id", id_type),
+            pa.field("dist", pa.float64()),
+        ]
+    )
 
 
 def _neighbor_cells(cx: np.ndarray, cy: np.ndarray, res: int) -> tuple:
@@ -43,10 +44,13 @@ def _neighbor_cells(cx: np.ndarray, cy: np.ndarray, res: int) -> tuple:
     ix = np.minimum((fx * nf).astype(np.int64), n_cells - 1)
     iy = np.minimum((fy * nf).astype(np.int64), n_cells - 1)
     offs = np.array([-1, 0, 1], dtype=np.int64)
-    jx = np.clip(ix[:, None, None] + offs[None, :, None], 0, n_cells - 1)
-    jy = np.clip(iy[:, None, None] + offs[None, None, :], 0, n_cells - 1)
-    jx = jx.reshape(len(cx), 9)
-    jy = jy.reshape(len(cx), 9)
+    n_pts = len(cx)
+    jx = np.broadcast_to(
+        np.clip(ix[:, None, None] + offs[None, :, None], 0, n_cells - 1), (n_pts, 3, 3)
+    ).reshape(n_pts, 9)
+    jy = np.broadcast_to(
+        np.clip(iy[:, None, None] + offs[None, None, :], 0, n_cells - 1), (n_pts, 3, 3)
+    ).reshape(n_pts, 9)
     # dedup clamped duplicates per row
     packed = (jx.astype(np.uint64) << np.uint64(32)) | jy.astype(np.uint64)
     row_idx_list = []
@@ -99,12 +103,14 @@ class KnnWithinCell:
 
     def __init__(self, k: int):
         self.k = k
+        self.__name__ = type(self).__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        id_type = group.schema.field("pid").type
         side = np.asarray(group["side"].to_pylist())
         is_data = side == "data"
         if not is_data.any() or is_data.all():
-            return _CAND_SCHEMA.empty_table()
+            return _cand_schema(id_type).empty_table()
         dx = group["x"].to_numpy()
         dy = group["y"].to_numpy()
         ids = np.asarray(group["pid"].to_pylist())
@@ -129,8 +135,8 @@ class KnnWithinCell:
         keep = np.isfinite(dists)
         return pa.table(
             {
-                "query_id": pa.array(qid[rows[keep]].tolist(), pa.string()),
-                "neighbor_id": pa.array(pid[cols[keep]].tolist(), pa.string()),
+                "query_id": pa.array(qid[rows[keep]].tolist(), id_type),
+                "neighbor_id": pa.array(pid[cols[keep]].tolist(), id_type),
                 "dist": pa.array(dists[keep]),
             }
         )
@@ -146,6 +152,7 @@ class TopKMerge:
 
     def __init__(self, k: int):
         self.k = k
+        self.__name__ = type(self).__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import pandas as pd

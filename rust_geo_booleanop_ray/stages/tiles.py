@@ -27,6 +27,7 @@ class RasterizeTile:
 
     def __init__(self, px: int = 32):
         self.px = px
+        self.__name__ = type(self).__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
         tile_id = int(group["tile_id"][0].as_py())

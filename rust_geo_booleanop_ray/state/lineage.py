@@ -65,6 +65,7 @@ class PartitionCommitWriter:
         self.out_dir = out_dir
         self.part_col = part_col
         self.config_hash = config_hash
+        self.__name__ = type(self).__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part_key = group[self.part_col][0].as_py()
