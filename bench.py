@@ -1,0 +1,173 @@
+"""Benchmark harness — prints ONE JSON line with headline wall times.
+
+  python bench.py              # all benches at $RAY_GRAFT_CPUS (def 32)
+                               # over $GRAFT_SF_DIR (def /root/testdata/sf0.1)
+  python bench.py --scaling    # flagship at 8 vs 32 CPUs in fresh
+                               # processes + scaling efficiency
+
+Headline = the flagship spatial pipeline (synthetic Lance-shaped image
+table → footprints → Martinez tile clip → rasterize → vectorize) plus
+the oracle-checked query set over the sf dir.  ``value`` is total
+seconds across benches; ``queries`` holds per-bench seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("GRAFT_BENCH_IMAGES", "40000"))
+ONLY = [s for s in os.environ.get("GRAFT_BENCH_ONLY", "").split(",") if s]
+
+
+def _consume(ds) -> int:
+    """Execute a Dataset fully; return row count."""
+    try:
+        return ds.count()
+    except AttributeError:
+        return len(ds)
+
+
+def run_flagship():
+    from rust_geo_booleanop_ray.pipelines.flagship import tile_pipeline
+
+    ds = tile_pipeline(n_images=N_IMAGES, tile_res=5, raster_px=16)
+    return _consume(ds)
+
+
+def bench_list():
+    from rust_geo_booleanop_ray.pipelines import queries as Q
+
+    sf = SF_DIR
+    items = [("flagship_tiles", run_flagship)]
+    for name in (
+        "clip_area",
+        "tile_assign",
+        "pip_join",
+        "spatial_knn",
+        "pricing_summary",
+        "top_customers",
+        "events_window",
+        "dedup_exact",
+        "text_stats",
+        "ann_topk",
+        "minhash_near_dup",
+        "simhash_pairs",
+        "image_features",
+    ):
+        fn = Q.build_queries()[name]
+        items.append((name, lambda fn=fn: _consume(fn(sf))))
+    if ONLY:
+        items = [(n, f) for n, f in items if n in ONLY]
+    return items
+
+
+def warm_cache():
+    """One untimed pass over the parquet inputs (page-cache warmup)."""
+    import glob
+
+    for f in glob.glob(f"{SF_DIR}/*.parquet"):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+
+def main():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    warm_cache()
+
+    per_query = {}
+    rows = {}
+    total = 0.0
+    for name, fn in bench_list():
+        t0 = time.perf_counter()
+        n = fn()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        rows[name] = n
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    result = {
+        "metric": "headline pipeline wall time (flagship spatial tiles + query set)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "rows": rows,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_images": N_IMAGES,
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+    return result
+
+
+def run_child(ncpu: int, only: str = "flagship_tiles") -> dict:
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        GRAFT_BENCH_ONLY=only,
+        GRAFT_SF_DIR=SF_DIR,
+        GRAFT_BENCH_IMAGES=str(N_IMAGES),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def scaling():
+    lo, hi = 8, 32
+    r_lo = run_child(lo)
+    r_hi = run_child(hi)
+    t_lo = r_lo["value"]
+    t_hi = r_hi["value"]
+    thr_lo = N_IMAGES / t_lo
+    thr_hi = N_IMAGES / t_hi
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "flagship scaling (fresh ray.init at two CPU counts)",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "images_per_sec_8": round(thr_lo, 1),
+                "images_per_sec_32": round(thr_hi, 1),
+                "scaling_efficiency": round(eff, 3),
+                "sf": SF_DIR,
+                "n_images": N_IMAGES,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -94,10 +94,14 @@ CUSTOMER_POINT_SQL = """
 """
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, num_blocks: int = 32):
+    """Column-pruned parquet read, split into enough blocks that the
+    per-batch stages parallelize even when the table is one file."""
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return rd.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, override_num_blocks=num_blocks
+    )
 
 
 def _cents(x: np.ndarray) -> np.ndarray:

@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.convex_clip import clip_convex_ring_to_rect, is_single_convex_ring
 from ..functions.rtree import STRtree
 from ..geom import boolean_op
 from ..sources.arrow_geom import (
@@ -76,11 +77,39 @@ class TileJoinClip:
             return pa.table({"image_id": image_ids, "tile_id": tile_col})
 
         mps = arrow_to_mps(batch["footprint"])
+        bminx = batch["minx"].to_numpy()
+        bminy = batch["miny"].to_numpy()
+        bmaxx = batch["maxx"].to_numpy()
+        bmaxy = batch["maxy"].to_numpy()
+        is_convex = [is_single_convex_ring(mp) for mp in mps]
+        tile_bounds_cache: dict = {}
         clips, areas, keep = [], [], []
         for j in range(len(row_idx)):
-            fp = mps[row_idx[j]]
-            tile_poly = _tile_multipolygon(int(tiles[j]))
-            clipped = boolean_op(fp, tile_poly, "intersection")
+            i = row_idx[j]
+            fp = mps[i]
+            t = int(tiles[j])
+            tb = tile_bounds_cache.get(t)
+            if tb is None:
+                tb = tile_bounds_cache[t] = cell_bounds(t)
+            tx0, ty0, tx1, ty1 = tb
+            # Fast path 1: footprint bbox strictly inside the tile →
+            # intersection is the footprint itself (no sweep needed).
+            if bminx[i] > tx0 and bmaxx[i] < tx1 and bminy[i] > ty0 and bmaxy[i] < ty1:
+                keep.append(j)
+                clips.append(fp)
+                areas.append(abs(shoelace_area(fp)))
+                continue
+            # Fast path 2: convex footprint × axis rect → Sutherland–
+            # Hodgman (exact for convex; Martinez otherwise).
+            if is_convex[i]:
+                ring = clip_convex_ring_to_rect(fp[0][0], tx0, ty0, tx1, ty1)
+                if ring is not None:
+                    clipped = [[ring]]
+                    keep.append(j)
+                    clips.append(clipped)
+                    areas.append(abs(shoelace_area(clipped)))
+                continue
+            clipped = boolean_op(fp, _tile_multipolygon(t), "intersection")
             if clipped:
                 keep.append(j)
                 clips.append(clipped)
