@@ -166,8 +166,73 @@ def scaling():
     )
 
 
+def micro():
+    """Martinez-kernel micro-bench mirroring the reference's Criterion
+    suite (reference tests/benches/benchmark.rs:18-81): same fixtures,
+    same generator datasets, same ops; single-core, in-memory."""
+    from rust_geo_booleanop_ray.geom import boolean_op
+    from rust_geo_booleanop_ray.geom.compute_fields import (
+        OP_INTERSECTION,
+        OP_UNION,
+        OP_XOR,
+    )
+    from rust_geo_booleanop_ray.sources.generators import (
+        generate_circles_vs_rects,
+        generate_grid_polygons,
+        generate_random_triangles_polygons,
+    )
+    from rust_geo_booleanop_ray.sources.geojson_fixtures import load_fixture
+
+    BENCH = "/root/reference/tests/fixtures/benchmarks"
+    GENERIC = "/root/reference/tests/fixtures/generic_test_cases"
+
+    def fixture_pair(path):
+        c = load_fixture(path)
+        return c.subject, c.clipping
+
+    workloads = [
+        ("hole_hole/union", *fixture_pair(f"{BENCH}/hole_hole.geojson"), OP_UNION, 100),
+        ("many_rects/union", *fixture_pair(f"{GENERIC}/many_rects.geojson"), OP_UNION, 100),
+        ("state_source/union", *fixture_pair(f"{BENCH}/states_source.geojson"), OP_UNION, 30),
+        ("issue96/intersection", *fixture_pair(f"{GENERIC}/issue96.geojson"), OP_INTERSECTION, 30),
+        ("issue96/union", *fixture_pair(f"{GENERIC}/issue96.geojson"), OP_UNION, 30),
+        ("random_triangles/xor", *generate_random_triangles_polygons(), OP_XOR, 30),
+        ("grid/xor", *generate_grid_polygons(), OP_XOR, 10),
+        ("asia/union", *fixture_pair(f"{BENCH}/asia.geojson"), OP_UNION, 5),
+        ("circles_vs_rects/xor", *generate_circles_vs_rects(), OP_XOR, 5),
+    ]
+
+    per = {}
+    for name, subject, clipping, op, samples in workloads:
+        boolean_op(subject, clipping, op)  # warm-up
+        times = []
+        budget_t0 = time.perf_counter()
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            boolean_op(subject, clipping, op)
+            times.append(time.perf_counter() - t0)
+            if time.perf_counter() - budget_t0 > 3.0:
+                break
+        per[name] = round(min(times), 6)
+        print(f"# {name}: min {min(times)*1e3:.3f} ms over {len(times)} runs", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "Martinez kernel micro-bench (min wall time per op, reference benchmark.rs workloads)",
+                "value": round(sum(per.values()), 6),
+                "unit": "sec",
+                "queries": per,
+                "num_cpus": 1,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--micro" in sys.argv:
+        micro()
     else:
         main()
