@@ -227,9 +227,34 @@ def orient2d(ax: float, ay: float, bx: float, by: float, cx: float, cy: float) -
 def signed_area(p0, p1, p2) -> float:
     """Exact-sign signed area predicate on (x, y) tuples.
 
-    Mirrors reference lib/src/boolean/signed_area.rs:13-19.
+    Mirrors reference lib/src/boolean/signed_area.rs:13-19.  The orient2d
+    fast path is inlined here (identical arithmetic) because this is the
+    sweep's hottest function; only near-degenerate triples fall through
+    to the exact-expansion slow path.
     """
-    return orient2d(p0[0], p0[1], p1[0], p1[1], p2[0], p2[1])
+    ax, ay = p0
+    bx, by = p1
+    cx, cy = p2
+    detleft = (ax - cx) * (by - cy)
+    detright = (ay - cy) * (bx - cx)
+    det = detleft - detright
+
+    if detleft > 0.0:
+        if detright <= 0.0:
+            return det
+        detsum = detleft + detright
+    elif detleft < 0.0:
+        if detright >= 0.0:
+            return det
+        detsum = -detleft - detright
+    else:
+        return det
+
+    errbound = _CCWERRBOUND_A * detsum
+    if det >= errbound or -det >= errbound:
+        return det
+
+    return _orient2d_adapt(ax, ay, bx, by, cx, cy, detsum)
 
 
 def nextafter(x: float, up: bool) -> float:

@@ -27,12 +27,15 @@ class _Node:
 
 
 class SplaySet:
-    __slots__ = ("cmp", "root", "size")
+    __slots__ = ("cmp", "root", "size", "_header")
 
     def __init__(self, comparator):
         self.cmp = comparator
         self.root: _Node | None = None
         self.size = 0
+        # scratch node reused by every _splay (avoids one allocation per
+        # splay — ~8 splays per sweep-line op make this measurable)
+        self._header = _Node(None)
 
     def __len__(self):
         return self.size
@@ -44,7 +47,8 @@ class SplaySet:
         if t is None:
             return
         cmp = self.cmp
-        header = _Node(None)
+        header = self._header
+        header.left = header.right = None
         l = header  # tail of the assembled left tree (hangs on .right)
         r = header  # tail of the assembled right tree (hangs on .left)
         while True:

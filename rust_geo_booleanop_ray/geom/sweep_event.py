@@ -14,6 +14,8 @@ pointer where identity matters).
 
 from __future__ import annotations
 
+from heapq import heappop, heappush
+
 from .predicates import signed_area
 
 # EdgeType (reference sweep_event.rs:10-16)
@@ -81,10 +83,35 @@ class SweepEvent:
         return other is not None and self.point[0] == other.point[0]
 
     def is_before(self, other: "SweepEvent") -> bool:
-        return event_cmp(self, other) > 0
+        return self.__lt__(other)
 
     def is_after(self, other: "SweepEvent") -> bool:
-        return event_cmp(self, other) < 0
+        # event_cmp never returns 0 ⇒ after ⇔ not before
+        return not self.__lt__(other)
+
+    def __lt__(self, other: "SweepEvent") -> bool:
+        """True ⇔ self pops earlier (inlined event_cmp(self, other) > 0).
+
+        This is the comparator heapq sees; CPython's heapq sift argument
+        order matches Rust std BinaryHeap exactly (see EventHeap)."""
+        p1 = self.point
+        p2 = other.point
+        x1 = p1[0]
+        x2 = p2[0]
+        if x1 != x2:
+            return x1 < x2
+        y1 = p1[1]
+        y2 = p2[1]
+        if y1 != y2:
+            return y1 < y2
+        if self.left != other.left:
+            return not self.left
+        o1 = self.other_event
+        o2 = other.other_event
+        if o1 is not None and o2 is not None:
+            if signed_area(p1, o1.point, o2.point) != 0.0:
+                return self.is_below(o2.point)
+        return self.is_subject or not other.is_subject
 
     def __repr__(self):  # debug aid only
         return (
@@ -131,10 +158,19 @@ class EventHeap:
     """Max-heap replicating Rust std::collections::BinaryHeap sift order.
 
     Pops the 'greatest' element under ``event_cmp`` — with the inverted
-    comparator that is the temporally-first event.  push = append +
-    sift_up; pop = swap root/tail + sift_down_to_bottom, exactly as the
-    Rust std implementation, so tie-breaking among comparator-equal
-    events matches the reference bit-for-bit.
+    comparator that is the temporally-first event — so tie-breaking
+    among comparator-equal events matches the reference bit-for-bit.
+
+    Implemented on CPython's C ``heapq`` with ``SweepEvent.__lt__`` as the
+    min-heap comparator (lt ⇔ pops earlier).  This is safe for parity:
+    CPython's sift algorithms are operation-for-operation identical to
+    Rust std's — push is append + sift-up breaking when
+    ``not lt(new, parent)`` (Rust: break when cmp(element, parent) is
+    Less); pop swaps in the tail and walks to the bottom choosing the
+    right child when ``not lt(left, right)`` (Rust: child+1 when
+    cmp(left, right) is Less), then sifts up — so even with the
+    non-antisymmetric comparator every comparison has the same argument
+    order and outcome, and tied events land in the same slots.
     """
 
     __slots__ = ("data",)
@@ -146,53 +182,9 @@ class EventHeap:
         return len(self.data)
 
     def push(self, item: SweepEvent) -> None:
-        data = self.data
-        data.append(item)
-        # sift_up(0, len-1)
-        pos = len(data) - 1
-        element = data[pos]
-        while pos > 0:
-            parent = (pos - 1) >> 1
-            # if element <= data[parent]: break   (le == cmp is Less; cmp never Equal)
-            if event_cmp(element, data[parent]) < 0:
-                break
-            data[pos] = data[parent]
-            pos = parent
-        data[pos] = element
+        heappush(self.data, item)
 
     def pop(self) -> SweepEvent | None:
-        data = self.data
-        if not data:
+        if not self.data:
             return None
-        item = data.pop()
-        if not data:
-            return item
-        item, data[0] = data[0], item
-        self._sift_down_to_bottom(0)
-        return item
-
-    def _sift_down_to_bottom(self, pos: int) -> None:
-        data = self.data
-        end = len(data)
-        start = pos
-        element = data[pos]
-        # walk down always taking the greater child, to the bottom
-        child = 2 * pos + 1
-        while child + 1 < end:
-            # choose right child if left <= right
-            if event_cmp(data[child], data[child + 1]) < 0:
-                child += 1
-            data[pos] = data[child]
-            pos = child
-            child = 2 * pos + 1
-        if child == end - 1:
-            data[pos] = data[child]
-            pos = child
-        # sift_up(start, pos)
-        while pos > start:
-            parent = (pos - 1) >> 1
-            if event_cmp(element, data[parent]) < 0:
-                break
-            data[pos] = data[parent]
-            pos = parent
-        data[pos] = element
+        return heappop(self.data)
