@@ -59,6 +59,11 @@ def bench_list():
         "minhash_near_dup",
         "simhash_pairs",
         "image_features",
+        "revenue_by_nation",
+        "order_priority",
+        "quality_filter",
+        "lang_id",
+        "ngram_dedup",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..sources.arrow_geom import shoelace_area
 from ..stages.boolean_batch import BooleanOpBatch
@@ -716,6 +717,238 @@ def q_tile_coverage(sf_dir: str):
     return ds.select_columns(["tile_id", "coverage_fraction"])
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """Revenue per nation (TPC-H Q5 shape): lineitem ⋈ orders is the
+    big⋈big shuffle join — revenue is pre-aggregated per orderkey INSIDE
+    map_batches before the shuffle so the exchange moves one row per
+    order, not one per lineitem; customer→nation is a broadcast lookup."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import broadcast_join, shuffle_hash_join
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "l_orderkey": batch["l_orderkey"].to_numpy(),
+                "rev_c": _cents(
+                    batch["l_extendedprice"].to_numpy()
+                    * (1.0 - batch["l_discount"].to_numpy())
+                ),
+            }
+        )
+        agg = df.groupby("l_orderkey", sort=False)["rev_c"].sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    rev = (
+        lineitem.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    joined = shuffle_hash_join(
+        rev, orders, key="l_orderkey", left_cols=["rev_c"], right_cols=["o_custkey"]
+    )
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust = cust.rename_columns(["o_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nation = nation.rename_columns(["c_nationkey", "n_name"])
+
+    with_nation = broadcast_join(joined, cust, "o_custkey", ["c_nationkey"])
+    with_name = broadcast_join(with_nation, nation, "c_nationkey", ["n_name"])
+    return with_name.groupby("n_name").aggregate(Sum("rev_c", alias_name="revenue_c"))
+
+
+Q_REVENUE_BY_NATION_SQL = """
+    SELECT n.n_name,
+           CAST(SUM(l.rev_c) AS BIGINT) AS revenue_c
+    FROM (
+      SELECT l_orderkey,
+             SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM lineitem GROUP BY l_orderkey
+    ) l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+"""
+
+
+def q_order_priority(sf_dir: str):
+    """Order-priority counts for orders having a heavy lineitem
+    (TPC-H Q4 shape): the EXISTS side is distinct-reduced per batch,
+    then one shuffle joins it to orders (semi-join)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.join import shuffle_hash_join
+
+    def keys_partial(batch: pa.Table) -> pa.Table:
+        keys = batch["l_orderkey"].to_numpy()[batch["l_quantity"].to_numpy() > 45.0]
+        return pa.table({"o_orderkey": pa.array(np.unique(keys), pa.int64())})
+
+    heavy = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(keys_partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Count(alias_name="dup"))
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = shuffle_hash_join(
+        orders, heavy, key="o_orderkey", left_cols=["o_orderpriority"], right_cols=["dup"]
+    )
+    return (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .select_columns(["o_orderpriority", "n_orders"])
+    )
+
+
+Q_ORDER_PRIORITY_SQL = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+    GROUP BY o_orderpriority
+"""
+
+
+def q_quality_filter(sf_dir: str):
+    """Quality gate over documents with integer-exact bands (so the
+    DuckDB oracle matches value-for-value): keep docs with 5 ≤ tokens
+    ≤ 200 and ≥ 4% stopwords; report per-language kept count + chars."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.text import text_stats_batch
+
+    def gate(batch: pa.Table) -> pa.Table:
+        stats = text_stats_batch(batch)
+        n_tok = stats["n_tokens"].to_numpy()
+        n_stop = stats["n_stopwords"].to_numpy()
+        keep = (n_tok >= 5) & (n_tok <= 200) & (n_stop * 25 >= n_tok)
+        return stats.filter(pa.array(keep))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    kept = ds.map_batches(gate, batch_format="pyarrow")
+    return kept.groupby("lang").aggregate(
+        Count(alias_name="n_kept"),
+        Sum("n_chars", alias_name="sum_chars"),
+    )
+
+
+Q_QUALITY_FILTER_SQL = f"""
+    WITH s AS (
+      SELECT lang,
+             length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '), x -> x IN {STOPWORDS_SQL})) AS n_stop
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM s
+    WHERE n_tokens >= 5 AND n_tokens <= 200 AND n_stop * 25 >= n_tokens
+    GROUP BY lang
+"""
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language-ID actor pool scored against the table's own
+    labels: per (true lang, predicted lang) confusion counts.
+    Model state (marker sets) lives in the actor __init__ — rows-only."""
+    from ray.data.aggregate import Count
+
+    from ..stages.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = ds.map_batches(LangId(), batch_format="pyarrow", concurrency=2)
+    return (
+        pred.groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["lang", "lang_pred", "n"])
+    )
+
+
+def q_ngram_dedup(sf_dir: str):
+    """N-gram Jaccard near-dup pairs: MinHash LSH proposes candidates,
+    the exact 5-gram Jaccard verifies ≥ 0.5 (reported as integer percent
+    so the check is float-free) — rows-only."""
+    from ray.data.aggregate import Max
+
+    from ..stages.dedup import (
+        LshCandidatePairs,
+        MinHasher,
+        lsh_band_explode,
+        ngram_jaccard,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(MinHasher(), batch_format="pyarrow", concurrency=2)
+    exploded = sigs.map_batches(lsh_band_explode, batch_format="pyarrow")
+    cand = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        LshCandidatePairs(threshold=0.3), batch_format="pyarrow"
+    )
+    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
+    )
+
+    # Candidate pairs are tiny relative to the corpus; pull them to the
+    # driver, then stream the corpus ONCE to extract only the texts the
+    # verify stage needs, and broadcast that small subset.  (Broadcasting
+    # the full text column would materialize the whole table — wrong at
+    # scale; this stays O(candidates).)
+    import ray
+    import ray.data as rd
+
+    cand_t = pa.Table.from_pylist(cand.take_all())
+    if cand_t.num_rows == 0:
+        return pa.schema(
+            [
+                pa.field("doc_a", pa.int64()),
+                pa.field("doc_b", pa.int64()),
+                pa.field("jaccard_pct", pa.int64()),
+            ]
+        ).empty_table()
+    needed = set(cand_t["doc_a"].to_pylist()) | set(cand_t["doc_b"].to_pylist())
+    needed_ref = ray.put(needed)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        want = ray.get(needed_ref)
+        mask = pa.array([d in want for d in batch["doc_id"].to_pylist()])
+        return batch.filter(mask)
+
+    subset = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(pick, batch_format="pyarrow")
+        .take_all()
+    )
+    texts_ref = ray.put({r["doc_id"]: r["text"] for r in subset})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
+        a = batch["doc_a"].to_pylist()
+        b = batch["doc_b"].to_pylist()
+        jacc = [int(round(100 * ngram_jaccard(texts[x], texts[y]))) for x, y in zip(a, b)]
+        out = pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "jaccard_pct": pa.array(jacc, pa.int64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard_pct"], 50))
+
+    return rd.from_arrow(cand_t).map_batches(verify, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ catalog
 
 
@@ -738,6 +971,11 @@ def build_queries():
         "martinez_fixtures": q_martinez_fixtures,
         "image_features": q_image_features,
         "tile_coverage": q_tile_coverage,
+        "revenue_by_nation": q_revenue_by_nation,
+        "order_priority": q_order_priority,
+        "quality_filter": q_quality_filter,
+        "lang_id": q_lang_id,
+        "ngram_dedup": q_ngram_dedup,
     }
 
 
@@ -753,4 +991,7 @@ def build_oracle_sql():
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "text_stats": Q_TEXT_STATS_SQL,
         "ann_topk": Q_ANN_TOPK_SQL,
+        "revenue_by_nation": Q_REVENUE_BY_NATION_SQL,
+        "order_priority": Q_ORDER_PRIORITY_SQL,
+        "quality_filter": Q_QUALITY_FILTER_SQL,
     }

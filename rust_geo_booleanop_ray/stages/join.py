@@ -1,0 +1,114 @@
+"""Relational join operators expressed Ray-Data-first.
+
+The reference has no joins (SURVEY.md §2.4); these are the engine
+additions a large-scale pipeline needs.  Two physical strategies:
+
+- ``broadcast_join``: small side is ``ray.put`` ONCE and looked up
+  inside every ``map_batches`` task — no shuffle, the right choice
+  whenever one side fits in a worker heap (dimension tables, tile
+  polygons, query matrices).
+
+- ``shuffle_hash_join``: both sides are tagged, unioned and
+  hash-partitioned by the key via ``groupby(key).map_groups``; each
+  group emits the local product.  One all-to-all exchange total (the
+  union shuffles once, not once per side).  This is the scale path for
+  big⋈big; key skew is the operator's documented hazard — pre-aggregate
+  the probe side first (as q_revenue_by_nation does) or salt hot keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def broadcast_join(ds, small_table: pa.Table, key: str, value_cols, batch_format="pyarrow"):
+    """Attach columns of ``small_table`` to every row of ``ds`` matching
+    on ``key`` (inner join; unmatched rows are dropped).
+
+    ``small_table`` is shipped to the object store once; each task reads
+    it zero-copy.  At 100 TB this is the ONLY sane plan when the small
+    side is ≤ a few GB — never shuffle the big side for a dimension
+    lookup."""
+    import ray
+
+    small_ref = ray.put(small_table)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        small = ray.get(small_ref)
+        skeys = small[key].to_numpy()
+        bkeys = batch[key].to_numpy()
+        order = np.argsort(skeys, kind="stable")
+        pos = np.searchsorted(skeys[order], bkeys)
+        pos = np.clip(pos, 0, len(skeys) - 1)
+        idx = order[pos]
+        hit = skeys[idx] == bkeys
+        batch = batch.filter(pa.array(hit))
+        idx = idx[hit]
+        for col in value_cols:
+            batch = batch.append_column(col, small[col].take(pa.array(idx)))
+        return batch
+
+    return ds.map_batches(attach, batch_format=batch_format)
+
+
+_SIDE_COL = "__join_side"
+
+
+def shuffle_hash_join(left, right, key: str, left_cols, right_cols):
+    """Inner equi-join of two Datasets on ``key``.
+
+    Physical plan: project each side to (key, side-tag, own columns ⊕
+    null columns of the other side) so the union is schema-aligned, then
+    ONE hash shuffle (`groupby(key)`) and a per-group local product.
+    Returns columns ``[key] + left_cols + right_cols``."""
+
+    all_cols = list(left_cols) + list(right_cols)
+
+    # The two tagged sides must be schema-aligned for union(), so the
+    # null padding columns need each side's REAL arrow types, captured
+    # from the dataset schemas up front.
+    lschema = left.schema()
+    rschema = right.schema()
+    types = {}
+    for c in left_cols:
+        types[c] = lschema.base_schema.field(c).type
+    for c in right_cols:
+        types[c] = rschema.base_schema.field(c).type
+
+    def tag_typed(side_cols, tag_value):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {key: batch[key]}
+            for c in all_cols:
+                cols[c] = batch[c] if c in side_cols else pa.nulls(n, types[c])
+            cols[_SIDE_COL] = pa.array(np.full(n, tag_value, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.map_batches(tag_typed(set(left_cols), 0), batch_format="pyarrow")
+    rt = right.map_batches(tag_typed(set(right_cols), 1), batch_format="pyarrow")
+
+    empty_fields = [pa.field(key, lschema.base_schema.field(key).type)] + [
+        pa.field(c, types[c]) for c in all_cols
+    ]
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group[_SIDE_COL].to_numpy()
+        lmask = side == 0
+        l = group.filter(pa.array(lmask))
+        r = group.filter(pa.array(~lmask))
+        nl, nr = l.num_rows, r.num_rows
+        if nl == 0 or nr == 0:
+            return pa.schema(empty_fields).empty_table()
+        li = pa.array(np.repeat(np.arange(nl), nr))
+        ri = pa.array(np.tile(np.arange(nr), nl))
+        cols = {key: l[key].take(li)}
+        for c in left_cols:
+            cols[c] = l[c].take(li)
+        for c in right_cols:
+            cols[c] = r[c].take(ri)
+        return pa.table(cols)
+
+    return lt.union(rt).groupby(key).map_groups(join_group, batch_format="pyarrow")

@@ -1,0 +1,84 @@
+"""Join operators (broadcast + shuffle hash) and the per-partition
+lineage/resume contract (north_rule: resumable from checkpoint with
+per-partition lineage + metrics)."""
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from rust_geo_booleanop_ray.stages.join import broadcast_join, shuffle_hash_join
+from rust_geo_booleanop_ray.state.lineage import (
+    completed_partitions,
+    resumable_write,
+)
+
+
+def _sorted_pylist(ds, keys):
+    rows = ds.take_all()
+    return sorted(rows, key=lambda r: tuple(r[k] for k in keys))
+
+
+def test_broadcast_join_inner():
+    big = rd.from_arrow(
+        pa.table({"k": [1, 2, 3, 2, 9], "v": ["a", "b", "c", "d", "e"]})
+    )
+    small = pa.table({"k": [1, 2, 3], "name": ["one", "two", "three"]})
+    out = _sorted_pylist(broadcast_join(big, small, "k", ["name"]), ["k", "v"])
+    assert out == [
+        {"k": 1, "v": "a", "name": "one"},
+        {"k": 2, "v": "b", "name": "two"},
+        {"k": 2, "v": "d", "name": "two"},
+        {"k": 3, "v": "c", "name": "three"},
+    ]
+
+
+def test_shuffle_hash_join_matches_duckdb():
+    import duckdb
+
+    tl = pa.table({"k": [1, 1, 2, 3, 5], "lv": [10, 11, 20, 30, 50]})
+    tr = pa.table({"k": [1, 2, 2, 4], "rv": [100, 200, 201, 400]})
+    out = shuffle_hash_join(rd.from_arrow(tl), rd.from_arrow(tr), "k", ["lv"], ["rv"])
+    got = _sorted_pylist(out, ["k", "lv", "rv"])
+    exp = duckdb.sql(
+        "SELECT tl.k, lv, rv FROM tl JOIN tr USING (k) ORDER BY k, lv, rv"
+    ).fetchall()
+    assert [(r["k"], r["lv"], r["rv"]) for r in got] == exp
+
+
+def test_resumable_write_skips_committed(tmp_path):
+    out_dir = str(tmp_path / "out")
+    t = pa.table({"part": [0, 0, 1, 1, 2], "x": [1, 2, 3, 4, 5]})
+
+    m1 = resumable_write(rd.from_arrow(t), out_dir, config_hash="cfg1").take_all()
+    assert sorted(r["part_key"] for r in m1) == [0, 1, 2]
+    assert all(not r["skipped"] for r in m1)
+    assert completed_partitions(out_dir, "cfg1") == {0, 1, 2}
+
+    # simulate a lost partition: remove part=1's manifest
+    os.remove(os.path.join(out_dir, "part=1", "_lineage.json"))
+    assert completed_partitions(out_dir, "cfg1") == {0, 2}
+
+    m2 = resumable_write(rd.from_arrow(t), out_dir, config_hash="cfg1").take_all()
+    # only the lost partition is rewritten; finished ones were dropped
+    # before the shuffle, so they don't even appear as skipped rows
+    assert [(r["part_key"], r["skipped"]) for r in m2] == [(1, False)]
+
+    # all data present and correct after resume
+    files = sorted(glob.glob(os.path.join(out_dir, "part=*", "part.parquet")))
+    total = pa.concat_tables([pq.read_table(f) for f in files])
+    assert sorted(total["x"].to_pylist()) == [1, 2, 3, 4, 5]
+
+    # a config change invalidates completion
+    assert completed_partitions(out_dir, "cfg2") == set()
+    m3 = resumable_write(rd.from_arrow(t), out_dir, config_hash="cfg2").take_all()
+    assert sorted(r["part_key"] for r in m3) == [0, 1, 2]
+
+    # lineage manifests carry metrics
+    with open(os.path.join(out_dir, "part=0", "_lineage.json")) as f:
+        meta = json.load(f)
+    assert meta["rows"] == 2 and meta["config_hash"] == "cfg2"
