@@ -743,11 +743,10 @@ def q_revenue_by_nation(sf_dir: str):
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    rev = (
-        lineitem.map_batches(rev_partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev_c", alias_name="rev_c"))
-    )
+    # batch-local partial only — no per-orderkey shuffle aggregate; the
+    # join's bucket shuffle co-locates the partials and the final
+    # 25-group aggregate sums them (one less all-to-all)
+    rev = lineitem.map_batches(rev_partial, batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
         lambda b: b.rename_columns(["l_orderkey", "o_custkey"]),
@@ -792,18 +791,28 @@ def q_order_priority(sf_dir: str):
 
     def keys_partial(batch: pa.Table) -> pa.Table:
         keys = batch["l_orderkey"].to_numpy()[batch["l_quantity"].to_numpy() > 45.0]
-        return pa.table({"o_orderkey": pa.array(np.unique(keys), pa.int64())})
+        uniq = np.unique(keys)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(uniq, pa.int64()),
+                "dup": pa.array(np.ones(len(uniq), dtype=np.int64)),
+            }
+        )
 
-    heavy = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-        .map_batches(keys_partial, batch_format="pyarrow")
-        .groupby("o_orderkey")
-        .aggregate(Count(alias_name="dup"))
+    # batch-local unique only; global dedup happens inside the join's
+    # buckets (distinct='right'), saving a separate distinct shuffle
+    heavy = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        keys_partial, batch_format="pyarrow"
     )
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = shuffle_hash_join(
-        orders, heavy, key="o_orderkey", left_cols=["o_orderpriority"], right_cols=["dup"]
+        orders,
+        heavy,
+        key="o_orderkey",
+        left_cols=["o_orderpriority"],
+        right_cols=["dup"],
+        distinct="right",
     )
     return (
         joined.groupby("o_orderpriority")

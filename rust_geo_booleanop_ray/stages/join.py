@@ -53,15 +53,33 @@ def broadcast_join(ds, small_table: pa.Table, key: str, value_cols, batch_format
 
 
 _SIDE_COL = "__join_side"
+_BUCKET_COL = "__join_bucket"
 
 
-def shuffle_hash_join(left, right, key: str, left_cols, right_cols):
+def shuffle_hash_join(
+    left,
+    right,
+    key: str,
+    left_cols,
+    right_cols,
+    n_buckets: int = 64,
+    distinct: str | None = None,
+):
     """Inner equi-join of two Datasets on ``key``.
 
     Physical plan: project each side to (key, side-tag, own columns ⊕
-    null columns of the other side) so the union is schema-aligned, then
-    ONE hash shuffle (`groupby(key)`) and a per-group local product.
-    Returns columns ``[key] + left_cols + right_cols``."""
+    typed-null columns of the other side) so the union is
+    schema-aligned, add ``hash(key) % n_buckets``, then ONE hash shuffle
+    (``groupby(bucket)``) and a vectorized Arrow (Acero) hash join per
+    bucket.  Bucketing — not per-key grouping — is what scales: the
+    shuffle moves each row once and the local join is C++, instead of
+    one Python group call per distinct key.  Returns columns
+    ``[key] + left_cols + right_cols``.
+
+    ``distinct='left'|'right'`` keeps the first row per key on that side
+    before joining.  All rows of a key land in one bucket, so
+    bucket-local dedup IS global dedup — a semi-join without paying a
+    separate distinct shuffle."""
 
     all_cols = list(left_cols) + list(right_cols)
 
@@ -75,14 +93,20 @@ def shuffle_hash_join(left, right, key: str, left_cols, right_cols):
         types[c] = lschema.base_schema.field(c).type
     for c in right_cols:
         types[c] = rschema.base_schema.field(c).type
+    key_type = lschema.base_schema.field(key).type
 
     def tag_typed(side_cols, tag_value):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
+            keys = batch[key].to_numpy(zero_copy_only=False)
             cols = {key: batch[key]}
             for c in all_cols:
                 cols[c] = batch[c] if c in side_cols else pa.nulls(n, types[c])
             cols[_SIDE_COL] = pa.array(np.full(n, tag_value, dtype=np.int8))
+            # cheap deterministic int hash (Fibonacci multiply) — stable
+            # across processes, unlike Python hash()
+            h = (keys.astype(np.uint64, copy=False) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+            cols[_BUCKET_COL] = pa.array((h % np.uint64(n_buckets)).astype(np.int64))
             return pa.table(cols)
 
         return fn
@@ -90,25 +114,30 @@ def shuffle_hash_join(left, right, key: str, left_cols, right_cols):
     lt = left.map_batches(tag_typed(set(left_cols), 0), batch_format="pyarrow")
     rt = right.map_batches(tag_typed(set(right_cols), 1), batch_format="pyarrow")
 
-    empty_fields = [pa.field(key, lschema.base_schema.field(key).type)] + [
-        pa.field(c, types[c]) for c in all_cols
-    ]
+    empty_fields = [pa.field(key, key_type)] + [pa.field(c, types[c]) for c in all_cols]
 
-    def join_group(group: pa.Table) -> pa.Table:
+    def _first_per_key(t: pa.Table) -> pa.Table:
+        keys = t[key].to_numpy(zero_copy_only=False)
+        _, idx = np.unique(keys, return_index=True)
+        return t.take(pa.array(np.sort(idx)))
+
+    def join_bucket(group: pa.Table) -> pa.Table:
         side = group[_SIDE_COL].to_numpy()
         lmask = side == 0
-        l = group.filter(pa.array(lmask))
-        r = group.filter(pa.array(~lmask))
-        nl, nr = l.num_rows, r.num_rows
-        if nl == 0 or nr == 0:
+        l = group.filter(pa.array(lmask)).select([key] + list(left_cols))
+        r = group.filter(pa.array(~lmask)).select([key] + list(right_cols))
+        if l.num_rows == 0 or r.num_rows == 0:
             return pa.schema(empty_fields).empty_table()
-        li = pa.array(np.repeat(np.arange(nl), nr))
-        ri = pa.array(np.tile(np.arange(nr), nl))
-        cols = {key: l[key].take(li)}
-        for c in left_cols:
-            cols[c] = l[c].take(li)
-        for c in right_cols:
-            cols[c] = r[c].take(ri)
-        return pa.table(cols)
+        if distinct == "left":
+            l = _first_per_key(l)
+        elif distinct == "right":
+            r = _first_per_key(r)
+        joined = l.join(r, keys=key, join_type="inner")
+        # Acero may reorder columns; project to the declared layout
+        return joined.select([key] + all_cols)
 
-    return lt.union(rt).groupby(key).map_groups(join_group, batch_format="pyarrow")
+    return (
+        lt.union(rt)
+        .groupby(_BUCKET_COL)
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
