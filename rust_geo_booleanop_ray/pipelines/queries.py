@@ -131,7 +131,7 @@ def q_clip_area(sf_dir: str):
         batch = batch.rename_columns(
             [c if c != "footprint" else "subject" for c in batch.column_names]
         )
-        out = BooleanOpBatch("intersection")(batch)
+        out = BooleanOpBatch("intersection", mode="auto")(batch)
         from ..sources.arrow_geom import arrow_to_mps
 
         areas = np.array(
@@ -304,6 +304,117 @@ Q_PIP_JOIN_SQL = f"""
     FROM r, p
     WHERE p.px >= r.minx AND p.px <= r.maxx AND p.py >= r.miny AND p.py <= r.maxy
 """
+
+
+HOT_CELL_THRESHOLD = 64
+
+
+def q_pip_join_skew(sf_dir: str):
+    """q_pip_join with explicit hot-cell skew splitting: a cheap
+    counting pre-pass finds cells holding > HOT_CELL_THRESHOLD rect
+    replicas; both sides re-explode those cells one resolution finer
+    before the shuffle.  Same DuckDB oracle as pip_join — skew handling
+    must change the partitioning, never the answer."""
+    from collections import Counter
+
+    from ray.data.aggregate import Count
+
+    from ..stages.cells import cell_encode, explode_to_cells, split_hot_cells
+
+    def point_rows(batch: pa.Table) -> pa.Table:
+        batch = _customer_point_batch(batch)
+        px = batch["px"].to_numpy()
+        py = batch["py"].to_numpy()
+        cells = cell_encode(px, py, KNN_RES)
+        return pa.table(
+            {
+                "cell": pa.array(cells.view(np.int64), pa.int64()),
+                "c_custkey": batch["c_custkey"],
+                "px": batch["px"],
+                "py": batch["py"],
+                "p_partkey": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+                # real degenerate bbox so hot-cell re-explode lands the
+                # point in the correct child cell
+                "minx": batch["px"],
+                "miny": batch["py"],
+                "maxx": batch["px"],
+                "maxy": batch["py"],
+                "side": pa.array(["point"] * batch.num_rows),
+            }
+        )
+
+    def rect_rows(batch: pa.Table) -> pa.Table:
+        batch = _part_rect_batch(batch)
+        exploded = explode_to_cells(batch, KNN_RES)
+        n = exploded.num_rows
+        return pa.table(
+            {
+                "cell": exploded["cell"],
+                "c_custkey": pa.array(np.zeros(n, dtype=np.int64)),
+                "px": pa.array(np.zeros(n)),
+                "py": pa.array(np.zeros(n)),
+                "p_partkey": exploded["p_partkey"],
+                "minx": exploded["minx"],
+                "miny": exploded["miny"],
+                "maxx": exploded["maxx"],
+                "maxy": exploded["maxy"],
+                "side": pa.array(["rect"] * n),
+            }
+        )
+
+    rects = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        rect_rows, batch_format="pyarrow"
+    )
+
+    # ---- pre-pass: per-batch partial cell counts → tiny driver merge
+    def cell_counts(batch: pa.Table) -> pa.Table:
+        cells, counts = np.unique(batch["cell"].to_numpy(), return_counts=True)
+        return pa.table(
+            {"cell": pa.array(cells, pa.int64()), "n": pa.array(counts, pa.int64())}
+        )
+
+    totals = Counter()
+    for row in rects.map_batches(cell_counts, batch_format="pyarrow").take_all():
+        totals[row["cell"]] += row["n"]
+    hot = {np.uint64(c) for c, n in totals.items() if n > HOT_CELL_THRESHOLD}
+
+    def split(batch: pa.Table) -> pa.Table:
+        return split_hot_cells(batch, hot, steps=1)
+
+    points = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        point_rows, batch_format="pyarrow"
+    ).map_batches(split, batch_format="pyarrow")
+    rects = rects.map_batches(split, batch_format="pyarrow")
+
+    def contain_join(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["side"].to_pylist())
+        pts = group.filter(pa.array(side == "point"))
+        rcts = group.filter(pa.array(side == "rect"))
+        if pts.num_rows == 0 or rcts.num_rows == 0:
+            return pa.schema(
+                [pa.field("p_partkey", pa.int64()), pa.field("c_custkey", pa.int64())]
+            ).empty_table()
+        px = pts["px"].to_numpy()
+        py = pts["py"].to_numpy()
+        inside = (
+            (px[None, :] >= rcts["minx"].to_numpy()[:, None])
+            & (px[None, :] <= rcts["maxx"].to_numpy()[:, None])
+            & (py[None, :] >= rcts["miny"].to_numpy()[:, None])
+            & (py[None, :] <= rcts["maxy"].to_numpy()[:, None])
+        )
+        ri, pi = np.nonzero(inside)
+        return pa.table(
+            {
+                "p_partkey": rcts["p_partkey"].take(pa.array(ri)),
+                "c_custkey": pts["c_custkey"].take(pa.array(pi)),
+            }
+        )
+
+    pairs = points.union(rects).groupby("cell").map_groups(
+        contain_join, batch_format="pyarrow"
+    )
+    distinct = pairs.groupby(["p_partkey", "c_custkey"]).aggregate(Count())
+    return distinct.select_columns(["p_partkey", "c_custkey"])
 
 
 def q_spatial_knn(sf_dir: str):
@@ -966,6 +1077,7 @@ def build_queries():
         "clip_area": q_clip_area,
         "tile_assign": q_tile_assign,
         "pip_join": q_pip_join,
+        "pip_join_skew": q_pip_join_skew,
         "spatial_knn": q_spatial_knn,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -993,6 +1105,7 @@ def build_oracle_sql():
         "clip_area": Q_CLIP_AREA_SQL,
         "tile_assign": Q_TILE_ASSIGN_SQL,
         "pip_join": Q_PIP_JOIN_SQL,
+        "pip_join_skew": Q_PIP_JOIN_SQL,
         "spatial_knn": Q_SPATIAL_KNN_SQL,
         "pricing_summary": Q_PRICING_SQL,
         "top_customers": Q_TOP_CUSTOMERS_SQL,

@@ -109,12 +109,16 @@ def read_synth_images(n_images: int, seed: int = 42, override_num_blocks: int | 
     """
     import ray.data as rd
 
+    if override_num_blocks is None:
+        # enough blocks that every downstream fused map stage can use the
+        # whole CPU allotment (blocks ≈ 2× cores), but bounded batches
+        override_num_blocks = max(8, min(512, n_images // 512))
     ds = rd.range(n_images, override_num_blocks=override_num_blocks)
 
     def gen(batch: pa.Table) -> pa.Table:
         return synth_image_batch(batch["id"].to_numpy(), seed=seed)
 
-    return ds.map_batches(gen, batch_format="pyarrow", batch_size=2048)
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
 
 
 def write_synth_images(path: str, n_images: int, seed: int = 42, rows_per_file: int = 100_000):

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from ..functions.convex_clip import clip_convex_ring_to_rect, is_single_convex_ring
 from ..geom import OPERATIONS, boolean_op, trivial_result
 from ..sources.arrow_geom import (
     MULTIPOLYGON_T,
@@ -24,6 +25,24 @@ from ..sources.arrow_geom import (
     arrow_to_mps,
     mps_to_arrow,
 )
+
+
+def _axis_rect(mp):
+    """(x0, y0, x1, y1) if mp is a single axis-aligned rectangle ring,
+    else None."""
+    if len(mp) != 1 or len(mp[0]) != 1:
+        return None
+    ring = mp[0][0]
+    if len(ring) != 5 or ring[0] != ring[4]:
+        return None
+    xs = {p[0] for p in ring}
+    ys = {p[1] for p in ring}
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    for k in range(4):
+        if ring[k][0] != ring[k + 1][0] and ring[k][1] != ring[k + 1][1]:
+            return None
+    return min(xs), min(ys), max(xs), max(ys)
 
 
 class BooleanOpBatch:
@@ -41,16 +60,25 @@ class BooleanOpBatch:
         subject_col: str = "subject",
         clipping_col: str = "clipping",
         result_col: str = "result",
+        mode: str = "exact",
     ):
         if (operation is None) == (op_column is None):
             raise ValueError("exactly one of operation / op_column required")
         if operation is not None and operation not in OPERATIONS:
             raise ValueError(f"unknown operation: {operation!r}")
+        if mode not in ("exact", "auto"):
+            raise ValueError(mode)
         self.operation = operation
         self.op_column = op_column
         self.subject_col = subject_col
         self.clipping_col = clipping_col
         self.result_col = result_col
+        # mode='auto': route convex-subject ∩ axis-rect-clipping rows
+        # through Sutherland–Hodgman (exact for that input class) and
+        # keep the Martinez sweep for everything else.  mode='exact'
+        # (default) always runs the sweep — required wherever bit-for-bit
+        # golden parity of vertex ORDER matters (the fixture suite).
+        self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         subj_arr = batch[self.subject_col]
@@ -79,6 +107,13 @@ class BooleanOpBatch:
                 results.append(None)
             elif disjoint[i]:
                 results.append(trivial_result(s, c, op))
+            elif self.mode == "auto" and op == "intersection":
+                rect = _axis_rect(c)
+                if rect is not None and is_single_convex_ring(s):
+                    ring = clip_convex_ring_to_rect(s[0][0], *rect)
+                    results.append([] if ring is None else [[ring]])
+                else:
+                    results.append(boolean_op(s, c, op))
             else:
                 results.append(boolean_op(s, c, op))
 

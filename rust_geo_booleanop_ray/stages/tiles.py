@@ -55,6 +55,80 @@ class RasterizeTile:
         )
 
 
+class RasterizePartial:
+    """map_batches kernel: clip rows → per-(batch, tile) PARTIAL count
+    rasters.  The heavy geometry work happens here, before the shuffle;
+    the ``groupby(tile_id)`` then moves only fixed-size bitmaps
+    (2·px² bytes) instead of geometry lists, and ``merge_rasters`` sums
+    them.  Count rasters are additive and order-independent, so
+    partial + merge is exactly equivalent to whole-group rasterization
+    (the pre-aggregate-before-shuffle pattern)."""
+
+    def __init__(self, px: int = 32):
+        self.px = px
+        self.__name__ = type(self).__name__
+        self._grids: dict = {}
+
+    def _grid(self, tile_id: int):
+        g = self._grids.get(tile_id)
+        if g is None:
+            x0, y0, x1, y1 = cell_bounds(tile_id)
+            px = self.px
+            xs = x0 + (np.arange(px) + 0.5) * (x1 - x0) / px
+            ys = y0 + (np.arange(px) + 0.5) * (y1 - y0) / px
+            gx, gy = np.meshgrid(xs, ys)
+            g = (gx.ravel(), gy.ravel())
+            if len(self._grids) > 4096:
+                self._grids.clear()
+            self._grids[tile_id] = g
+        return g
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = self.px
+        tile_ids = batch["tile_id"].to_numpy()
+        mps = arrow_to_mps(batch["clip"])
+        acc: dict = {}
+        pieces: dict = {}
+        for tid, mp in zip(tile_ids, mps):
+            tid = int(tid)
+            gx, gy = self._grid(tid)
+            counts = acc.get(tid)
+            if counts is None:
+                counts = np.zeros(px * px, dtype=np.uint16)
+                acc[tid] = counts
+                pieces[tid] = 0
+            counts += points_in_multipolygon(gx, gy, mp).astype(np.uint16)
+            pieces[tid] += 1
+        tids = sorted(acc)
+        return pa.table(
+            {
+                "tile_id": pa.array(tids, pa.int64()),
+                "px": pa.array([px] * len(tids), pa.int32()),
+                "raster": pa.array([acc[t].tobytes() for t in tids], pa.binary()),
+                "n_pieces": pa.array([pieces[t] for t in tids], pa.int64()),
+            }
+        )
+
+
+def merge_rasters(group: pa.Table) -> pa.Table:
+    """map_groups merge of RasterizePartial outputs for one tile."""
+    tile_id = int(group["tile_id"][0].as_py())
+    px = int(group["px"][0].as_py())
+    counts = np.zeros(px * px, dtype=np.uint16)
+    for buf in group["raster"].to_pylist():
+        counts += np.frombuffer(buf, dtype=np.uint16)
+    covered = int((counts > 0).sum())
+    return pa.table(
+        {
+            "tile_id": pa.array([tile_id], pa.int64()),
+            "px": pa.array([px], pa.int32()),
+            "raster": pa.array([counts.tobytes()], pa.binary()),
+            "n_pieces": pa.array([int(group["n_pieces"].to_numpy().sum())], pa.int64()),
+            "coverage_fraction": pa.array([covered / (px * px)], pa.float64()),
+        }
+    )
+
+
 def raster_to_rects(raster: bytes, px: int, tile_id: int):
     """Coverage raster → vector multipolygon of axis-aligned rectangles.
 
