@@ -289,13 +289,10 @@ def q_pip_join(sf_dir: str):
     pairs = points.union(rects).groupby("cell").map_groups(
         contain_join, batch_format="pyarrow"
     )
-    # PBSM replica dedup: a rect replicated to k cells can pair the same
-    # point at most once (the point lives in ONE home cell) — but keep
-    # the distinct for safety with boundary-sitting points.
-    from ray.data.aggregate import Count
-
-    distinct = pairs.groupby(["p_partkey", "c_custkey"]).aggregate(Count())
-    return distinct.select_columns(["p_partkey", "c_custkey"])
+    # No PBSM replica dedup needed: a point lives in exactly ONE home
+    # cell, so each (rect, point) pair is emitted exactly once — the
+    # oracle cross-check pins this invariant.
+    return pairs.select_columns(["p_partkey", "c_custkey"])
 
 
 Q_PIP_JOIN_SQL = f"""
@@ -381,9 +378,29 @@ def q_pip_join_skew(sf_dir: str):
     def split(batch: pa.Table) -> pa.Table:
         return split_hot_cells(batch, hot, steps=1)
 
+    hot_arr = np.array(sorted(hot), dtype=np.uint64) if hot else np.array([], np.uint64)
+
+    def split_points(batch: pa.Table) -> pa.Table:
+        # A point must stay in exactly ONE cell — re-ENCODE at the finer
+        # resolution (split_hot_cells' bbox cover would replicate points
+        # sitting exactly on child boundaries → duplicate join pairs).
+        cells = batch["cell"].to_numpy().view(np.uint64).copy()
+        is_hot = np.isin(cells, hot_arr)
+        if is_hot.any():
+            fine = cell_encode(
+                batch["px"].to_numpy()[is_hot],
+                batch["py"].to_numpy()[is_hot],
+                KNN_RES + 1,
+            )
+            cells[is_hot] = fine
+        idx = batch.column_names.index("cell")
+        return batch.set_column(
+            idx, "cell", pa.array(cells.view(np.int64), pa.int64())
+        )
+
     points = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
         point_rows, batch_format="pyarrow"
-    ).map_batches(split, batch_format="pyarrow")
+    ).map_batches(split_points, batch_format="pyarrow")
     rects = rects.map_batches(split, batch_format="pyarrow")
 
     def contain_join(group: pa.Table) -> pa.Table:
@@ -413,8 +430,10 @@ def q_pip_join_skew(sf_dir: str):
     pairs = points.union(rects).groupby("cell").map_groups(
         contain_join, batch_format="pyarrow"
     )
-    distinct = pairs.groupby(["p_partkey", "c_custkey"]).aggregate(Count())
-    return distinct.select_columns(["p_partkey", "c_custkey"])
+    # As in q_pip_join: points land in exactly one (possibly finer)
+    # cell and hot-cell children tile the hot cell disjointly, so no
+    # replica dedup shuffle is needed.
+    return pairs.select_columns(["p_partkey", "c_custkey"])
 
 
 def q_spatial_knn(sf_dir: str):

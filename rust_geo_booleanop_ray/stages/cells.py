@@ -173,6 +173,13 @@ def split_hot_cells(batch: pa.Table, hot_cells: set, steps: int = 1, cell_col: s
         bx1[j] = min(hot[bbox_cols[2]][j].as_py(), cx1)
         by1[j] = min(hot[bbox_cols[3]][j].as_py(), cy1)
     row_idx, new_cells = cover_bbox(bx0, by0, bx1, by1, res + steps)
+    # a clamped bbox edge lying exactly on the parent boundary makes the
+    # inclusive cover leak one child column/row into the neighboring
+    # coarse cell — keep only true children of each row's hot parent,
+    # otherwise replicas duplicate across the boundary
+    keep = cell_parent(new_cells, steps) == hot_cell_ids[row_idx]
+    row_idx = row_idx[keep]
+    new_cells = new_cells[keep]
     hot_out = hot.drop_columns([cell_col]).take(pa.array(row_idx))
     hot_out = hot_out.append_column(
         cell_col, pa.array(new_cells.view(np.int64), pa.int64())
