@@ -450,14 +450,15 @@ def q_spatial_knn(sf_dir: str):
                 "c_custkey": b["c_custkey"],
                 "cx": _customer_point_batch(b)["px"],
                 "cy": _customer_point_batch(b)["py"],
+                # query predicate pushed INTO the operator: replicas and
+                # the per-query merge stay O(|queries|), not O(corpus)
+                "is_query": pc.less_equal(b["c_custkey"], 20),
             }
         ),
         batch_format="pyarrow",
     )
-    out = knn_pipeline(pts, k=KNN_K, res=KNN_RES, id_col="c_custkey")
-    return out.map_batches(
-        lambda b: b.filter(pc.less_equal(b["query_id"], 20)),
-        batch_format="pyarrow",
+    return knn_pipeline(
+        pts, k=KNN_K, res=KNN_RES, id_col="c_custkey", query_col="is_query"
     )
 
 
@@ -625,6 +626,98 @@ Q_EVENTS_WINDOW_SQL = """
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
     FROM events GROUP BY event_type, window_id
+"""
+
+
+def q_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity timeout) per user:
+    groupby(user_id) co-locates each user's events, the per-group kernel
+    sorts by ts and splits on gaps — the streaming-window op the
+    reference lacks.  Per-user counts are small; user_id is the
+    partition key at scale."""
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessionize(group: pa.Table) -> pa.Table:
+        ts = np.sort(group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        starts = np.concatenate(([True], (ts[1:] - ts[:-1]) > GAP_US))
+        sess_idx = np.cumsum(starts) - 1
+        n_sessions = int(sess_idx[-1]) + 1 if len(ts) else 0
+        counts = np.bincount(sess_idx, minlength=n_sessions)
+        first = ts[starts]
+        last = np.concatenate((ts[starts[1:].nonzero()[0]], ts[-1:]))
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [group["user_id"][0].as_py()] * n_sessions, pa.int64()
+                ),
+                "session_start_us": pa.array(first, pa.int64()),
+                "session_end_us": pa.array(last, pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+
+
+Q_SESSIONS_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                  > 1800000000 OR lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, t,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM e
+    )
+    SELECT user_id,
+           CAST(MIN(t) AS BIGINT) AS session_start_us,
+           CAST(MAX(t) AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, session_no
+"""
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic ~5% hash sample of orders (Knuth multiplicative
+    hash on the key — reproducible across engines and runs, unlike
+    random_sample), aggregated per order status.  The sampling op a
+    training-data pipeline needs for repeatable subset selection."""
+    from ray.data.aggregate import Count, Sum
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy().astype(np.uint64)
+        h = (keys * np.uint64(2654435761)) % np.uint64(4294967296)
+        keep = (h % np.uint64(100)) < 5
+        kept = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderstatus": kept["o_orderstatus"],
+                "price_c": pa.array(_cents(kept["o_totalprice"].to_numpy())),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    return (
+        ds.map_batches(sample, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n"), Sum("price_c", alias_name="sum_price_c"))
+    )
+
+
+Q_HASH_SAMPLE_SQL = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
+    FROM orders
+    WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < 5
+    GROUP BY o_orderstatus
 """
 
 
@@ -1101,6 +1194,8 @@ def build_queries():
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_window": q_events_window,
+        "sessions": q_sessions,
+        "hash_sample": q_hash_sample,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "ann_topk": q_ann_topk,
@@ -1129,6 +1224,8 @@ def build_oracle_sql():
         "pricing_summary": Q_PRICING_SQL,
         "top_customers": Q_TOP_CUSTOMERS_SQL,
         "events_window": Q_EVENTS_WINDOW_SQL,
+        "sessions": Q_SESSIONS_SQL,
+        "hash_sample": Q_HASH_SAMPLE_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "text_stats": Q_TEXT_STATS_SQL,
         "ann_topk": Q_ANN_TOPK_SQL,

@@ -59,6 +59,8 @@ def _neighbor_cells(cx: np.ndarray, cy: np.ndarray, res: int) -> tuple:
         u = np.unique(packed[i])
         row_idx_list.append(np.full(len(u), i, dtype=np.int64))
         cell_list.append(u)
+    if not row_idx_list:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
     row_idx = np.concatenate(row_idx_list)
     packed_u = np.concatenate(cell_list)
     ux = (packed_u >> np.uint64(32)).astype(np.uint64)
@@ -68,8 +70,20 @@ def _neighbor_cells(cx: np.ndarray, cy: np.ndarray, res: int) -> tuple:
     return row_idx, cells
 
 
-def prepare_knn_rows(batch: pa.Table, res: int, id_col: str = "image_id", x_col: str = "cx", y_col: str = "cy") -> pa.Table:
-    """map_batches kernel: emit data rows (home cell) + query replicas."""
+def prepare_knn_rows(
+    batch: pa.Table,
+    res: int,
+    id_col: str = "image_id",
+    x_col: str = "cx",
+    y_col: str = "cy",
+    query_col: str | None = None,
+) -> pa.Table:
+    """map_batches kernel: emit data rows (home cell) + query replicas.
+
+    ``query_col`` (boolean column) restricts WHICH points are queries;
+    every point remains a candidate neighbor.  Pushing the query
+    predicate down here keeps the replica explosion and the final
+    per-query merge proportional to the query set, not the corpus."""
     cx = batch[x_col].to_numpy()
     cy = batch[y_col].to_numpy()
     ids = batch[id_col]
@@ -84,14 +98,20 @@ def prepare_knn_rows(batch: pa.Table, res: int, id_col: str = "image_id", x_col:
             "side": pa.array(["data"] * len(cx), pa.string()),
         }
     )
-    row_idx, cells = _neighbor_cells(cx, cy, res)
+    if query_col is not None:
+        qmask = batch[query_col].to_numpy(zero_copy_only=False).astype(bool)
+        qcx, qcy = cx[qmask], cy[qmask]
+        qids = ids.filter(pa.array(qmask))
+    else:
+        qcx, qcy, qids = cx, cy, ids
+    row_idx, cells = _neighbor_cells(qcx, qcy, res)
     take = pa.array(row_idx)
     query_t = pa.table(
         {
             "cell": pa.array(cells.view(np.int64), pa.int64()),
-            "pid": ids.take(take),
-            "x": pa.array(cx[row_idx]),
-            "y": pa.array(cy[row_idx]),
+            "pid": qids.take(take),
+            "x": pa.array(qcx[row_idx]),
+            "y": pa.array(qcy[row_idx]),
             "side": pa.array(["query"] * len(row_idx), pa.string()),
         }
     )
@@ -165,10 +185,10 @@ class TopKMerge:
         return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def knn_pipeline(points_ds, k: int, res: int, id_col: str = "image_id"):
+def knn_pipeline(points_ds, k: int, res: int, id_col: str = "image_id", query_col: str | None = None):
     """Assemble the 3-stage kNN over a Dataset with (id, cx, cy)."""
     rows = points_ds.map_batches(
-        lambda b: prepare_knn_rows(b, res, id_col=id_col),
+        lambda b: prepare_knn_rows(b, res, id_col=id_col, query_col=query_col),
         batch_format="pyarrow",
     )
     cands = rows.groupby("cell").map_groups(
