@@ -170,3 +170,18 @@ def test_compare_segments_basic():
     assert compare_segments(low, high) == -1
     assert compare_segments(high, low) == 1
     assert compare_segments(low, low) == 0
+
+
+def test_sweep_trace_dump():
+    """Debug-trace analog of the reference's debug-booleanop feature:
+    every processed event appears with computed flags."""
+    from rust_geo_booleanop_ray.geom.compute_fields import OP_INTERSECTION
+    from rust_geo_booleanop_ray.geom.debug import sweep_trace
+
+    sq = [[[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]]
+    cl = [[[(2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0), (2.0, 2.0)]]]
+    t = sweep_trace(sq, cl, OP_INTERSECTION)
+    assert t.num_rows >= 16  # 8 original edges × 2 events, plus splits
+    assert set(t["result_transition"].to_pylist()) >= {"None"}
+    rows = t.to_pylist()
+    assert all(r["edge_type"] in {"Normal", "NonContributing", "SameTransition", "DifferentTransition"} for r in rows)
