@@ -50,6 +50,7 @@ def bench_list():
         "tile_assign",
         "pip_join",
         "pip_join_skew",
+        "pip_join_rtree",
         "spatial_knn",
         "pricing_summary",
         "top_customers",

@@ -436,6 +436,51 @@ def q_pip_join_skew(sf_dir: str):
     return pairs.select_columns(["p_partkey", "c_custkey"])
 
 
+def q_pip_join_rtree(sf_dir: str):
+    """Same join as pip_join via the OTHER physical strategy: the rect
+    side is broadcast once and each actor keeps a warm STR R-tree over
+    it (built in __init__); customer-point batches probe the index —
+    zero shuffles.  Right when one side fits in a worker heap."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.rtree_join import RtreeContainsJoin
+
+    rects = _part_rect_batch(
+        pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"])
+    )
+    zones = pa.table(
+        {
+            "zone_id": rects["p_partkey"],
+            "minx": rects["minx"],
+            "miny": rects["miny"],
+            "maxx": rects["maxx"],
+            "maxy": rects["maxy"],
+        }
+    )
+    zones_ref = ray.put(zones)
+
+    def points(batch: pa.Table) -> pa.Table:
+        b = _customer_point_batch(batch)
+        return pa.table(
+            {"pid": b["c_custkey"], "px": b["px"], "py": b["py"]}
+        )
+
+    ds = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        points, batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        RtreeContainsJoin,
+        fn_constructor_kwargs={"zones_ref": zones_ref},
+        batch_format="pyarrow",
+        concurrency=4,
+    )
+    return out.map_batches(
+        lambda b: pa.table({"p_partkey": b["zone_id"], "c_custkey": b["pid"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_spatial_knn(sf_dir: str):
     """k nearest customers for each query customer (c_custkey ≤ 20),
     via the cell-partitioned kNN operator (3×3 neighborhood at res 4 —
@@ -1190,6 +1235,7 @@ def build_queries():
         "tile_assign": q_tile_assign,
         "pip_join": q_pip_join,
         "pip_join_skew": q_pip_join_skew,
+        "pip_join_rtree": q_pip_join_rtree,
         "spatial_knn": q_spatial_knn,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -1220,6 +1266,7 @@ def build_oracle_sql():
         "tile_assign": Q_TILE_ASSIGN_SQL,
         "pip_join": Q_PIP_JOIN_SQL,
         "pip_join_skew": Q_PIP_JOIN_SQL,
+        "pip_join_rtree": Q_PIP_JOIN_SQL,
         "spatial_knn": Q_SPATIAL_KNN_SQL,
         "pricing_summary": Q_PRICING_SQL,
         "top_customers": Q_TOP_CUSTOMERS_SQL,

@@ -61,6 +61,7 @@ class BooleanOpBatch:
         clipping_col: str = "clipping",
         result_col: str = "result",
         mode: str = "exact",
+        on_error: str = "raise",
     ):
         if (operation is None) == (op_column is None):
             raise ValueError("exactly one of operation / op_column required")
@@ -68,6 +69,14 @@ class BooleanOpBatch:
             raise ValueError(f"unknown operation: {operation!r}")
         if mode not in ("exact", "auto"):
             raise ValueError(mode)
+        if on_error not in ("raise", "null"):
+            raise ValueError(on_error)
+        # on_error='null': poison-pill isolation — a degenerate geometry
+        # yields a null result + error string instead of failing the
+        # whole task/partition (at 100 TB one bad row must not kill a
+        # block; Ray would otherwise retry the task against the same
+        # deterministic failure).
+        self.on_error = on_error
         self.operation = operation
         self.op_column = op_column
         self.subject_col = subject_col
@@ -102,21 +111,35 @@ class BooleanOpBatch:
             ops = [self.operation] * len(subjects)
 
         results = []
+        errors = []
         for i, (s, c, op) in enumerate(zip(subjects, clippings, ops)):
-            if s is None or c is None:
-                results.append(None)
-            elif disjoint[i]:
-                results.append(trivial_result(s, c, op))
-            elif self.mode == "auto" and op == "intersection":
-                rect = _axis_rect(c)
-                if rect is not None and is_single_convex_ring(s):
-                    ring = clip_convex_ring_to_rect(s[0][0], *rect)
-                    results.append([] if ring is None else [[ring]])
+            try:
+                if s is None or c is None:
+                    results.append(None)
+                elif disjoint[i]:
+                    results.append(trivial_result(s, c, op))
+                elif self.mode == "auto" and op == "intersection":
+                    rect = _axis_rect(c)
+                    if rect is not None and is_single_convex_ring(s):
+                        ring = clip_convex_ring_to_rect(s[0][0], *rect)
+                        results.append([] if ring is None else [[ring]])
+                    else:
+                        results.append(boolean_op(s, c, op))
                 else:
                     results.append(boolean_op(s, c, op))
-            else:
-                results.append(boolean_op(s, c, op))
+                errors.append(None)
+            except Exception as exc:  # noqa: BLE001 — poison-pill isolation
+                if self.on_error == "raise":
+                    raise
+                results.append(None)
+                errors.append(f"{type(exc).__name__}: {exc}")
 
-        return batch.append_column(
+        out = batch.append_column(
             pa.field(self.result_col, MULTIPOLYGON_T), mps_to_arrow(results)
         )
+        if self.on_error == "null":
+            out = out.append_column(
+                pa.field(self.result_col + "_error", pa.string()),
+                pa.array(errors, pa.string()),
+            )
+        return out

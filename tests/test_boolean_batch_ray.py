@@ -50,3 +50,34 @@ def test_boolean_batch_disjoint_fast_path():
     res = arrow_to_mps(out["result"])
     assert res[0] == sq + far  # trivial concatenation
     assert res[1] == sq
+
+
+def test_on_error_null_poison_pill():
+    """A malformed geometry yields a null result + error string instead
+    of failing the task (poison-pill isolation for 100 TB runs)."""
+    import pyarrow as pa
+
+    from rust_geo_booleanop_ray.sources.arrow_geom import MULTIPOLYGON_T, mps_to_arrow
+    from rust_geo_booleanop_ray.stages.boolean_batch import BooleanOpBatch
+
+    good = [[[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]]
+    clip = [[[(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)]]]
+    batch = pa.table(
+        {
+            "subject": mps_to_arrow([good, good]),
+            "clipping": mps_to_arrow([clip, clip]),
+            # second row carries a poison op tag — boolean_op raises on it
+            "op": pa.array(["intersection", "not_an_op"]),
+        }
+    )
+
+    import pytest
+
+    with pytest.raises(Exception):
+        BooleanOpBatch(op_column="op")(batch)  # default raises
+
+    out = BooleanOpBatch(op_column="op", on_error="null")(batch)
+    assert out["result"][0].as_py() is not None
+    assert out["result"][1].as_py() is None
+    errs = out["result_error"].to_pylist()
+    assert errs[0] is None and errs[1]
