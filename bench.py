@@ -133,6 +133,21 @@ def main():
         "num_cpus": NUM_CPUS,
         "n_images": N_IMAGES,
     }
+    # BASELINE.json metric units: spatial-join+clip geometries/sec and
+    # tile-assignment rows/sec
+    derived = {}
+    if "flagship_tiles" in per_query and per_query["flagship_tiles"] > 0:
+        derived["clip_geometries_per_sec"] = round(N_IMAGES / per_query["flagship_tiles"], 1)
+    if "tile_assign" in per_query and per_query["tile_assign"] > 0:
+        derived["tile_assign_rows_per_sec"] = round(
+            rows["tile_assign"] / per_query["tile_assign"], 1
+        )
+    if "pip_join" in per_query and per_query["pip_join"] > 0:
+        derived["spatial_join_pairs_per_sec"] = round(
+            rows["pip_join"] / per_query["pip_join"], 1
+        )
+    if derived:
+        result["derived"] = derived
     print(json.dumps(result))
     ray.shutdown()
     return result

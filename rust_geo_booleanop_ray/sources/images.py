@@ -120,6 +120,24 @@ def read_synth_images(n_images: int, seed: int = 42, override_num_blocks: int | 
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
 
 
+def read_image_table(path: str, columns=None, override_num_blocks: int | None = None):
+    """Read a materialized image table: Lance when the lance package is
+    present, parquet otherwise (identical schema — parquet is the
+    sandbox stand-in for the Lance table named in BASELINE.json)."""
+    import ray.data as rd
+
+    try:
+        import lance  # noqa: F401
+
+        if path.endswith(".lance"):
+            return rd.read_lance(path, columns=columns)
+    except ImportError:
+        pass
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=override_num_blocks
+    )
+
+
 def write_synth_images(path: str, n_images: int, seed: int = 42, rows_per_file: int = 100_000):
     """Materialize the synthetic table as partitioned parquet (bench input)."""
     import ray.data as rd
