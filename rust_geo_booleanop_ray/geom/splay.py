@@ -131,6 +131,16 @@ class SplaySet:
         self.size -= 1
         return True
 
+    def find(self, key):
+        """The stored key equal to ``key`` (identity under cmp==0), or
+        None (reference set.rs find → tree.rs find_key)."""
+        if self.root is None:
+            return None
+        self._splay(key)
+        if self.cmp(key, self.root.key) == 0:
+            return self.root.key
+        return None
+
     def contains(self, key) -> bool:
         # reference tree.rs:41-43 (via find_key, which splays)
         if self.root is None:
