@@ -143,16 +143,20 @@ def arrow_mp_bounds(arr: pa.Array):
 
 
 def shoelace_area(mp) -> float:
-    """Signed-area sum of a multipolygon (exterior CCW positive, holes
-    subtract by their own winding).  Plain shoelace — used for metrics
-    and oracle cross-checks, not for predicates."""
+    """Structural area of a multipolygon: |exterior| − Σ|holes| per
+    polygon, summed.  Winding-INDEPENDENT on purpose: the Martinez
+    output convention (ours and the reference's goldens alike) emits
+    hole rings with the same winding as exteriors, so holes must be
+    subtracted by ring position, not by sign.  Used for metrics and
+    oracle cross-checks, not for predicates."""
     total = 0.0
     for poly in mp:
-        for ring in poly:
+        for ri, ring in enumerate(poly):
             a = 0.0
             for i in range(len(ring) - 1):
                 x1, y1 = ring[i]
                 x2, y2 = ring[i + 1]
                 a += x1 * y2 - x2 * y1
-            total += a / 2.0
+            a = abs(a) / 2.0
+            total += a if ri == 0 else -a
     return total

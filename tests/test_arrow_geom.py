@@ -64,5 +64,13 @@ def test_bounds_on_slice():
 
 def test_shoelace():
     assert shoelace_area(MPS[0]) == 4.0
-    # square with hole: 16 - 4 (hole ring is CW) + 1
+    # square with hole: 16 - 4 (hole by ring position) + 1
     assert shoelace_area(MPS[1]) == 13.0
+    # winding-independent: holes subtract regardless of orientation
+    ccw_hole = [
+        [
+            [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+            [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)],
+        ]
+    ]
+    assert shoelace_area(ccw_hole) == 12.0
