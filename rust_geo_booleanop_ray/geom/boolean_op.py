@@ -19,7 +19,26 @@ OPERATIONS = (OP_INTERSECTION, OP_DIFFERENCE, OP_UNION, OP_XOR)
 
 
 def boolean_op(subject, clipping, operation):
-    """Boolean operation on two multipolygons; returns a multipolygon."""
+    """Boolean operation on two multipolygons; returns a multipolygon.
+
+    Dispatches to the native (C) kernel when available — an
+    operation-for-operation port verified bit-for-bit against the same
+    golden corpus (see native/); `GEO_NATIVE=0` or a missing compiler
+    falls back to the pure-Python kernel below."""
+    if operation not in OPERATIONS:
+        raise ValueError(f"unknown operation: {operation!r}")
+
+    from ..native import native_boolean_op
+
+    result = native_boolean_op(subject, clipping, operation)
+    if result is not None:
+        return result
+    return boolean_op_python(subject, clipping, operation)
+
+
+def boolean_op_python(subject, clipping, operation):
+    """The pure-Python kernel (always available; the parity oracle for
+    the native port)."""
     if operation not in OPERATIONS:
         raise ValueError(f"unknown operation: {operation!r}")
 

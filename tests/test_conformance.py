@@ -7,6 +7,7 @@ import os
 import pytest
 
 from rust_geo_booleanop_ray.geom import boolean_op
+from rust_geo_booleanop_ray.geom.boolean_op import boolean_op_python
 from rust_geo_booleanop_ray.sources.geojson_fixtures import (
     OP_TAGS,
     SWAPPABLE,
@@ -16,6 +17,11 @@ from rust_geo_booleanop_ray.sources.geojson_fixtures import (
 )
 
 FIXTURE_DIR = "/root/reference/tests/fixtures/generic_test_cases"
+
+# the dispatching kernel (native C when built, else Python) AND the
+# pure-Python kernel are BOTH held to the golden corpus — the Python
+# path stays the parity oracle for the C port
+KERNELS = [("dispatch", boolean_op), ("python", boolean_op_python)]
 
 
 def _cases():
@@ -28,20 +34,21 @@ def _cases():
     return out
 
 
+@pytest.mark.parametrize("kernel_name,kernel", KERNELS)
 @pytest.mark.parametrize("filename", _cases())
-def test_generic_case(filename):
+def test_generic_case(filename, kernel_name, kernel):
     case = load_fixture(os.path.join(FIXTURE_DIR, filename))
     assert case.expected, f"{filename}: no expected results"
     for exp in case.expected:
-        result = apply_test_operation(boolean_op, case.subject, case.clipping, exp.op_tag)
+        result = apply_test_operation(kernel, case.subject, case.clipping, exp.op_tag)
         assert multipolygons_equal(result, exp.result), (
-            f"{filename} / {exp.op_tag} / main has result deviation"
+            f"{filename} / {exp.op_tag} / {kernel_name} / main has result deviation"
         )
         if exp.op_tag in SWAPPABLE and not exp.swap_ab_is_broken:
             op, _ = OP_TAGS[exp.op_tag]
-            swapped = boolean_op(case.clipping, case.subject, op)
+            swapped = kernel(case.clipping, case.subject, op)
             assert multipolygons_equal(swapped, exp.result), (
-                f"{filename} / {exp.op_tag} / swap has result deviation"
+                f"{filename} / {exp.op_tag} / {kernel_name} / swap has result deviation"
             )
 
 
