@@ -65,6 +65,17 @@ def _load():
     ]
     lib.martinez_free_result.restype = None
     lib.martinez_free_result.argtypes = [dp, i64p, i64p]
+    lib.martinez_batch.restype = ctypes.c_int
+    lib.martinez_batch.argtypes = [
+        dp, i32p, i32p, i32p,
+        dp, i32p, i32p, i32p,
+        ctypes.c_int64, i32p,
+        ctypes.POINTER(dp), ctypes.POINTER(i64p), ctypes.POINTER(i64p),
+        ctypes.POINTER(i64p),
+        i64p, i64p, i64p,
+    ]
+    lib.martinez_free_batch.restype = None
+    lib.martinez_free_batch.argtypes = [dp, i64p, i64p, i64p]
     _lib = lib
     return lib
 
@@ -188,3 +199,86 @@ def native_boolean_op(subject, clipping, operation):
         return result
     finally:
         lib.martinez_free_result(out_xy, out_rs, out_prc)
+
+
+def native_boolean_batch(subject_arr, clipping_arr, ops):
+    """Whole-batch boolean ops on two Arrow multipolygon columns.
+
+    ``ops`` is a list/array of op names (len == batch).  Consumes the
+    columns' offset chains directly (zero marshal-in) and returns the
+    result as an Arrow multipolygon array (offsets built by cumsum —
+    zero per-row Python).  Returns None when the native library is
+    unavailable or a column contains nulls (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.arrow_geom import arrow_mp_offsets, flat_to_arrow
+
+    if isinstance(subject_arr, pa.ChunkedArray):
+        subject_arr = subject_arr.combine_chunks()
+    if isinstance(clipping_arr, pa.ChunkedArray):
+        clipping_arr = clipping_arr.combine_chunks()
+    if subject_arr.null_count or clipping_arr.null_count:
+        return None
+
+    n = len(subject_arr)
+    op_codes = np.empty(n, dtype=np.int32)
+    for i, op in enumerate(ops):
+        try:
+            op_codes[i] = _OP_CODES[op]
+        except KeyError:
+            raise ValueError(f"unknown operation: {op!r}") from None
+
+    s_xy, s_ro, s_po, s_mo = arrow_mp_offsets(subject_arr)
+    c_xy, c_ro, c_po, c_mo = arrow_mp_offsets(clipping_arr)
+
+    dp = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+
+    out_xy = dp()
+    out_rs = i64p()
+    out_prc = i64p()
+    out_ppc = i64p()
+    n_v = ctypes.c_int64()
+    n_r = ctypes.c_int64()
+    n_p = ctypes.c_int64()
+
+    rc = lib.martinez_batch(
+        s_xy.ctypes.data_as(dp), s_ro.ctypes.data_as(i32p),
+        s_po.ctypes.data_as(i32p), s_mo.ctypes.data_as(i32p),
+        c_xy.ctypes.data_as(dp), c_ro.ctypes.data_as(i32p),
+        c_po.ctypes.data_as(i32p), c_mo.ctypes.data_as(i32p),
+        ctypes.c_int64(n), op_codes.ctypes.data_as(i32p),
+        ctypes.byref(out_xy), ctypes.byref(out_rs), ctypes.byref(out_prc),
+        ctypes.byref(out_ppc),
+        ctypes.byref(n_v), ctypes.byref(n_r), ctypes.byref(n_p),
+    )
+    if rc != 0:
+        return None
+
+    try:
+        nv, nr, npolys = n_v.value, n_r.value, n_p.value
+        xy = (
+            np.ctypeslib.as_array(out_xy, shape=(nv, 2)).copy()
+            if nv
+            else np.empty((0, 2))
+        )
+        sizes = (
+            np.ctypeslib.as_array(out_rs, shape=(nr,)).copy()
+            if nr
+            else np.empty(0, np.int64)
+        )
+        prc = (
+            np.ctypeslib.as_array(out_prc, shape=(npolys,)).copy()
+            if npolys
+            else np.empty(0, np.int64)
+        )
+        ppc = np.ctypeslib.as_array(out_ppc, shape=(n,)).copy() if n else np.empty(0, np.int64)
+        return flat_to_arrow(xy, sizes, prc, ppc)
+    finally:
+        lib.martinez_free_batch(out_xy, out_rs, out_prc, out_ppc)

@@ -1142,6 +1142,198 @@ static void result_append_ring(Result *res, const double *pts, int64_t npts,
     res->ring_sizes[res->n_rings++] = npts;
 }
 
+/* growable result used by both single-pair and batch entry points */
+typedef struct {
+    Result res;
+    int64_t cap_v, cap_r, cap_p;
+} GrowResult;
+
+static void grow_result_init(GrowResult *g) {
+    memset(g, 0, sizeof(*g));
+    g->cap_v = 256; g->cap_r = 32; g->cap_p = 16;
+    g->res.xy = (double *)malloc(g->cap_v * 2 * sizeof(double));
+    g->res.ring_sizes = (int64_t *)malloc(g->cap_r * sizeof(int64_t));
+    g->res.poly_ring_counts = (int64_t *)malloc(g->cap_p * sizeof(int64_t));
+}
+
+static void grow_result_poly(GrowResult *g, int64_t nrings) {
+    if (g->res.n_polys == g->cap_p) {
+        g->cap_p *= 2;
+        g->res.poly_ring_counts = (int64_t *)realloc(
+            g->res.poly_ring_counts, g->cap_p * sizeof(int64_t));
+    }
+    g->res.poly_ring_counts[g->res.n_polys++] = nrings;
+}
+
+/* One side of a pair, addressed through the Arrow nested-list offset
+ * chains exactly as they sit in the block (zero marshal-in):
+ *   multipolygon i = polys [mp_off[i], mp_off[i+1])
+ *   poly p        = rings [poly_off[p], poly_off[p+1])
+ *   ring r        = coords [ring_off[r], ring_off[r+1])  into xy */
+typedef struct {
+    const double *xy;
+    const int32_t *ring_off, *poly_off, *mp_off;
+} ArrowSide;
+
+static void fill_side(Arena *arena, Heap *queue, const ArrowSide *side,
+                      int64_t row, int is_subject, int32_t *contour_id,
+                      int inc_contour, int mark_exterior, double bbox[4]) {
+    for (int32_t p = side->mp_off[row]; p < side->mp_off[row + 1]; p++) {
+        if (inc_contour) (*contour_id)++;
+        int first = 1;
+        for (int32_t r = side->poly_off[p]; r < side->poly_off[p + 1]; r++) {
+            int is_ext = mark_exterior && first;
+            first = 0;
+            int32_t lo = side->ring_off[r], hi = side->ring_off[r + 1];
+            for (int32_t k = lo; k + 1 < hi; k++) {
+                double sx = side->xy[2 * k], sy = side->xy[2 * k + 1];
+                double ex = side->xy[2 * (k + 1)], ey = side->xy[2 * (k + 1) + 1];
+                if (sx == ex && sy == ey) continue;
+
+                Event *e1 = arena_new_event(arena);
+                e1->x = sx; e1->y = sy;
+                e1->contour_id = *contour_id;
+                e1->is_subject = (uint8_t)is_subject;
+                e1->is_exterior_ring = (uint8_t)is_ext;
+                Event *e2 = arena_new_event(arena);
+                e2->x = ex; e2->y = ey;
+                e2->contour_id = *contour_id;
+                e2->is_subject = (uint8_t)is_subject;
+                e2->is_exterior_ring = (uint8_t)is_ext;
+                e1->other = e2;
+                e2->other = e1;
+
+                if (event_cmp(e1, e2) < 0) e2->left = 1;
+                else e1->left = 1;
+
+                if (sx < bbox[0]) bbox[0] = sx;
+                if (sy < bbox[1]) bbox[1] = sy;
+                if (sx > bbox[2]) bbox[2] = sx;
+                if (sy > bbox[3]) bbox[3] = sy;
+
+                heap_push(queue, e1);
+                heap_push(queue, e2);
+            }
+        }
+    }
+}
+
+static void append_side_polys(GrowResult *g, const ArrowSide *side, int64_t row,
+                              int64_t *npolys) {
+    for (int32_t p = side->mp_off[row]; p < side->mp_off[row + 1]; p++) {
+        int64_t nrings = 0;
+        for (int32_t r = side->poly_off[p]; r < side->poly_off[p + 1]; r++) {
+            int32_t lo = side->ring_off[r], hi = side->ring_off[r + 1];
+            result_append_ring(&g->res, side->xy + 2 * lo, hi - lo,
+                               &g->cap_v, &g->cap_r);
+            nrings++;
+        }
+        grow_result_poly(g, nrings);
+        (*npolys)++;
+    }
+}
+
+/* Batch entry point: n_pairs independent boolean ops in one call,
+ * consuming both geometry columns through their Arrow offsets.
+ * out_pair_poly_counts[i] = polygons in pair i's result. */
+int martinez_batch(
+    const double *s_xy, const int32_t *s_ring_off, const int32_t *s_poly_off,
+    const int32_t *s_mp_off,
+    const double *c_xy, const int32_t *c_ring_off, const int32_t *c_poly_off,
+    const int32_t *c_mp_off,
+    int64_t n_pairs, const int32_t *ops,
+    double **out_xy, int64_t **out_ring_sizes, int64_t **out_poly_ring_counts,
+    int64_t **out_pair_poly_counts,
+    int64_t *out_n_vertices, int64_t *out_n_rings, int64_t *out_n_polys)
+{
+    ArrowSide S = {s_xy, s_ring_off, s_poly_off, s_mp_off};
+    ArrowSide C = {c_xy, c_ring_off, c_poly_off, c_mp_off};
+
+    GrowResult g;
+    grow_result_init(&g);
+    int64_t *pair_polys = (int64_t *)malloc((n_pairs ? n_pairs : 1) *
+                                            sizeof(int64_t));
+
+    for (int64_t i = 0; i < n_pairs; i++) {
+        int32_t op = ops[i];
+        Arena arena; memset(&arena, 0, sizeof(arena));
+        Heap queue; memset(&queue, 0, sizeof(queue));
+        double sbbox[4] = {INFINITY, INFINITY, -INFINITY, -INFINITY};
+        double cbbox[4] = {INFINITY, INFINITY, -INFINITY, -INFINITY};
+        int32_t contour_id = 0;
+        int64_t npolys = 0;
+
+        /* fill_queue.rs:10-43: subject polys always increment the
+           contour id; clipping only when op != Difference */
+        fill_side(&arena, &queue, &S, i, 1, &contour_id, 1, 1, sbbox);
+        int inc = (op != OP_DIFFERENCE);
+        fill_side(&arena, &queue, &C, i, 0, &contour_id, inc, inc, cbbox);
+
+        if (sbbox[0] > cbbox[2] || cbbox[0] > sbbox[2] ||
+            sbbox[1] > cbbox[3] || cbbox[1] > sbbox[3]) {
+            /* trivial result (mod.rs:132-141) */
+            free(queue.data);
+            arena_free(&arena);
+            if (op != OP_INTERSECTION) {
+                append_side_polys(&g, &S, i, &npolys);
+                if (op != OP_DIFFERENCE)
+                    append_side_polys(&g, &C, i, &npolys);
+            }
+            pair_polys[i] = npolys;
+            continue;
+        }
+
+        EvVec sorted_events; memset(&sorted_events, 0, sizeof(sorted_events));
+        Splay sweep_line; memset(&sweep_line, 0, sizeof(sweep_line));
+
+        subdivide(&arena, &queue, sbbox, cbbox, op, &sorted_events, &sweep_line);
+
+        ContourVec contours; memset(&contours, 0, sizeof(contours));
+        connect_edges(&sorted_events, &contours);
+
+        for (int64_t ci = 0; ci < contours.n; ci++) {
+            Contour *c = &contours.data[ci];
+            if (c->hole_of >= 0) continue;
+            result_append_ring(&g.res, c->pts, c->n, &g.cap_v, &g.cap_r);
+            for (int64_t hi = 0; hi < c->nh; hi++) {
+                Contour *h = &contours.data[c->hole_ids[hi]];
+                result_append_ring(&g.res, h->pts, h->n, &g.cap_v, &g.cap_r);
+            }
+            grow_result_poly(&g, 1 + c->nh);
+            npolys++;
+        }
+
+        for (int64_t ci = 0; ci < contours.n; ci++) {
+            free(contours.data[ci].pts);
+            free(contours.data[ci].hole_ids);
+        }
+        free(contours.data);
+        free(sorted_events.data);
+        splay_free_nodes(sweep_line.root);
+        free(queue.data);
+        arena_free(&arena);
+
+        pair_polys[i] = npolys;
+    }
+
+    *out_xy = g.res.xy;
+    *out_ring_sizes = g.res.ring_sizes;
+    *out_poly_ring_counts = g.res.poly_ring_counts;
+    *out_pair_poly_counts = pair_polys;
+    *out_n_vertices = g.res.n_vertices;
+    *out_n_rings = g.res.n_rings;
+    *out_n_polys = g.res.n_polys;
+    return 0;
+}
+
+void martinez_free_batch(double *xy, int64_t *ring_sizes,
+                         int64_t *poly_ring_counts, int64_t *pair_poly_counts) {
+    free(xy);
+    free(ring_sizes);
+    free(poly_ring_counts);
+    free(pair_poly_counts);
+}
+
 int martinez_boolean(
     const double *xy, const int64_t *ring_sizes,
     const int32_t *ring_subject, const int32_t *ring_contour,

@@ -73,6 +73,42 @@ def arrow_to_mps(arr: pa.Array):
     return out
 
 
+def arrow_mp_offsets(arr: pa.Array):
+    """The raw offset chains + flat coord buffer of a multipolygon
+    column (the zero-copy view the native batch kernel consumes).
+
+    Returns (coords (N,2) float64, ring_off i32, poly_off i32, mp_off
+    i32) — indices are GLOBAL into each child buffer, valid for sliced
+    arrays."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    mp_off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    poly_arr = arr.values
+    poly_off = poly_arr.offsets.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    ring_arr = poly_arr.values
+    ring_off = ring_arr.offsets.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    coords = np.ascontiguousarray(
+        ring_arr.values.values.to_numpy(zero_copy_only=False).reshape(-1, 2)
+    )
+    return coords, ring_off, poly_off, mp_off
+
+
+def flat_to_arrow(xy, ring_sizes, poly_ring_counts, mp_poly_counts) -> pa.ListArray:
+    """Flat buffers → multipolygon Arrow array, fully vectorized
+    (offsets by cumsum; no per-row Python)."""
+    values = pa.array(np.ascontiguousarray(xy, dtype=np.float64).ravel())
+    coords = pa.FixedSizeListArray.from_arrays(values, 2)
+    ring_off = np.zeros(len(ring_sizes) + 1, dtype=np.int32)
+    np.cumsum(ring_sizes, out=ring_off[1:])
+    rings = pa.ListArray.from_arrays(pa.array(ring_off, pa.int32()), coords)
+    poly_off = np.zeros(len(poly_ring_counts) + 1, dtype=np.int32)
+    np.cumsum(poly_ring_counts, out=poly_off[1:])
+    polys = pa.ListArray.from_arrays(pa.array(poly_off, pa.int32()), rings)
+    mp_off = np.zeros(len(mp_poly_counts) + 1, dtype=np.int32)
+    np.cumsum(mp_poly_counts, out=mp_off[1:])
+    return pa.ListArray.from_arrays(pa.array(mp_off, pa.int32()), polys)
+
+
 def mp_bounds(mp):
     """bbox of one multipolygon: (minx, miny, maxx, maxy)."""
     minx = miny = np.inf

@@ -93,6 +93,23 @@ class BooleanOpBatch:
         subj_arr = batch[self.subject_col]
         clip_arr = batch[self.clipping_col]
 
+        # Whole-batch native path: one C call over the Arrow offset
+        # chains (zero per-row Python; bbox short-circuit happens
+        # inside).  Skipped in on_error='null' mode (poison-pill needs
+        # per-row isolation) and when a column has nulls.
+        if self.on_error == "raise":
+            from ..native import native_boolean_batch
+
+            if self.op_column is not None:
+                ops = batch[self.op_column].to_pylist()
+            else:
+                ops = [self.operation] * batch.num_rows
+            res_arr = native_boolean_batch(subj_arr, clip_arr, ops)
+            if res_arr is not None:
+                return batch.append_column(
+                    pa.field(self.result_col, MULTIPOLYGON_T), res_arr
+                )
+
         # Vectorized disjoint-bbox prefilter (trivial result, no sweep).
         sb = arrow_mp_bounds(subj_arr)
         cb = arrow_mp_bounds(clip_arr)
