@@ -239,7 +239,29 @@ def micro():
         ("circles_vs_rects/xor", *generate_circles_vs_rects(), OP_XOR, 5),
     ]
 
+    # batch-path throughput: many small pairs through ONE Arrow-native
+    # C call (the shape the engine actually runs at scale)
+    from rust_geo_booleanop_ray.native import native_available, native_boolean_batch
+    from rust_geo_booleanop_ray.sources.arrow_geom import mps_to_arrow
+    from rust_geo_booleanop_ray.sources.generators import generate_random_triangles
+
     per = {}
+    if native_available():
+        subs = mps_to_arrow([generate_random_triangles(2, s) for s in range(2000)])
+        clips = mps_to_arrow(
+            [generate_random_triangles(2, s + 50000) for s in range(2000)]
+        )
+        ops = ["intersection"] * 2000
+        native_boolean_batch(subs, clips, ops)
+        t0 = time.perf_counter()
+        native_boolean_batch(subs, clips, ops)
+        dt = time.perf_counter() - t0
+        per["batch_2000_small_pairs"] = round(dt, 6)
+        print(
+            f"# batch_2000_small_pairs: {dt*1e3:.1f} ms ({2000/dt:.0f} pairs/s/core)",
+            file=sys.stderr,
+        )
+
     for name, subject, clipping, op, samples in workloads:
         boolean_op(subject, clipping, op)  # warm-up
         times = []
