@@ -69,12 +69,31 @@ def tile_pipeline_resumable(
     coarse parent cell; each partition directory commits atomically with
     a ``_lineage.json`` manifest, and a re-run skips committed
     partitions BEFORE the shuffle.  Returns the metrics Dataset."""
+    import numpy as np
     import pyarrow as pa
 
     from ..stages.cells import cell_parent
-    from ..state.lineage import resumable_write
+    from ..state.lineage import completed_partitions, resumable_write
 
-    tiles = tile_pipeline(n_images, tile_res, raster_px, seed, images_ds)
+    config_hash = f"n={n_images},res={tile_res},px={raster_px},seed={seed}"
+
+    # push the done-partition filter into the clip stage: a resumed run
+    # skips the exact clip + rasterize for committed partitions, not
+    # just their writes (gen/footprint/cover still stream — input-level
+    # skipping would need partition-aligned input files)
+    done = {np.uint64(p) for p in completed_partitions(out_dir, config_hash)}
+    fp = footprints_dataset(n_images, seed, images_ds)
+    clips = fp.map_batches(
+        TileJoinClip(tile_res, mode="exact").with_skip_parts(done, part_steps=2),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    partials = clips.map_batches(
+        RasterizePartial(raster_px), batch_format="pyarrow", zero_copy_batch=True
+    )
+    tiles = partials.groupby("tile_id").map_groups(
+        merge_rasters, batch_format="pyarrow"
+    ).map_batches(vectorize_tiles_batch, batch_format="pyarrow")
 
     def add_part(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -84,5 +103,4 @@ def tile_pipeline_resumable(
         return batch.append_column("part", pa.array(part))
 
     keyed = tiles.map_batches(add_part, batch_format="pyarrow")
-    config_hash = f"n={n_images},res={tile_res},px={raster_px},seed={seed}"
     return resumable_write(keyed, out_dir, part_col="part", config_hash=config_hash)

@@ -61,6 +61,19 @@ class TileJoinClip:
             raise ValueError(mode)
         self.tile_res = tile_res
         self.mode = mode
+        # resume pushdown: (image, tile) pairs whose output partition
+        # (cell_parent(tile, part_steps)) is already committed are
+        # dropped HERE, before the exact clip — so a resumed run skips
+        # the expensive compute, not just the writes
+        self.skip_parts = None
+        self.part_steps = 2
+
+    def with_skip_parts(self, skip_parts, part_steps: int = 2):
+        self.skip_parts = (
+            np.array(sorted(skip_parts), dtype=np.uint64) if skip_parts else None
+        )
+        self.part_steps = part_steps
+        return self
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         row_idx, tiles = cover_bbox(
@@ -70,6 +83,13 @@ class TileJoinClip:
             batch["maxy"].to_numpy(),
             self.tile_res,
         )
+        if self.skip_parts is not None and len(row_idx):
+            from .cells import cell_parent
+
+            parts = cell_parent(tiles, self.part_steps)
+            keep_mask = ~np.isin(parts, self.skip_parts)
+            row_idx = row_idx[keep_mask]
+            tiles = tiles[keep_mask]
         image_ids = batch["image_id"].take(pa.array(row_idx))
         tile_col = pa.array(tiles.view(np.int64), pa.int64())
 
