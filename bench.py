@@ -60,6 +60,9 @@ def bench_list():
         "dedup_exact",
         "text_stats",
         "ann_topk",
+        "ann_ivf",
+        "ann_lsh",
+        "asof_join",
         "minhash_near_dup",
         "simhash_pairs",
         "image_features",

@@ -766,6 +766,74 @@ Q_HASH_SAMPLE_SQL = """
 """
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (custom operator Ray Data lacks): each 'click' event
+    is matched to the latest 'view' event of the same user at or before
+    its timestamp.  groupby(user_id) co-locates each user's stream; the
+    per-group kernel sorts once and binary-searches (searchsorted) —
+    the documented partitioning assumption is that one user's events
+    fit in a group.  Value-exact vs DuckDB ASOF JOIN."""
+
+    def asof(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        etype = np.asarray(group["event_type"].to_pylist())
+        eid = group["event_id"].to_numpy()
+        value = group["value"].to_numpy()
+
+        lmask = etype == "click"
+        rmask = etype == "view"
+        if not lmask.any() or not rmask.any():
+            return pa.schema(
+                [
+                    pa.field("click_id", pa.int64()),
+                    pa.field("view_id", pa.int64()),
+                    pa.field("lag_us", pa.int64()),
+                    pa.field("view_value_c", pa.int64()),
+                ]
+            ).empty_table()
+
+        lt, lid = ts[lmask], eid[lmask]
+        # stable sort by (ts, event_id) so ties pick a deterministic view
+        r_order = np.lexsort((eid[rmask], ts[rmask]))
+        rt = ts[rmask][r_order]
+        rid = eid[rmask][r_order]
+        rv = value[rmask][r_order]
+
+        pos = np.searchsorted(rt, lt, side="right") - 1
+        hit = pos >= 0
+        pos = pos[hit]
+        return pa.table(
+            {
+                "click_id": pa.array(lid[hit], pa.int64()),
+                "view_id": pa.array(rid[pos], pa.int64()),
+                "lag_us": pa.array(lt[hit] - rt[pos], pa.int64()),
+                "view_value_c": pa.array(_cents(rv[pos])),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    return ds.groupby("user_id").map_groups(asof, batch_format="pyarrow")
+
+
+Q_ASOF_JOIN_SQL = """
+    WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
+         v AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+                      row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+               FROM events WHERE event_type = 'view')
+    SELECT c.event_id AS click_id,
+           w.event_id AS view_id,
+           CAST(c.t - w.t AS BIGINT) AS lag_us,
+           w.value_c AS view_value_c
+    FROM c
+    JOIN LATERAL (
+      SELECT v.event_id, v.t, v.value_c
+      FROM v WHERE v.user_id = c.user_id AND v.t <= c.t
+      ORDER BY v.t DESC, v.rn DESC LIMIT 1
+    ) w ON TRUE
+"""
+
+
 # ------------------------------------------------------------------ documents
 
 
@@ -853,6 +921,50 @@ Q_ANN_TOPK_SQL = f"""
 
 
 # ---------------------------------------------------------- non-SQL (rows-only)
+
+
+def _ann_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = np.asarray(qt["vec_id"].to_numpy()) < 5
+    q_ids = qt["vec_id"].to_numpy()[mask]
+    emb = qt["embedding"].combine_chunks()
+    qmat = (
+        emb.values.to_numpy(zero_copy_only=False)
+        .reshape(len(qt), -1)[mask]
+        .astype(np.float64)
+    )
+    return q_ids, qmat
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN (the scale path): centroids trained on a driver-side
+    sample, vectors bucketed into inverted lists inside map_batches,
+    queries probe their nprobe nearest lists.  Approximate — rows-only;
+    tests pin recall vs the brute-force baseline."""
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import ivf_topk, train_ivf_centroids
+
+    sample = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )["embedding"].combine_chunks()
+    smat = sample.values.to_numpy(zero_copy_only=False).reshape(len(sample), -1)
+    centroids = train_ivf_centroids(smat[:2000].astype(np.float64), n_centroids=16)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, _ann_queries(sf_dir), ANN_K, centroids, nprobe=4)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_ann_lsh(sf_dir: str):
+    """Sign-LSH bucketed ANN (alternative scale path) — rows-only."""
+    from ..stages.ann import lsh_bucketed_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = lsh_bucketed_topk(ds, _ann_queries(sf_dir), ANN_K, n_bits=4)
+    return out.select_columns(["query_id", "vec_id", "rank"])
 
 
 def q_minhash_near_dup(sf_dir: str):
@@ -1242,9 +1354,12 @@ def build_queries():
         "events_window": q_events_window,
         "sessions": q_sessions,
         "hash_sample": q_hash_sample,
+        "asof_join": q_asof_join,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
@@ -1273,6 +1388,7 @@ def build_oracle_sql():
         "events_window": Q_EVENTS_WINDOW_SQL,
         "sessions": Q_SESSIONS_SQL,
         "hash_sample": Q_HASH_SAMPLE_SQL,
+        "asof_join": Q_ASOF_JOIN_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "text_stats": Q_TEXT_STATS_SQL,
         "ann_topk": Q_ANN_TOPK_SQL,

@@ -149,3 +149,75 @@ def lsh_bucketed_topk(embeddings_ds, queries, k: int, dim: int = 64, n_bits: int
     return cands.groupby("query_id").map_groups(
         TopKPerQuery(k), batch_format="pyarrow"
     )
+
+
+def train_ivf_centroids(matrix: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side SAMPLE (at 100 TB
+    you train on ~1M sampled rows, never the full table).  Returns unit
+    centroids (n_centroids, D)."""
+    rng = np.random.default_rng(seed)
+    unit = matrix / np.maximum(np.linalg.norm(matrix, axis=1, keepdims=True), 1e-12)
+    cent = unit[rng.choice(len(unit), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(unit @ cent.T, axis=1)
+        for c in range(n_centroids):
+            members = unit[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(embeddings_ds, queries, k: int, centroids: np.ndarray, nprobe: int = 4):
+    """IVF ANN: rows are bucketed by nearest centroid (the inverted
+    lists); each query probes only its ``nprobe`` nearest lists.
+
+    PARTITIONING ASSUMPTION: recall bounded by nprobe/n_centroids (the
+    standard IVF trade); brute_force_topk is the ground truth.  The
+    centroid matrix is broadcast once (small); assignment and probing
+    are numpy matmuls inside map_batches."""
+    query_ids, qmat = queries
+    qunit = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qsims = qunit @ centroids.T
+    nprobe = min(nprobe, centroids.shape[0])
+    probed = np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe]
+    by_centroid: dict = {}
+    for qi in range(len(query_ids)):
+        for c in probed[qi]:
+            by_centroid.setdefault(int(c), []).append(qi)
+
+    import ray
+
+    cent_ref = ray.put(centroids)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        vecs = _embedding_matrix(batch["embedding"]).astype(np.float64)
+        ids = batch["vec_id"].to_numpy()
+        unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(unit @ cent.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for c, q_idxs in by_centroid.items():
+            mask = assign == c
+            if not mask.any():
+                continue
+            sims = qunit[q_idxs] @ unit[mask].T
+            sub_ids = ids[mask]
+            for row, qi in enumerate(q_idxs):
+                out_q.extend([query_ids[qi]] * len(sub_ids))
+                out_v.extend(sub_ids.tolist())
+                out_s.extend(sims[row].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cands = embeddings_ds.map_batches(probe, batch_format="pyarrow")
+    return cands.groupby("query_id").map_groups(
+        TopKPerQuery(k), batch_format="pyarrow"
+    )

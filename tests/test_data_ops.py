@@ -185,3 +185,50 @@ def test_brute_force_topk(emb):
     order = np.lexsort((ids, -sims))[:5]
     assert merged["vec_id"].to_pylist() == ids[order].tolist()
     assert merged["rank"].to_pylist() == [1, 2, 3, 4, 5]
+
+
+def test_ivf_ann_recall(ray_session):
+    """IVF ANN finds the exact self-match and achieves nontrivial
+    recall vs the brute-force ground truth (random vectors are the
+    worst case for IVF — recall here is a floor, not a target)."""
+    import numpy as np
+    import ray.data as rd
+
+    from rust_geo_booleanop_ray.pipelines.queries import _ann_queries
+    from rust_geo_booleanop_ray.stages.ann import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = _ann_queries(sf)
+
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])[
+        "embedding"
+    ].combine_chunks()
+    smat = emb.values.to_numpy(zero_copy_only=False).reshape(len(emb), -1)
+    centroids = train_ivf_centroids(smat.astype(np.float64), n_centroids=8)
+
+    truth = brute_force_topk(ds, queries, 10).take_all()
+    approx = ivf_topk(ds, queries, 10, centroids, nprobe=3).take_all()
+
+    t_by_q = {}
+    for r in truth:
+        t_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    a_by_q = {}
+    for r in approx:
+        a_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    recalls = []
+    for q, tset in t_by_q.items():
+        aset = a_by_q.get(q, set())
+        recalls.append(len(aset & tset) / len(tset))
+    # self-match (cosine 1.0) must always be found: the query's own
+    # vector lives in the probed centroid by construction
+    for q in t_by_q:
+        assert q in a_by_q and q in a_by_q[q]
+    assert np.mean(recalls) >= 0.2, np.mean(recalls)
