@@ -881,18 +881,10 @@ Q_TEXT_STATS_SQL = f"""
 
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 for query vectors (vec_id < 5)."""
-    import pyarrow.parquet as pq
-
     from ..stages.ann import brute_force_topk
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    mask = np.asarray(qt["vec_id"].to_numpy()) < 5
-    q_ids = qt["vec_id"].to_numpy()[mask]
-    emb = qt["embedding"].combine_chunks()
-    qmat = emb.values.to_numpy(zero_copy_only=False).reshape(len(qt), -1)[mask].astype(np.float64)
-
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = brute_force_topk(ds, (q_ids, qmat), ANN_K)
+    out = brute_force_topk(ds, _ann_queries(sf_dir), ANN_K)
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -926,13 +918,18 @@ Q_ANN_TOPK_SQL = f"""
 def _ann_queries(sf_dir: str):
     import pyarrow.parquet as pq
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    mask = np.asarray(qt["vec_id"].to_numpy()) < 5
-    q_ids = qt["vec_id"].to_numpy()[mask]
+    # predicate pushdown: only row groups containing the query ids are
+    # read — never the whole embedding column (wrong at 100 TB)
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    q_ids = qt["vec_id"].to_numpy()
     emb = qt["embedding"].combine_chunks()
     qmat = (
         emb.values.to_numpy(zero_copy_only=False)
-        .reshape(len(qt), -1)[mask]
+        .reshape(len(qt), -1)
         .astype(np.float64)
     )
     return q_ids, qmat
@@ -947,9 +944,17 @@ def q_ann_ivf(sf_dir: str):
 
     from ..stages.ann import ivf_topk, train_ivf_centroids
 
-    sample = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
-    )["embedding"].combine_chunks()
+    # train on the FIRST row groups only (a bounded sample), not the
+    # whole column — the IVF training set stays O(sample) at any scale
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batches = []
+    got = 0
+    for b in pf.iter_batches(batch_size=1024, columns=["embedding"]):
+        batches.append(b)
+        got += b.num_rows
+        if got >= 2000:
+            break
+    sample = pa.Table.from_batches(batches)["embedding"].combine_chunks()
     smat = sample.values.to_numpy(zero_copy_only=False).reshape(len(sample), -1)
     centroids = train_ivf_centroids(smat[:2000].astype(np.float64), n_centroids=16)
 
