@@ -148,9 +148,15 @@ class KnnWithinCell:
         d2[self_mask] = np.inf
 
         k = min(self.k, d2.shape[1])
-        part = np.argpartition(d2, k - 1, axis=1)[:, :k]
+        # Deterministic tie-break (dist, neighbor_id): a plain
+        # argpartition keeps an ARBITRARY subset of equidistant
+        # candidates at the k boundary, silently dropping ones the
+        # global merge would rank — per-row lexsort instead.
+        cols = np.empty((d2.shape[0], k), dtype=np.int64)
+        for r in range(d2.shape[0]):
+            cols[r] = np.lexsort((pid, d2[r]))[:k]
         rows = np.repeat(np.arange(d2.shape[0]), k)
-        cols = part.ravel()
+        cols = cols.ravel()
         dists = np.sqrt(d2[rows, cols])
         keep = np.isfinite(dists)
         return pa.table(
