@@ -53,7 +53,11 @@ class BruteForceTopK:
                 np.asarray(self.query_ids)[:, None] == ids[None, :], -np.inf, sims
             )
         k = min(self.k, sims.shape[1])
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        # deterministic tie-break (-cosine, vec_id) — argpartition keeps
+        # an arbitrary subset of tied candidates at the k boundary
+        part = np.empty((sims.shape[0], k), dtype=np.int64)
+        for r in range(sims.shape[0]):
+            part[r] = np.lexsort((ids, -sims[r]))[:k]
         q_idx = np.repeat(np.arange(sims.shape[0]), k)
         v_idx = part.ravel()
         vals = sims[q_idx, v_idx]
