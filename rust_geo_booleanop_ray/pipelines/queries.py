@@ -359,9 +359,12 @@ def q_pip_join_skew(sf_dir: str):
             }
         )
 
+    # materialized once: both the counting pre-pass and the join read
+    # these blocks from the object store instead of re-running the
+    # read+explode (the rect side is the bounded side of this join)
     rects = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
         rect_rows, batch_format="pyarrow"
-    )
+    ).materialize()
 
     # ---- pre-pass: per-batch partial cell counts → tiny driver merge
     def cell_counts(batch: pa.Table) -> pa.Table:
