@@ -82,11 +82,14 @@ class BooleanOpBatch:
         self.subject_col = subject_col
         self.clipping_col = clipping_col
         self.result_col = result_col
-        # mode='auto': route convex-subject ∩ axis-rect-clipping rows
-        # through Sutherland–Hodgman (exact for that input class) and
-        # keep the Martinez sweep for everything else.  mode='exact'
-        # (default) always runs the sweep — required wherever bit-for-bit
-        # golden parity of vertex ORDER matters (the fixture suite).
+        # mode='auto': in the PYTHON fallback path, route convex-subject
+        # ∩ axis-rect-clipping rows through Sutherland–Hodgman (exact
+        # for that input class) and keep the Martinez sweep for the
+        # rest.  With the native batch kernel available the whole batch
+        # goes through one C call regardless of mode (it is faster than
+        # the per-row convex path and produces canonical Martinez
+        # output).  mode='exact' documents call sites that REQUIRE
+        # bit-for-bit golden vertex order (the fixture suite).
         self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
