@@ -96,13 +96,74 @@ class TileJoinClip:
         if self.mode == "assign":
             return pa.table({"image_id": image_ids, "tile_id": tile_col})
 
-        mps = arrow_to_mps(batch["footprint"])
         bminx = batch["minx"].to_numpy()
         bminy = batch["miny"].to_numpy()
         bmaxx = batch["maxx"].to_numpy()
         bmaxy = batch["maxy"].to_numpy()
-        is_convex = [is_single_convex_ring(mp) for mp in mps]
+
+        # Native whole-batch path: ONE C call clips every candidate
+        # (footprint, tile-rect) pair; only strictly-contained pairs
+        # (intersection == footprint) bypass it.  Falls back to the
+        # per-row convex/Martinez loop without a native kernel.
+        from ..native import native_boolean_batch
+
         tile_bounds_cache: dict = {}
+        contained = np.zeros(len(row_idx), dtype=bool)
+        for j in range(len(row_idx)):
+            i = row_idx[j]
+            t = int(tiles[j])
+            tb = tile_bounds_cache.get(t)
+            if tb is None:
+                tb = tile_bounds_cache[t] = cell_bounds(t)
+            tx0, ty0, tx1, ty1 = tb
+            contained[j] = (
+                bminx[i] > tx0 and bmaxx[i] < tx1 and bminy[i] > ty0 and bmaxy[i] < ty1
+            )
+        need = ~contained
+        if need.any():
+            fp_col = batch["footprint"]
+            if isinstance(fp_col, pa.ChunkedArray):
+                fp_col = fp_col.combine_chunks()
+            sub_idx = pa.array(np.asarray(row_idx)[need])
+            subj = fp_col.take(sub_idx)
+            clip_rects = mps_to_arrow(
+                [_tile_multipolygon(int(t)) for t in tiles[need]]
+            )
+            res = native_boolean_batch(subj, clip_rects, ["intersection"] * len(clip_rects))
+        else:
+            res = mps_to_arrow([])
+
+        if res is not None:
+            res_mps = arrow_to_mps(res)
+            mps = arrow_to_mps(fp_col) if need.any() else arrow_to_mps(batch["footprint"])
+            clips, areas, keep = [], [], []
+            ri = 0
+            for j in range(len(row_idx)):
+                if contained[j]:
+                    fp = mps[row_idx[j]]
+                    keep.append(j)
+                    clips.append(fp)
+                    areas.append(abs(shoelace_area(fp)))
+                else:
+                    clipped = res_mps[ri]
+                    ri += 1
+                    if clipped:
+                        keep.append(j)
+                        clips.append(clipped)
+                        areas.append(abs(shoelace_area(clipped)))
+            keep_arr = pa.array(np.asarray(keep, dtype=np.int64))
+            return pa.table(
+                {
+                    "image_id": image_ids.take(keep_arr),
+                    "tile_id": tile_col.take(keep_arr),
+                    "clip": mps_to_arrow(clips),
+                    "clip_area": pa.array(areas, pa.float64()),
+                }
+            )
+
+        # ---- pure-Python fallback (no native kernel) ----
+        mps = arrow_to_mps(batch["footprint"])
+        is_convex = [is_single_convex_ring(mp) for mp in mps]
         clips, areas, keep = [], [], []
         for j in range(len(row_idx)):
             i = row_idx[j]
