@@ -71,6 +71,7 @@ def bench_list():
         "quality_filter",
         "lang_id",
         "ngram_dedup",
+        "poly_clip",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

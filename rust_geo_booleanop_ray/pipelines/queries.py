@@ -1097,6 +1097,66 @@ def q_image_features(sf_dir: str):
     return feats.map_batches(check, batch_format="pyarrow")
 
 
+def q_poly_clip(sf_dir: str):
+    """Footprints × an irregular broadcast polygon set via the warm
+    R-tree actor stage (BroadcastPolyJoinClip): per-region piece counts
+    + integer clipped-area sums (the native kernel clips rotated quads
+    — not SQL-expressible, rows-only)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..pipelines.flagship import footprints_dataset
+    from ..stages.cells import cell_encode, cell_polygon
+    from ..stages.join_clip import BroadcastPolyJoinClip
+    from ..sources.arrow_geom import mp_bounds, mps_to_arrow
+
+    # a deterministic irregular region set: 24 cells at mixed
+    # resolutions (coarse + fine) spread over the world
+    region_ids = [int(c) for c in cell_encode(
+        np.linspace(-150, 150, 12), np.linspace(-70, 70, 12), 3
+    )] + [int(c) for c in cell_encode(
+        np.linspace(-120, 120, 12), np.linspace(60, -60, 12), 5
+    )]
+    region_ids = sorted(set(region_ids))
+    geoms = [cell_polygon(c) for c in region_ids]
+    bounds = [mp_bounds(g) for g in geoms]
+    polys = pa.table(
+        {
+            "tile_id": pa.array(region_ids, pa.int64()),
+            "geom": mps_to_arrow(geoms),
+            "minx": pa.array([b[0] for b in bounds]),
+            "miny": pa.array([b[1] for b in bounds]),
+            "maxx": pa.array([b[2] for b in bounds]),
+            "maxy": pa.array([b[3] for b in bounds]),
+        }
+    )
+    polys_ref = ray.put(polys)
+
+    fp = footprints_dataset(2000)
+    out = fp.map_batches(
+        BroadcastPolyJoinClip,
+        fn_constructor_kwargs={"polys": polys_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "region_id": batch["tile_id"],
+                "area_e6": pa.array(
+                    np.round(batch["clip_area"].to_numpy() * 1e6).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        out.map_batches(to_int, batch_format="pyarrow")
+        .groupby("region_id")
+        .aggregate(Count(alias_name="n_pieces"), Sum("area_e6", alias_name="area_e6"))
+    )
+
+
 def q_tile_coverage(sf_dir: str):
     """Flagship tiling pipeline summary (vector tiles + coverage)."""
     from .flagship import tile_pipeline
@@ -1375,6 +1435,7 @@ def build_queries():
         "martinez_fixtures": q_martinez_fixtures,
         "image_features": q_image_features,
         "tile_coverage": q_tile_coverage,
+        "poly_clip": q_poly_clip,
         "revenue_by_nation": q_revenue_by_nation,
         "order_priority": q_order_priority,
         "quality_filter": q_quality_filter,
