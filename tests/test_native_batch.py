@@ -66,3 +66,18 @@ def test_stage_routes_through_batch():
     out = BooleanOpBatch("intersection")(batch)
     mps = arrow_to_mps(out["result"])
     assert mps == [[[[(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0)]]]] * 3
+
+
+def test_batch_empty_inputs_match_python():
+    """Empty multipolygon operands take the bbox-disjoint trivial path
+    in both kernels with identical results."""
+    from rust_geo_booleanop_ray.geom.boolean_op import boolean_op_python
+
+    A = [[[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]]]
+    E = []
+    for s, c in [(A, E), (E, A), (E, E)]:
+        for op in ("intersection", "union", "difference", "xor"):
+            got = arrow_to_mps(
+                native_boolean_batch(mps_to_arrow([s]), mps_to_arrow([c]), [op])
+            )[0]
+            assert got == boolean_op_python(s, c, op)
