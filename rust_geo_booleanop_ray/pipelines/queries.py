@@ -741,7 +741,13 @@ def q_hash_sample(sf_dir: str):
 
     def sample(batch: pa.Table) -> pa.Table:
         keys = batch["o_orderkey"].to_numpy().astype(np.uint64)
-        h = (keys * np.uint64(2654435761)) % np.uint64(4294967296)
+        # reduce mod 2^32 BEFORE multiplying: (2^32-1)*2654435761 < 2^64
+        # so the uint64 product is exact, matching the SQL side's
+        # arbitrary-precision arithmetic at any key magnitude (an
+        # unreduced key > ~6.9e9 would wrap here but not in DuckDB)
+        h = ((keys % np.uint64(4294967296)) * np.uint64(2654435761)) % np.uint64(
+            4294967296
+        )
         keep = (h % np.uint64(100)) < 5
         kept = batch.filter(pa.array(keep))
         return pa.table(
@@ -764,7 +770,7 @@ Q_HASH_SAMPLE_SQL = """
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
     FROM orders
-    WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < 5
+    WHERE (((o_orderkey % 4294967296) * 2654435761) % 4294967296) % 100 < 5
     GROUP BY o_orderstatus
 """
 

@@ -37,6 +37,13 @@ def broadcast_join(ds, small_table: pa.Table, key: str, value_cols, batch_format
     def attach(batch: pa.Table) -> pa.Table:
         small = ray.get(small_ref)
         skeys = small[key].to_numpy()
+        if len(skeys) == 0:
+            # empty build side → empty inner join (searchsorted below
+            # would index order[-1] into an empty array)
+            out = batch.slice(0, 0)
+            for col in value_cols:
+                out = out.append_column(col, small[col].slice(0, 0))
+            return out
         bkeys = batch[key].to_numpy()
         order = np.argsort(skeys, kind="stable")
         pos = np.searchsorted(skeys[order], bkeys)
@@ -94,10 +101,23 @@ def shuffle_hash_join(
     for c in right_cols:
         types[c] = rschema.base_schema.field(c).type
     key_type = lschema.base_schema.field(key).type
+    # the Fibonacci bucket hash below assumes non-null integer keys:
+    # to_numpy on a null-bearing or non-integer key yields floats /
+    # objects and NaN→uint64 casting is platform-dependent (equal keys
+    # could land in different buckets and silently drop matches)
+    if not pa.types.is_integer(key_type):
+        raise TypeError(
+            f"shuffle_hash_join key {key!r} must be an integer column, got {key_type}"
+        )
 
     def tag_typed(side_cols, tag_value):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
+            if batch[key].null_count:
+                raise ValueError(
+                    f"shuffle_hash_join key {key!r} contains nulls; "
+                    "filter or fill_null before joining"
+                )
             keys = batch[key].to_numpy(zero_copy_only=False)
             cols = {key: batch[key]}
             for c in all_cols:

@@ -39,16 +39,20 @@ class RasterizeTile:
         gx = gx.ravel()
         gy = gy.ravel()
 
-        counts = np.zeros(px * px, dtype=np.uint16)
+        # accumulate in uint32 — a pixel covered by >65535 pieces must
+        # saturate on the uint16 wire, never wrap to 0 (wrap would
+        # undercount coverage_fraction)
+        counts = np.zeros(px * px, dtype=np.uint32)
         for mp in arrow_to_mps(group["clip"]):
-            counts += points_in_multipolygon(gx, gy, mp).astype(np.uint16)
+            counts += points_in_multipolygon(gx, gy, mp).astype(np.uint32)
 
         covered = int((counts > 0).sum())
+        wire = np.minimum(counts, 65535).astype(np.uint16)
         return pa.table(
             {
                 "tile_id": pa.array([tile_id], pa.int64()),
                 "px": pa.array([px], pa.int32()),
-                "raster": pa.array([counts.tobytes()], pa.binary()),
+                "raster": pa.array([wire.tobytes()], pa.binary()),
                 "n_pieces": pa.array([group.num_rows], pa.int64()),
                 "coverage_fraction": pa.array([covered / (px * px)], pa.float64()),
             }
@@ -94,17 +98,21 @@ class RasterizePartial:
             gx, gy = self._grid(tid)
             counts = acc.get(tid)
             if counts is None:
-                counts = np.zeros(px * px, dtype=np.uint16)
+                # uint32 accumulator; saturate to the uint16 wire below
+                counts = np.zeros(px * px, dtype=np.uint32)
                 acc[tid] = counts
                 pieces[tid] = 0
-            counts += points_in_multipolygon(gx, gy, mp).astype(np.uint16)
+            counts += points_in_multipolygon(gx, gy, mp).astype(np.uint32)
             pieces[tid] += 1
         tids = sorted(acc)
         return pa.table(
             {
                 "tile_id": pa.array(tids, pa.int64()),
                 "px": pa.array([px] * len(tids), pa.int32()),
-                "raster": pa.array([acc[t].tobytes() for t in tids], pa.binary()),
+                "raster": pa.array(
+                    [np.minimum(acc[t], 65535).astype(np.uint16).tobytes() for t in tids],
+                    pa.binary(),
+                ),
                 "n_pieces": pa.array([pieces[t] for t in tids], pa.int64()),
             }
         )
@@ -114,15 +122,19 @@ def merge_rasters(group: pa.Table) -> pa.Table:
     """map_groups merge of RasterizePartial outputs for one tile."""
     tile_id = int(group["tile_id"][0].as_py())
     px = int(group["px"][0].as_py())
-    counts = np.zeros(px * px, dtype=np.uint16)
+    # uint32 accumulation: summing many uint16 partials must not wrap
+    # (a pixel wrapping to 0 mod 65536 would silently undercount
+    # coverage_fraction); the merged wire saturates at the uint16 max
+    counts = np.zeros(px * px, dtype=np.uint32)
     for buf in group["raster"].to_pylist():
-        counts += np.frombuffer(buf, dtype=np.uint16)
+        counts += np.frombuffer(buf, dtype=np.uint16).astype(np.uint32)
     covered = int((counts > 0).sum())
+    wire = np.minimum(counts, 65535).astype(np.uint16)
     return pa.table(
         {
             "tile_id": pa.array([tile_id], pa.int64()),
             "px": pa.array([px], pa.int32()),
-            "raster": pa.array([counts.tobytes()], pa.binary()),
+            "raster": pa.array([wire.tobytes()], pa.binary()),
             "n_pieces": pa.array([int(group["n_pieces"].to_numpy().sum())], pa.int64()),
             "coverage_fraction": pa.array([covered / (px * px)], pa.float64()),
         }

@@ -194,3 +194,28 @@ def test_convex_clip_matches_martinez_randomized():
         mz = boolean_op([[ring]], tile_poly, "intersection")
         a_mz = abs(shoelace_area(mz)) if mz else 0.0
         assert abs(a_sh - a_mz) <= 1e-9 * max(1.0, a_mz)
+
+
+def test_merge_rasters_saturates_instead_of_wrapping():
+    """Pixel counts past the uint16 max must saturate, not wrap to 0
+    (a wrap would undercount coverage_fraction)."""
+    from rust_geo_booleanop_ray.stages.tiles import merge_rasters
+
+    tile_id = int(cell_encode(np.array([0.0]), np.array([0.0]), 3)[0])
+    px = 4
+    # two partials of 40000 per pixel: the uint16 sum would wrap to
+    # 80000 % 65536 = 14464 (nonzero) — craft a pair that wraps to 0:
+    # 32768 + 32768 = 65536 ≡ 0 (mod 2^16)
+    half = np.full(px * px, 32768, dtype=np.uint16).tobytes()
+    group = pa.table(
+        {
+            "tile_id": pa.array([tile_id, tile_id], pa.int64()),
+            "px": pa.array([px, px], pa.int32()),
+            "raster": pa.array([half, half], pa.binary()),
+            "n_pieces": pa.array([32768, 32768], pa.int64()),
+        }
+    )
+    out = merge_rasters(group)
+    assert out["coverage_fraction"][0].as_py() == 1.0
+    merged = np.frombuffer(out["raster"][0].as_py(), dtype=np.uint16)
+    assert (merged == 65535).all()  # saturated, not wrapped

@@ -82,3 +82,28 @@ def test_resumable_write_skips_committed(tmp_path):
     with open(os.path.join(out_dir, "part=0", "_lineage.json")) as f:
         meta = json.load(f)
     assert meta["rows"] == 2 and meta["config_hash"] == "cfg2"
+
+
+def test_broadcast_join_empty_small_side():
+    """An empty build side yields an empty (schema-correct) result,
+    not an IndexError from the searchsorted lookup."""
+    big = rd.from_arrow(pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
+    small = pa.table({"k": pa.array([], pa.int64()), "name": pa.array([], pa.string())})
+    out = broadcast_join(big, small, "k", ["name"])
+    assert out.take_all() == []
+    assert set(out.schema().names) == {"k", "v", "name"}
+
+
+def test_shuffle_hash_join_rejects_non_integer_key():
+    left = rd.from_arrow(pa.table({"k": ["a", "b"], "v": [1, 2]}))
+    right = rd.from_arrow(pa.table({"k": ["a", "b"], "w": [3, 4]}))
+    with pytest.raises(TypeError, match="integer"):
+        shuffle_hash_join(left, right, key="k", left_cols=["v"], right_cols=["w"])
+
+
+def test_shuffle_hash_join_rejects_null_keys():
+    left = rd.from_arrow(pa.table({"k": pa.array([1, None], pa.int64()), "v": [1, 2]}))
+    right = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()), "w": [3, 4]}))
+    out = shuffle_hash_join(left, right, key="k", left_cols=["v"], right_cols=["w"])
+    with pytest.raises(Exception, match="null"):
+        out.take_all()
