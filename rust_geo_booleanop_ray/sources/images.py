@@ -12,9 +12,10 @@ never materialized on the driver) and as a parquet writer for
 fixed-input benchmarks.
 
 Payloads are raw RGB byte planes (``fmt="raw"``) generated from a
-per-row PCG64 stream; a slice of rows is tagged ``fmt="png"`` to
-exercise the stubbed-codec path (this container has no image codecs —
-see stages/image_ops.py).
+per-row PCG64 stream; a slice of rows is tagged ``fmt="png"`` and
+carries a REAL PNG-compressed payload (functions/png.py — pure
+numpy/zlib codec), so the decode stage exercises a genuine compressed
+round trip with the per-row decoded-pixel invariant.
 """
 
 from __future__ import annotations
@@ -73,6 +74,8 @@ def synth_image_batch(indices: np.ndarray, seed: int = 42) -> pa.Table:
     hs = _SIZES[(indices // 3) % len(_SIZES)]
     fmts = np.where(indices % 11 == 0, "png", "raw")
 
+    from ..functions.png import encode_png
+
     ids, payloads, captions, phashes = [], [], [], []
     for j in range(n):
         i = int(indices[j])
@@ -80,7 +83,9 @@ def synth_image_batch(indices: np.ndarray, seed: int = 42) -> pa.Table:
         w, h = int(ws[j]), int(hs[j])
         pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         ids.append(f"img-{i:08d}")
-        payloads.append(pixels.tobytes())
+        payloads.append(
+            encode_png(pixels) if fmts[j] == "png" else pixels.tobytes()
+        )
         captions.append(
             f"{CAPTION_SUBJECTS[i % 5]} {CAPTION_PLACES[(i // 5) % 7]} "
             f"{CAPTION_EXTRAS[(i // 35) % 5]} #{i}"

@@ -1,16 +1,16 @@
 """Image decode / feature / resize stages (actor-pool map_batches).
 
 Multimodal columns are opaque ``binary`` payloads with typed metadata
-(w, h, fmt).  ``fmt="raw"`` rows decode for real (numpy frombuffer);
-compressed formats (png/jpeg) are STUBBED — this container ships no
-image codecs — behind ``DecodeStub`` which produces a deterministic
-fake decode (pure function of the payload) so the Ray-side plumbing
-(schema, batch sizing, actor signatures, output layout) is real and
-testable.  Swap ``_decode_compressed`` for a real codec in production.
+(w, h, fmt).  ``fmt="raw"`` decodes via numpy frombuffer; ``fmt="png"``
+decodes for REAL through the pure-numpy PNG codec (functions/png.py —
+zlib inflate + per-scanline None/Sub/Up/Average/Paeth reconstruction;
+no external image library).  Formats without a codec in this
+environment (e.g. jpeg) raise ``ImageCodecNotAvailable``.
 
 Per-row invariant vs the reference behavior (BASELINE.json input_hint):
-decoded-pixel allclose (PSNR ≥ 40 dB for lossy) + caption equality —
-see ``psnr`` and tests/test_image_pipeline.py.
+decoded-pixel allclose (exact for the lossless raw/png paths; PSNR ≥
+40 dB for lossy codecs) + caption equality — see ``psnr`` and
+tests/test_image_pipeline.py.
 """
 
 from __future__ import annotations
@@ -27,26 +27,30 @@ def _decode_raw(payload: bytes, w: int, h: int) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
 
 
-def _decode_compressed(payload: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """STUB — no png/jpeg codec in this environment.
-
-    Deterministic fake: expands a keyed hash of the payload into (h,w,3)
-    pixels.  Marked clearly; replace with a real codec (e.g. pillow /
-    pyarrow image ext) when available.
-    """
-    digest = np.frombuffer(payload[: w * h * 3], dtype=np.uint8)
-    if len(digest) < w * h * 3:  # payload shorter than plane: tile it
-        reps = -(-(w * h * 3) // max(1, len(digest)))
-        digest = np.tile(digest, reps)[: w * h * 3]
-    return digest.reshape(h, w, 3)
-
-
 def decode_image(payload: bytes, w: int, h: int, fmt: str, strict: bool = False) -> np.ndarray:
+    """Decode one payload → (h, w, 3) uint8 pixels.
+
+    ``strict`` is kept for API compatibility; every supported format
+    decodes for real, so it no longer changes behavior.
+    """
     if fmt == "raw":
         return _decode_raw(payload, w, h)
-    if strict:
-        raise ImageCodecNotAvailable(f"no codec for fmt={fmt!r} in this environment")
-    return _decode_compressed(payload, w, h, fmt)
+    if fmt == "png":
+        from ..functions.png import decode_png
+
+        px = decode_png(payload)
+        if px.shape[0] != h or px.shape[1] != w:
+            raise ValueError(
+                f"PNG dims {px.shape[1]}x{px.shape[0]} disagree with metadata {w}x{h}"
+            )
+        if px.shape[2] == 3:
+            return px
+        if px.shape[2] == 1:  # grayscale → replicate channels
+            return np.repeat(px, 3, axis=2)
+        if px.shape[2] == 2:  # gray+alpha → replicate luma, drop alpha
+            return np.repeat(px[:, :, :1], 3, axis=2)
+        return px[:, :, :3]  # RGBA → drop alpha
+    raise ImageCodecNotAvailable(f"no codec for fmt={fmt!r} in this environment")
 
 
 def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

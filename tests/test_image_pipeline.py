@@ -37,20 +37,36 @@ def test_schema_matches_input_hint():
 
 
 def test_decode_roundtrip_invariant():
-    """Per-row invariant: decoded pixels allclose (exact for raw) and
-    caption equality; recomputed phash matches the stored one."""
+    """Per-row invariant: decoded pixels exact (raw AND png are both
+    lossless real decodes now) and caption equality; recomputed phash
+    matches the stored one for EVERY row."""
     t = synth_image_batch(np.arange(40))
     feats = DecodeFeatures()(t)
-    raw_rows = [i for i in range(40) if t["fmt"][i].as_py() == "raw"]
-    assert raw_rows
-    for i in raw_rows:
-        assert feats["phash_decoded"][i].as_py() == t["phash"][i].as_py()
+    png_rows = [i for i in range(40) if t["fmt"][i].as_py() == "png"]
+    assert png_rows  # the compressed path is exercised
+    assert feats["phash_decoded"].to_pylist() == t["phash"].to_pylist()
     assert feats["caption"].to_pylist() == t["caption"].to_pylist()
     # PSNR of identical decode is inf >= 40
     px = decode_image(
         t["bytes"][0].as_py(), t["w"][0].as_py(), t["h"][0].as_py(), "raw"
     )
     assert psnr(px, px) == float("inf")
+
+
+def test_png_rows_decode_to_generator_pixels():
+    """fmt='png' payloads are REAL PNGs whose decode reproduces the
+    exact pixel plane the generator drew (per-row lossless invariant)."""
+    t = synth_image_batch(np.arange(0, 45, 11))  # indices % 11 == 0 → png
+    assert set(t["fmt"].to_pylist()) == {"png"}
+    for i in range(t.num_rows):
+        w, h = t["w"][i].as_py(), t["h"][i].as_py()
+        payload = t["bytes"][i].as_py()
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        px = decode_image(payload, w, h, "png")
+        idx = int(t["image_id"][i].as_py()[4:])
+        rng = np.random.Generator(np.random.PCG64(42 * 1_000_003 + idx))
+        expected = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (px == expected).all()
 
 
 def test_resize_nearest():
