@@ -109,6 +109,24 @@ def flat_to_arrow(xy, ring_sizes, poly_ring_counts, mp_poly_counts) -> pa.ListAr
     return pa.ListArray.from_arrays(pa.array(mp_off, pa.int32()), polys)
 
 
+def rects_to_arrow(minx, miny, maxx, maxy) -> pa.ListArray:
+    """Vectorized axis-aligned rects → multipolygon column (one closed
+    CCW 5-point ring per rect, offsets built directly — no per-row
+    Python)."""
+    n = len(minx)
+    xs = np.stack([minx, maxx, maxx, minx, minx], axis=1)
+    ys = np.stack([miny, miny, maxy, maxy, miny], axis=1)
+    coords = np.empty((n * 5, 2))
+    coords[:, 0] = xs.ravel()
+    coords[:, 1] = ys.ravel()
+    coord_arr = pa.FixedSizeListArray.from_arrays(pa.array(coords.ravel()), 2)
+    ring = pa.ListArray.from_arrays(
+        pa.array(np.arange(n + 1, dtype=np.int32) * 5), coord_arr
+    )
+    one = pa.array(np.arange(n + 1, dtype=np.int32))
+    return pa.ListArray.from_arrays(one, pa.ListArray.from_arrays(one, ring))
+
+
 def mp_bounds(mp):
     """bbox of one multipolygon: (minx, miny, maxx, maxy)."""
     minx = miny = np.inf
@@ -176,6 +194,57 @@ def arrow_mp_bounds(arr: pa.Array):
                 maxx[i] = seg[:, 0].max()
                 maxy[i] = seg[:, 1].max()
     return {"minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy}
+
+
+def arrow_mp_areas(arr: pa.Array) -> np.ndarray:
+    """Vectorized per-row structural areas of a multipolygon column.
+
+    Same definition as ``shoelace_area`` (|exterior| − Σ|holes| per
+    polygon, winding-independent) computed from the flat coordinate
+    buffer with reduceat — the per-ring and per-row summation orders
+    match the scalar loop, so results are bit-for-bit identical.
+    Empty rows get 0.0.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    coords, ring_off, poly_off, mp_off = arrow_mp_offsets(arr)
+    out = np.zeros(n, dtype=np.float64)
+    if len(coords) == 0:
+        return out
+    x = coords[:, 0]
+    y = coords[:, 1]
+    # consecutive-pair cross terms over the whole buffer; the pair that
+    # straddles a ring boundary is subtracted back out per ring below
+    cross = np.empty(len(x), dtype=np.float64)
+    cross[:-1] = x[:-1] * y[1:] - x[1:] * y[:-1]
+    cross[-1] = 0.0
+    starts = ring_off[:-1].astype(np.int64)
+    ends = ring_off[1:].astype(np.int64)
+    ring_sums = np.add.reduceat(cross, starts)
+    ring_sums = ring_sums - cross[np.maximum(ends - 1, 0)]
+    ring_abs = np.abs(ring_sums) / 2.0
+    # first ring of each polygon adds, holes subtract
+    sign = np.full(len(starts), -1.0)
+    first_ring = poly_off[:-1].astype(np.int64)
+    sign[first_ring[first_ring < len(sign)]] = 1.0
+    vals = ring_abs * sign
+    mp_ring_start = poly_off[mp_off[:-1]].astype(np.int64)
+    mp_ring_end = poly_off[mp_off[1:]].astype(np.int64)
+    nonempty = mp_ring_end > mp_ring_start
+    idx = np.flatnonzero(nonempty)
+    if len(idx):
+        # rows between selected starts contribute no rings, so the
+        # reduceat segments are exactly each row's ring range; a sliced
+        # array may carry trailing rings beyond the last row — cap the
+        # final segment with a sentinel start
+        sel = mp_ring_start[idx]
+        bound = mp_ring_end[idx[-1]]
+        if bound < len(vals):
+            out[idx] = np.add.reduceat(vals, np.append(sel, bound))[:-1]
+        else:
+            out[idx] = np.add.reduceat(vals, sel)
+    return out
 
 
 def shoelace_area(mp) -> float:

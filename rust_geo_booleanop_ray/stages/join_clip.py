@@ -31,11 +31,13 @@ from ..functions.rtree import STRtree
 from ..geom import boolean_op
 from ..sources.arrow_geom import (
     MULTIPOLYGON_T,
+    arrow_mp_areas,
     arrow_to_mps,
     mps_to_arrow,
+    rects_to_arrow,
     shoelace_area,
 )
-from .cells import cell_bounds, cover_bbox
+from .cells import WORLD, cell_bounds, cell_xy, cover_bbox
 
 _EMPTY_JOIN_SCHEMA = pa.schema(
     [
@@ -107,61 +109,70 @@ class TileJoinClip:
         # per-row convex/Martinez loop without a native kernel.
         from ..native import native_boolean_batch
 
-        tile_bounds_cache: dict = {}
-        contained = np.zeros(len(row_idx), dtype=bool)
-        for j in range(len(row_idx)):
-            i = row_idx[j]
-            t = int(tiles[j])
-            tb = tile_bounds_cache.get(t)
-            if tb is None:
-                tb = tile_bounds_cache[t] = cell_bounds(t)
-            tx0, ty0, tx1, ty1 = tb
-            contained[j] = (
-                bminx[i] > tx0 and bmaxx[i] < tx1 and bminy[i] > ty0 and bmaxy[i] < ty1
-            )
+        # tile bounds columnarly (cells are closed-form arithmetic —
+        # same float ops as cell_bounds, vectorized)
+        wminx, wminy, wmaxx, wmaxy = WORLD
+        n_side = 2**self.tile_res
+        twx = (wmaxx - wminx) / n_side
+        twy = (wmaxy - wminy) / n_side
+        tix, tiy = cell_xy(tiles)
+        tx0 = wminx + tix.astype(np.float64) * twx
+        ty0 = wminy + tiy.astype(np.float64) * twy
+        tx1 = tx0 + twx
+        ty1 = ty0 + twy
+        contained = (
+            (bminx[row_idx] > tx0)
+            & (bmaxx[row_idx] < tx1)
+            & (bminy[row_idx] > ty0)
+            & (bmaxy[row_idx] < ty1)
+        )
         need = ~contained
+        fp_all = batch["footprint"]
+        if isinstance(fp_all, pa.ChunkedArray):
+            fp_all = fp_all.combine_chunks()
         if need.any():
-            fp_col = batch["footprint"]
-            if isinstance(fp_col, pa.ChunkedArray):
-                fp_col = fp_col.combine_chunks()
-            sub_idx = pa.array(np.asarray(row_idx)[need])
-            subj = fp_col.take(sub_idx)
-            clip_rects = mps_to_arrow(
-                [_tile_multipolygon(int(t)) for t in tiles[need]]
-            )
-            res = native_boolean_batch(subj, clip_rects, ["intersection"] * len(clip_rects))
+            subj = fp_all.take(pa.array(np.asarray(row_idx)[need]))
+            clip_rects = rects_to_arrow(tx0[need], ty0[need], tx1[need], ty1[need])
+            res = native_boolean_batch(subj, clip_rects, ["intersection"] * int(need.sum()))
         else:
             res = mps_to_arrow([])
 
         if res is not None:
-            res_mps = arrow_to_mps(res)
-            mps = arrow_to_mps(fp_col) if need.any() else arrow_to_mps(batch["footprint"])
-            clips, areas, keep = [], [], []
-            ri = 0
-            for j in range(len(row_idx)):
-                if contained[j]:
-                    fp = mps[row_idx[j]]
-                    keep.append(j)
-                    clips.append(fp)
-                    areas.append(abs(shoelace_area(fp)))
-                else:
-                    clipped = res_mps[ri]
-                    ri += 1
-                    if clipped:
-                        keep.append(j)
-                        clips.append(clipped)
-                        areas.append(abs(shoelace_area(clipped)))
-            keep_arr = pa.array(np.asarray(keep, dtype=np.int64))
+            # fully vectorized assembly: contained rows pass the
+            # footprint through; native results drop empty clips;
+            # both merge back in candidate order
+            import pyarrow.compute as pc
+
+            cont_j = np.flatnonzero(contained)
+            need_j = np.flatnonzero(need)
+            if len(res):
+                keep_need = pc.list_value_length(res).to_numpy(zero_copy_only=False) > 0
+                res_kept = res.filter(pa.array(keep_need))
+                kept_need_j = need_j[keep_need]
+            else:
+                res_kept = res
+                kept_need_j = need_j[:0]
+            cont_clips = fp_all.take(pa.array(row_idx[cont_j]))
+            cont_areas = np.abs(arrow_mp_areas(cont_clips))
+            need_areas = np.abs(arrow_mp_areas(res_kept))
+            all_j = np.concatenate([cont_j, kept_need_j])
+            order = np.argsort(all_j, kind="stable")
+            keep_arr = pa.array(all_j[order])
+            clips = pa.concat_arrays(
+                [cont_clips.cast(MULTIPOLYGON_T), res_kept.cast(MULTIPOLYGON_T)]
+            ).take(pa.array(order))
+            areas = np.concatenate([cont_areas, need_areas])[order]
             return pa.table(
                 {
                     "image_id": image_ids.take(keep_arr),
                     "tile_id": tile_col.take(keep_arr),
-                    "clip": mps_to_arrow(clips),
+                    "clip": clips,
                     "clip_area": pa.array(areas, pa.float64()),
                 }
             )
 
         # ---- pure-Python fallback (no native kernel) ----
+        tile_bounds_cache: dict = {}
         mps = arrow_to_mps(batch["footprint"])
         is_convex = [is_single_convex_ring(mp) for mp in mps]
         clips, areas, keep = [], [], []
@@ -229,7 +240,11 @@ class BroadcastPolyJoinClip:
             pass
         self.op = op
         self.tile_ids = polys["tile_id"].to_numpy()
-        self.geoms = arrow_to_mps(polys["geom"])
+        geom_col = polys["geom"]
+        if isinstance(geom_col, pa.ChunkedArray):
+            geom_col = geom_col.combine_chunks()
+        self.geom_arr = geom_col.cast(MULTIPOLYGON_T)
+        self.geoms = None  # python-list view, built lazily on fallback
         self.tree = STRtree(
             polys["minx"].to_numpy(),
             polys["miny"].to_numpy(),
@@ -238,23 +253,64 @@ class BroadcastPolyJoinClip:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mps = arrow_to_mps(batch["footprint"])
         bminx = batch["minx"].to_numpy()
         bminy = batch["miny"].to_numpy()
         bmaxx = batch["maxx"].to_numpy()
         bmaxy = batch["maxy"].to_numpy()
-        image_ids = batch["image_id"].to_pylist()
 
-        out_img, out_tile, out_clip, out_area = [], [], [], []
+        # candidate (subject row, clip polygon) pairs from the warm tree
+        cand_rows, cand_polys = [], []
         for i in range(batch.num_rows):
             cands = self.tree.query(bminx[i], bminy[i], bmaxx[i], bmaxy[i])
-            for c in cands:
-                clipped = boolean_op(mps[i], self.geoms[c], self.op)
-                if clipped:
-                    out_img.append(image_ids[i])
-                    out_tile.append(int(self.tile_ids[c]))
-                    out_clip.append(clipped)
-                    out_area.append(abs(shoelace_area(clipped)))
+            if len(cands):
+                cand_rows.append(np.full(len(cands), i, dtype=np.int64))
+                cand_polys.append(np.sort(cands))
+        if not cand_rows:
+            return _EMPTY_JOIN_SCHEMA.empty_table()
+        cand_row = np.concatenate(cand_rows)
+        cand_poly = np.concatenate(cand_polys)
+
+        fp_all = batch["footprint"]
+        if isinstance(fp_all, pa.ChunkedArray):
+            fp_all = fp_all.combine_chunks()
+
+        # whole-batch native path: gather both sides, ONE C call per
+        # batch (same shape as TileJoinClip), drop empty results
+        from ..native import native_boolean_batch
+
+        subj = fp_all.take(pa.array(cand_row))
+        clip = self.geom_arr.take(pa.array(cand_poly))
+        res = native_boolean_batch(subj, clip, [self.op] * len(cand_row))
+        if res is not None:
+            import pyarrow.compute as pc
+
+            keep = pc.list_value_length(res).to_numpy(zero_copy_only=False) > 0
+            res_kept = res.filter(pa.array(keep))
+            keep_arr = pa.array(cand_row[keep])
+            return pa.table(
+                {
+                    "image_id": batch["image_id"].take(keep_arr),
+                    "tile_id": pa.array(self.tile_ids[cand_poly[keep]], pa.int64()),
+                    "clip": res_kept,
+                    "clip_area": pa.array(
+                        np.abs(arrow_mp_areas(res_kept)), pa.float64()
+                    ),
+                }
+            )
+
+        # ---- pure-Python fallback (no native kernel) ----
+        if self.geoms is None:
+            self.geoms = arrow_to_mps(self.geom_arr)
+        mps = arrow_to_mps(fp_all)
+        image_ids = batch["image_id"].to_pylist()
+        out_img, out_tile, out_clip, out_area = [], [], [], []
+        for i, c in zip(cand_row, cand_poly):
+            clipped = boolean_op(mps[i], self.geoms[c], self.op)
+            if clipped:
+                out_img.append(image_ids[i])
+                out_tile.append(int(self.tile_ids[c]))
+                out_clip.append(clipped)
+                out_area.append(abs(shoelace_area(clipped)))
         if not out_img:
             return _EMPTY_JOIN_SCHEMA.empty_table()
         return pa.table(
@@ -288,24 +344,63 @@ def join_cells_within_group(group: pa.Table) -> pa.Table:
         build["maxx"].to_numpy(),
         build["maxy"].to_numpy(),
     )
-    build_geoms = arrow_to_mps(build["geom"])
     build_tiles = build["tile_id"].to_numpy()
-    probe_geoms = arrow_to_mps(probe["footprint"])
     pminx = probe["minx"].to_numpy()
     pminy = probe["miny"].to_numpy()
     pmaxx = probe["maxx"].to_numpy()
     pmaxy = probe["maxy"].to_numpy()
-    image_ids = probe["image_id"].to_pylist()
 
-    out_img, out_tile, out_clip, out_area = [], [], [], []
+    cand_rows, cand_builds = [], []
     for i in range(probe.num_rows):
-        for c in tree.query(pminx[i], pminy[i], pmaxx[i], pmaxy[i]):
-            clipped = boolean_op(probe_geoms[i], build_geoms[c], "intersection")
-            if clipped:
-                out_img.append(image_ids[i])
-                out_tile.append(int(build_tiles[c]))
-                out_clip.append(clipped)
-                out_area.append(abs(shoelace_area(clipped)))
+        cands = tree.query(pminx[i], pminy[i], pmaxx[i], pmaxy[i])
+        if len(cands):
+            cand_rows.append(np.full(len(cands), i, dtype=np.int64))
+            cand_builds.append(np.sort(cands))
+    if not cand_rows:
+        return _EMPTY_JOIN_SCHEMA.empty_table()
+    cand_row = np.concatenate(cand_rows)
+    cand_build = np.concatenate(cand_builds)
+
+    fp_col = probe["footprint"]
+    if isinstance(fp_col, pa.ChunkedArray):
+        fp_col = fp_col.combine_chunks()
+    geom_col = build["geom"]
+    if isinstance(geom_col, pa.ChunkedArray):
+        geom_col = geom_col.combine_chunks()
+
+    # whole-batch native clip: one C call for every candidate pair
+    from ..native import native_boolean_batch
+
+    subj = fp_col.take(pa.array(cand_row))
+    clip = geom_col.cast(MULTIPOLYGON_T).take(pa.array(cand_build))
+    res = native_boolean_batch(subj, clip, ["intersection"] * len(cand_row))
+    if res is not None:
+        import pyarrow.compute as pc
+
+        keep = pc.list_value_length(res).to_numpy(zero_copy_only=False) > 0
+        res_kept = res.filter(pa.array(keep))
+        keep_arr = pa.array(cand_row[keep])
+        return pa.table(
+            {
+                "image_id": probe["image_id"].take(keep_arr),
+                "tile_id": pa.array(build_tiles[cand_build[keep]], pa.int64()),
+                "clip": res_kept,
+                "clip_area": pa.array(np.abs(arrow_mp_areas(res_kept)), pa.float64()),
+            }
+        )
+
+    # ---- pure-Python fallback (no native kernel) ----
+    build_geoms = arrow_to_mps(geom_col)
+    probe_geoms = arrow_to_mps(fp_col)
+    image_ids = probe["image_id"].to_pylist()
+    out_img, out_tile, out_clip, out_area = [], [], [], []
+    for i, c in zip(cand_row, cand_build):
+        clipped = boolean_op(probe_geoms[i], build_geoms[c], "intersection")
+        if clipped:
+            out_img.append(image_ids[i])
+            out_tile.append(int(build_tiles[c]))
+            out_clip.append(clipped)
+            out_area.append(abs(shoelace_area(clipped)))
     if not out_img:
         return _EMPTY_JOIN_SCHEMA.empty_table()
     return pa.table(

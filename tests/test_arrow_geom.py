@@ -74,3 +74,32 @@ def test_shoelace():
         ]
     ]
     assert shoelace_area(ccw_hole) == 12.0
+
+
+def test_arrow_mp_areas_matches_scalar_shoelace():
+    """Vectorized structural areas == the scalar loop, bit-for-bit,
+    including holes, multi-poly rows, empties, and sliced arrays."""
+    import numpy as np
+    from rust_geo_booleanop_ray.sources.arrow_geom import (
+        arrow_mp_areas,
+        mps_to_arrow,
+        shoelace_area,
+    )
+
+    sq = [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]
+    hole = [(1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0), (1.0, 1.0)]
+    tri = [[(10.0, 10.0), (13.0, 10.0), (10.0, 14.0), (10.0, 10.0)]]
+    mps = [
+        [sq],                       # plain square
+        [[sq[0], hole]],            # square with hole
+        [],                         # empty multipolygon
+        [sq, tri],                  # two polygons
+        [[sq[0], hole], tri],       # mixed
+    ]
+    arr = mps_to_arrow(mps)
+    vec = arrow_mp_areas(arr)
+    ref = np.array([shoelace_area(mp) for mp in mps])
+    assert (vec == ref).all()
+    # sliced view must not absorb trailing rings
+    sl = arr.slice(1, 3)
+    assert (arrow_mp_areas(sl) == ref[1:4]).all()

@@ -219,3 +219,87 @@ def test_merge_rasters_saturates_instead_of_wrapping():
     assert out["coverage_fraction"][0].as_py() == 1.0
     merged = np.frombuffer(out["raster"][0].as_py(), dtype=np.uint16)
     assert (merged == 65535).all()  # saturated, not wrapped
+
+
+def _region_polys(res=3):
+    ids = [int(c) for c in cell_encode(np.linspace(-150, 150, 8), np.linspace(-60, 60, 8), res)]
+    ids = sorted(set(ids))
+    from rust_geo_booleanop_ray.stages.cells import cell_polygon
+
+    geoms = [cell_polygon(c) for c in ids]
+    bounds = [mp_bounds(g) for g in geoms]
+    return pa.table(
+        {
+            "tile_id": pa.array(ids, pa.int64()),
+            "geom": mps_to_arrow(geoms),
+            "minx": pa.array([b[0] for b in bounds]),
+            "miny": pa.array([b[1] for b in bounds]),
+            "maxx": pa.array([b[2] for b in bounds]),
+            "maxy": pa.array([b[3] for b in bounds]),
+        }
+    )
+
+
+def _rows_key(t):
+    return sorted(
+        (
+            t["image_id"][i].as_py(),
+            t["tile_id"][i].as_py(),
+            round(t["clip_area"][i].as_py(), 12),
+        )
+        for i in range(t.num_rows)
+    )
+
+
+def test_broadcast_poly_native_matches_python_fallback(monkeypatch):
+    """The whole-batch native clip path and the per-pair Python loop
+    must produce identical join rows (pairs + areas)."""
+    import os
+
+    f = _footprints(120)
+    polys = _region_polys()
+    native_out = BroadcastPolyJoinClip(polys)(f)
+
+    monkeypatch.setenv("GEO_NATIVE", "0")
+    py_out = BroadcastPolyJoinClip(polys)(f)
+    monkeypatch.delenv("GEO_NATIVE")
+    assert native_out.num_rows > 0
+    assert _rows_key(native_out) == _rows_key(py_out)
+    # clip geometries themselves agree
+    assert sorted(map(str, arrow_to_mps(native_out["clip"]))) == sorted(
+        map(str, arrow_to_mps(py_out["clip"]))
+    )
+
+
+def test_join_cells_within_group_native_matches_python(monkeypatch):
+    f = _footprints(60)
+    polys = _region_polys()
+    n_b = polys.num_rows
+    n_p = f.num_rows
+    group = pa.table(
+        {
+            "side": pa.array(["build"] * n_b + ["probe"] * n_p),
+            "tile_id": pa.array(
+                polys["tile_id"].to_pylist() + [0] * n_p, pa.int64()
+            ),
+            "geom": pa.concat_arrays(
+                [polys["geom"].combine_chunks() if isinstance(polys["geom"], pa.ChunkedArray) else polys["geom"],
+                 mps_to_arrow([None] * n_p).cast(polys["geom"].type)]
+            ),
+            "image_id": pa.array([""] * n_b + f["image_id"].to_pylist()),
+            "footprint": pa.concat_arrays(
+                [mps_to_arrow([None] * n_b).cast(f["footprint"].type),
+                 f["footprint"].combine_chunks() if isinstance(f["footprint"], pa.ChunkedArray) else f["footprint"]]
+            ),
+            "minx": pa.array(polys["minx"].to_pylist() + f["minx"].to_pylist()),
+            "miny": pa.array(polys["miny"].to_pylist() + f["miny"].to_pylist()),
+            "maxx": pa.array(polys["maxx"].to_pylist() + f["maxx"].to_pylist()),
+            "maxy": pa.array(polys["maxy"].to_pylist() + f["maxy"].to_pylist()),
+        }
+    )
+    native_out = join_cells_within_group(group)
+    monkeypatch.setenv("GEO_NATIVE", "0")
+    py_out = join_cells_within_group(group)
+    monkeypatch.delenv("GEO_NATIVE")
+    assert native_out.num_rows > 0
+    assert _rows_key(native_out) == _rows_key(py_out)
