@@ -864,6 +864,100 @@ Q_DEDUP_EXACT_SQL = """
 """
 
 
+def q_dedup_components(sf_dir: str):
+    """Connected components over a deterministic document-similarity
+    graph: docs are chained (consecutive doc_id) within (lang,
+    n_tokens) groups and within (source, n_chars % 10) groups — two
+    cross-cutting relations whose union forms multi-hop components.
+    Engine: distributed min-label propagation + pointer jumping
+    (stages/dedup.connected_components — labels never touch the
+    driver); oracle: DuckDB recursive CTE."""
+    from ..stages.dedup import connected_components
+
+    def chain(group: pa.Table) -> pa.Table:
+        ids = np.sort(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pa.schema(
+                [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[:-1], pa.int64()),
+                "doc_b": pa.array(ids[1:], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def key1(batch: pa.Table) -> pa.Table:
+        n_tokens = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+            }
+        )
+
+    def key2(batch: pa.Table) -> pa.Table:
+        mod = pc.cast(batch["n_chars"], pa.int64()).to_numpy() % 10
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "chars_mod": pa.array(mod, pa.int64()),
+            }
+        )
+
+    e1 = (
+        ds.map_batches(key1, batch_format="pyarrow")
+        .groupby(["lang", "n_tokens"])
+        .map_groups(chain, batch_format="pyarrow")
+    )
+    e2 = (
+        ds.map_batches(key2, batch_format="pyarrow")
+        .groupby(["source", "chars_mod"])
+        .map_groups(chain, batch_format="pyarrow")
+    )
+    comps = connected_components(e1.union(e2))
+    return comps.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "component": b["component"]}),
+        batch_format="pyarrow",
+    )
+
+
+Q_DEDUP_COMPONENTS_SQL = """
+    WITH RECURSIVE s AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    e1 AS (
+      SELECT lag(doc_id) OVER (PARTITION BY lang, n_tokens ORDER BY doc_id) AS a,
+             doc_id AS b
+      FROM s
+    ),
+    e2 AS (
+      SELECT lag(doc_id) OVER (PARTITION BY source, n_chars % 10 ORDER BY doc_id) AS a,
+             doc_id AS b
+      FROM s
+    ),
+    edges AS (
+      SELECT a, b FROM e1 WHERE a IS NOT NULL
+      UNION
+      SELECT a, b FROM e2 WHERE a IS NOT NULL
+    ),
+    sym AS (SELECT a AS node, b AS peer FROM edges UNION SELECT b, a FROM edges),
+    reach(node, label) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM sym)
+      UNION
+      SELECT sym.node, reach.label FROM sym JOIN reach ON reach.node = sym.peer
+    )
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS component
+    FROM reach GROUP BY node
+"""
+
+
 def q_text_stats(sf_dir: str):
     """Per-language corpus stats (token / char / stopword sums)."""
     from ray.data.aggregate import Sum
@@ -1103,21 +1197,14 @@ def q_image_features(sf_dir: str):
     return feats.map_batches(check, batch_format="pyarrow")
 
 
-def q_poly_clip(sf_dir: str):
-    """Footprints × an irregular broadcast polygon set via the warm
-    R-tree actor stage (BroadcastPolyJoinClip): per-region piece counts
-    + integer clipped-area sums (the native kernel clips rotated quads
-    — not SQL-expressible, rows-only)."""
-    import ray
-    from ray.data.aggregate import Count, Sum
-
-    from ..pipelines.flagship import footprints_dataset
+def _region_polys_table() -> pa.Table:
+    """Deterministic irregular region set: mixed-resolution cells
+    (coarse + fine) spread over the world — shared by the poly_clip
+    queries and inlined (as exact double literals) into the DuckDB
+    oracle."""
     from ..stages.cells import cell_encode, cell_polygon
-    from ..stages.join_clip import BroadcastPolyJoinClip
     from ..sources.arrow_geom import mp_bounds, mps_to_arrow
 
-    # a deterministic irregular region set: 24 cells at mixed
-    # resolutions (coarse + fine) spread over the world
     region_ids = [int(c) for c in cell_encode(
         np.linspace(-150, 150, 12), np.linspace(-70, 70, 12), 3
     )] + [int(c) for c in cell_encode(
@@ -1126,7 +1213,7 @@ def q_poly_clip(sf_dir: str):
     region_ids = sorted(set(region_ids))
     geoms = [cell_polygon(c) for c in region_ids]
     bounds = [mp_bounds(g) for g in geoms]
-    polys = pa.table(
+    return pa.table(
         {
             "tile_id": pa.array(region_ids, pa.int64()),
             "geom": mps_to_arrow(geoms),
@@ -1136,8 +1223,101 @@ def q_poly_clip(sf_dir: str):
             "maxy": pa.array([b[3] for b in bounds]),
         }
     )
-    polys_ref = ray.put(polys)
 
+
+def q_poly_clip(sf_dir: str):
+    """Part-derived axis rects × the irregular broadcast region set via
+    the warm R-tree actor stage (BroadcastPolyJoinClip, whole-batch
+    native Martinez clip): per-region piece counts + integer
+    clipped-area sums.  The oracle reproduces the region set as literal
+    rect bounds (cell bounds are exact doubles) and uses closed-form
+    rect∩rect arithmetic — value-exact."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.join_clip import BroadcastPolyJoinClip
+
+    polys_ref = ray.put(_region_polys_table())
+
+    def subjects(batch: pa.Table) -> pa.Table:
+        b = _part_rect_batch(batch)
+        return pa.table(
+            {
+                "image_id": pc.cast(b["p_partkey"], pa.string()),
+                "footprint": b["footprint"],
+                "minx": b["minx"],
+                "miny": b["miny"],
+                "maxx": b["maxx"],
+                "maxy": b["maxy"],
+            }
+        )
+
+    fp = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        subjects, batch_format="pyarrow"
+    )
+    out = fp.map_batches(
+        BroadcastPolyJoinClip,
+        fn_constructor_kwargs={"polys": polys_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "region_id": batch["tile_id"],
+                "area_e6": pa.array(
+                    np.round(batch["clip_area"].to_numpy() * 1e6).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        out.map_batches(to_int, batch_format="pyarrow")
+        .groupby("region_id")
+        .aggregate(Count(alias_name="n_pieces"), Sum("area_e6", alias_name="area_e6"))
+    )
+
+
+def _build_poly_clip_sql() -> str:
+    t = _region_polys_table()
+    rows = ",\n      ".join(
+        f"({t['tile_id'][i].as_py()}, {t['minx'][i].as_py()!r}, {t['miny'][i].as_py()!r}, "
+        f"{t['maxx'][i].as_py()!r}, {t['maxy'][i].as_py()!r})"
+        for i in range(t.num_rows)
+    )
+    return f"""
+    WITH d AS ({PART_RECT_SQL}),
+    r(region_id, rx0, ry0, rx1, ry1) AS (VALUES
+      {rows}
+    )
+    SELECT region_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pieces,
+           CAST(SUM(CAST(round(
+             (least(maxx, rx1) - greatest(minx, rx0)) *
+             (least(maxy, ry1) - greatest(miny, ry0)) * 1000000
+           ) AS BIGINT)) AS BIGINT) AS area_e6
+    FROM d, r
+    WHERE least(maxx, rx1) > greatest(minx, rx0)
+      AND least(maxy, ry1) > greatest(miny, ry0)
+    GROUP BY region_id
+"""
+
+
+Q_POLY_CLIP_SQL = _build_poly_clip_sql()
+
+
+def q_poly_clip_quads(sf_dir: str):
+    """Rotated image-footprint quads × the irregular region set — the
+    same BroadcastPolyJoinClip operator over non-axis-aligned subjects
+    (not SQL-expressible, rows-only)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..pipelines.flagship import footprints_dataset
+    from ..stages.join_clip import BroadcastPolyJoinClip
+
+    polys_ref = ray.put(_region_polys_table())
     fp = footprints_dataset(2000)
     out = fp.map_batches(
         BroadcastPolyJoinClip,
@@ -1326,7 +1506,9 @@ Q_QUALITY_FILTER_SQL = f"""
 def q_lang_id(sf_dir: str):
     """Heuristic language-ID actor pool scored against the table's own
     labels: per (true lang, predicted lang) confusion counts.
-    Model state (marker sets) lives in the actor __init__ — rows-only."""
+    Model state (marker sets) lives in the actor __init__; the marker
+    heuristic is mirrored in SQL (list_filter counts + the same
+    first-strictly-greater tie-break) — value-exact."""
     from ray.data.aggregate import Count
 
     from ..stages.text import LangId
@@ -1338,6 +1520,138 @@ def q_lang_id(sf_dir: str):
         .aggregate(Count(alias_name="n"))
         .select_columns(["lang", "lang_pred", "n"])
     )
+
+
+def _build_lang_id_sql() -> str:
+    """SQL mirror of stages/text.LangId: per-language marker counts via
+    list_filter; the prediction is the FIRST language (in marker-dict
+    order en, de, fr, es, zh) whose score beats every later one and is
+    > 0 — identical to the Python loop's strictly-greater update."""
+    from ..stages.text import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        members = ",".join(f"'{m}'" for m in sorted(_LANG_MARKERS[lang]))
+        score_cols.append(
+            f"len(list_filter(toks, x -> x IN ({members}))) AS s_{lang}"
+        )
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{other}" for other in langs[i + 1 :]
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    # earlier languages win ties because the Python loop only replaces
+    # the best on a STRICTLY greater score — so lang i beats i+1.. on
+    # >=, and has already lost to 0..i-1 when their WHEN fired first
+    return f"""
+    WITH t AS (SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+    sc AS (SELECT lang, {", ".join(score_cols)} FROM t),
+    p AS (
+      SELECT lang,
+             CASE {" ".join(cases)} ELSE 'und' END AS lang_pred
+      FROM sc
+    )
+    SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY lang, lang_pred
+"""
+
+
+Q_LANG_ID_SQL = _build_lang_id_sql()
+
+
+COV_TILE_RES = 3
+COV_PX = 16
+
+
+def q_tile_coverage_rects(sf_dir: str):
+    """Raster tile coverage over part-derived axis rects: exact tile
+    clip (TileJoinClip) → partial rasters before the shuffle →
+    groupby(tile) merge — the flagship's raster path with an
+    SQL-checkable input.  Output is integer pixel counts; the oracle
+    enumerates the 16×16 pixel-center grid per tile (centers never lie
+    on rect edges — rect bounds are integers, centers never are)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.cells import cell_xy
+    from ..stages.join_clip import TileJoinClip
+    from ..stages.tiles import RasterizePartial, merge_rasters
+
+    def subjects(batch: pa.Table) -> pa.Table:
+        b = _part_rect_batch(batch)
+        return pa.table(
+            {
+                "image_id": pc.cast(b["p_partkey"], pa.string()),
+                "footprint": b["footprint"],
+                "minx": b["minx"],
+                "miny": b["miny"],
+                "maxx": b["maxx"],
+                "maxy": b["maxy"],
+            }
+        )
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        subjects, batch_format="pyarrow"
+    )
+    clipped = ds.map_batches(
+        TileJoinClip(tile_res=COV_TILE_RES, mode="exact"), batch_format="pyarrow"
+    )
+    merged = (
+        clipped.map_batches(RasterizePartial(px=COV_PX), batch_format="pyarrow")
+        .groupby("tile_id")
+        .map_groups(merge_rasters, batch_format="pyarrow")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tiles = batch["tile_id"].to_numpy().view(np.uint64)
+        tx, ty = cell_xy(tiles)
+        covered = np.empty(batch.num_rows, dtype=np.int64)
+        for i, buf in enumerate(batch["raster"].to_pylist()):
+            covered[i] = int(
+                (np.frombuffer(buf, dtype=np.uint16) > 0).sum()
+            )
+        return pa.table(
+            {
+                "tx": pa.array(tx.astype(np.int64), pa.int64()),
+                "ty": pa.array(ty.astype(np.int64), pa.int64()),
+                "n_pieces": batch["n_pieces"],
+                "covered_px": pa.array(covered, pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+Q_TILE_COVERAGE_RECTS_SQL = f"""
+    WITH d AS ({PART_RECT_SQL}),
+    b AS (
+      SELECT minx, miny, maxx, maxy,
+             CAST(greatest(0, least(7, floor((minx + 180) / 360 * 8))) AS BIGINT) AS tx0,
+             CAST(greatest(0, least(7, floor((maxx + 180) / 360 * 8))) AS BIGINT) AS tx1,
+             CAST(greatest(0, least(7, floor((miny + 90) / 180 * 8))) AS BIGINT) AS ty0,
+             CAST(greatest(0, least(7, floor((maxy + 90) / 180 * 8))) AS BIGINT) AS ty1
+      FROM d
+    ),
+    ex AS (SELECT minx, miny, maxx, maxy, unnest(range(tx0, tx1 + 1)) AS tx, ty0, ty1 FROM b),
+    tiles AS (SELECT minx, miny, maxx, maxy, tx, unnest(range(ty0, ty1 + 1)) AS ty FROM ex),
+    pieces AS (
+      SELECT * FROM tiles
+      WHERE least(maxx, -180 + (tx + 1) * 45.0) > greatest(minx, -180 + tx * 45.0)
+        AND least(maxy, -90 + (ty + 1) * 22.5) > greatest(miny, -90 + ty * 22.5)
+    ),
+    np_ AS (SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_pieces FROM pieces GROUP BY tx, ty),
+    cov AS (
+      SELECT DISTINCT tx, ty, i.range AS i, j.range AS j
+      FROM pieces, range({COV_PX}) i, range({COV_PX}) j
+      WHERE (-180 + tx * 45.0 + (i.range + 0.5) * (45.0 / {COV_PX})) > minx
+        AND (-180 + tx * 45.0 + (i.range + 0.5) * (45.0 / {COV_PX})) < maxx
+        AND (-90 + ty * 22.5 + (j.range + 0.5) * (22.5 / {COV_PX})) > miny
+        AND (-90 + ty * 22.5 + (j.range + 0.5) * (22.5 / {COV_PX})) < maxy
+    ),
+    cv AS (SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS covered_px FROM cov GROUP BY tx, ty)
+    SELECT np_.tx, np_.ty, n_pieces, covered_px FROM np_ JOIN cv USING (tx, ty)
+"""
 
 
 def q_ngram_dedup(sf_dir: str):
@@ -1430,6 +1744,7 @@ def build_queries():
         "hash_sample": q_hash_sample,
         "asof_join": q_asof_join,
         "dedup_exact": q_dedup_exact,
+        "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -1441,7 +1756,9 @@ def build_queries():
         "martinez_fixtures": q_martinez_fixtures,
         "image_features": q_image_features,
         "tile_coverage": q_tile_coverage,
+        "tile_coverage_rects": q_tile_coverage_rects,
         "poly_clip": q_poly_clip,
+        "poly_clip_quads": q_poly_clip_quads,
         "revenue_by_nation": q_revenue_by_nation,
         "order_priority": q_order_priority,
         "quality_filter": q_quality_filter,
@@ -1465,9 +1782,13 @@ def build_oracle_sql():
         "hash_sample": Q_HASH_SAMPLE_SQL,
         "asof_join": Q_ASOF_JOIN_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
+        "dedup_components": Q_DEDUP_COMPONENTS_SQL,
         "text_stats": Q_TEXT_STATS_SQL,
         "ann_topk": Q_ANN_TOPK_SQL,
         "revenue_by_nation": Q_REVENUE_BY_NATION_SQL,
         "order_priority": Q_ORDER_PRIORITY_SQL,
         "quality_filter": Q_QUALITY_FILTER_SQL,
+        "lang_id": Q_LANG_ID_SQL,
+        "poly_clip": Q_POLY_CLIP_SQL,
+        "tile_coverage_rects": Q_TILE_COVERAGE_RECTS_SQL,
     }

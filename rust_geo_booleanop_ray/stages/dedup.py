@@ -13,8 +13,10 @@ Scale shapes (ray_guide aggregation/dedup patterns):
               hamming ≤ max_hamming.
   embedding — unit-normalize → sign-LSH bucket (seeded hyperplanes) →
               within-bucket cosine ≥ τ.
-  components— bounded-round min-label propagation (groupby per round),
-              no driver-side union-find.
+  components— distributed min-label propagation with pointer jumping
+              (edges ⋈ labels shuffle join + groupby(node) min per
+              round, O(log diameter) rounds); labels stay a Dataset —
+              the driver only reads a per-round change counter.
 """
 
 from __future__ import annotations
@@ -377,68 +379,157 @@ class EmbeddingNearDupPairs:
 
 # ------------------------------------------------------------- components
 
+_I64_MAX = (1 << 63) - 1
 
-def connected_components_rounds(pairs_ds, max_rounds: int = 5):
-    """Min-label propagation over candidate pairs (distributed, bounded).
+
+def connected_components(pairs_ds, max_rounds: int = 30, a_col: str = "doc_a", b_col: str = "doc_b", n_buckets: int | None = None):
+    """Distributed connected components over candidate pairs.
 
     pairs_ds: Dataset of (doc_a, doc_b).  Returns Dataset of
-    (doc_id, component) where component = min doc id reachable within
-    ``max_rounds`` hops — exact when the candidate graph's diameter is
-    below that (near-dup clusters are tiny in practice).
+    (node, component) where component = the min node id in the
+    connected component — exact (runs to fixpoint, ``max_rounds`` is a
+    runaway backstop, not the correctness bound).
+
+    Plan per round — labels never touch the driver (the old
+    implementation pulled every label into a driver dict each round):
+
+      1. PROPAGATE  edges ⋈ labels on peer (bucketed shuffle join) so
+         each node sees its neighbors' current labels, union with the
+         current labels carrying the round-start label in an ``old``
+         column, then ONE groupby(node) with Min(label) + Min(old).
+      2. SHORTCUT   pointer jumping: label(node) ← label(label(node))
+         via labels ⋈ labels.  Halves chain depth each round, so
+         convergence is O(log diameter) instead of O(diameter).
+      3. The round's labels are repartitioned to a FIXED block count
+         and materialized (distributed, in the object store).  Both
+         matter: unions double block counts, so without the cap the
+         per-round block count grows 4× per round and task-scheduling
+         overhead explodes; without the materialize the shortcut join
+         (two consumers + schema probes) re-executes the propagate
+         shuffle several times.  The driver pulls ONE scalar per
+         round: Σ changed (0/1 per node); changed == 0 ⇒ fixpoint.
     """
-    import pyarrow.compute as pc_
+    from ray.data.aggregate import Min, Sum
+
+    from .join import shuffle_hash_join
 
     def to_edges(batch: pa.Table) -> pa.Table:
-        a = batch["doc_a"]
-        b = batch["doc_b"]
+        a = batch[a_col]
+        b = batch[b_col]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
         return pa.table(
             {
-                "node": pa.concat_arrays(
-                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
-                     b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b]
-                ),
-                "peer": pa.concat_arrays(
-                    [b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b,
-                     a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a]
-                ),
+                "node": pa.concat_arrays([a, b]),
+                "peer": pa.concat_arrays([b, a]),
             }
         )
 
-    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    if n_buckets is None:
+        # scale partitioning with the graph: every extra block/bucket
+        # costs a task per round, so tiny graphs run near-single-block
+        # while big ones spread across the cluster
+        n_buckets = int(min(256, max(2, edges.count() // 65536)))
+    edges = edges.repartition(n_buckets).materialize()
 
-    def min_label(group: pa.Table) -> pa.Table:
-        node = group["node"][0].as_py()
-        label = min(node, min(group["label"].to_pylist()))
-        return pa.table(
-            {"node": pa.array([node], pa.int64()), "label": pa.array([label], pa.int64())}
+    # labels₀: every node labels itself
+    labels = (
+        edges.map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .repartition(n_buckets)
+        .materialize()
+    )
+
+    i64 = pa.int64()
+    edge_schema = pa.schema([("node", i64), ("peer", i64)])
+    peer_label_schema = pa.schema([("peer", i64), ("label", i64)])
+    jump_left_schema = pa.schema([("key", i64), ("node", i64), ("old", i64)])
+    jump_right_schema = pa.schema([("key", i64), ("label2", i64)])
+
+    for _ in range(max_rounds):
+        # -- propagate: neighbors' labels flow along edges
+        flowed = shuffle_hash_join(
+            edges,
+            labels.map_batches(
+                lambda b: b.rename_columns(["peer", "label"]), batch_format="pyarrow"
+            ),
+            key="peer",
+            left_cols=["node"],
+            right_cols=["label"],
+            n_buckets=n_buckets,
+            left_schema=edge_schema,
+            right_schema=peer_label_schema,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "label": b["label"],
+                    "old": pa.array(
+                        np.full(b.num_rows, _I64_MAX, dtype=np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        own = labels.map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["label"], "old": b["label"]}),
+            batch_format="pyarrow",
+        )
+        # materialized so the shortcut join (which reads it on BOTH
+        # sides, plus schema probes) executes the propagate shuffle
+        # exactly once per round
+        propagated = (
+            own.union(flowed)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"), Min("old", alias_name="old"))
+            .materialize()
         )
 
-    labels = edges.map_batches(
-        lambda b: pa.table({"node": b["node"], "label": b["peer"]}),
-        batch_format="pyarrow",
-    ).groupby("node").map_groups(min_label, batch_format="pyarrow")
-
-    for _ in range(max_rounds - 1):
-        # join labels back onto edges: peer's current label flows to node
-        lbl = {r["node"]: r["label"] for r in labels.take_all()}
-        if not lbl:
-            break
-
-        def relabel(batch: pa.Table, lbl=lbl) -> pa.Table:
-            peers = batch["peer"].to_pylist()
-            return pa.table(
+        # -- shortcut (pointer jumping): label ← label(label)
+        jumped = shuffle_hash_join(
+            propagated.map_batches(
+                lambda b: pa.table({"key": b["label"], "node": b["node"], "old": b["old"]}),
+                batch_format="pyarrow",
+            ),
+            propagated.map_batches(
+                lambda b: pa.table({"key": b["node"], "label2": b["label"]}),
+                batch_format="pyarrow",
+            ),
+            key="key",
+            left_cols=["node", "old"],
+            right_cols=["label2"],
+            n_buckets=n_buckets,
+            left_schema=jump_left_schema,
+            right_schema=jump_right_schema,
+        ).map_batches(
+            lambda b: pa.table(
                 {
-                    "node": batch["node"],
-                    "label": pa.array([lbl.get(p, p) for p in peers], pa.int64()),
+                    "node": b["node"],
+                    "label": b["label2"],
+                    "changed": pa.array(
+                        (
+                            b["label2"].to_numpy(zero_copy_only=False)
+                            < b["old"].to_numpy(zero_copy_only=False)
+                        ).astype(np.int64)
+                    ),
                 }
-            )
+            ),
+            batch_format="pyarrow",
+        ).repartition(n_buckets).materialize()
 
-        new_labels = edges.map_batches(relabel, batch_format="pyarrow").groupby(
-            "node"
-        ).map_groups(min_label, batch_format="pyarrow")
-        new_map = {r["node"]: r["label"] for r in new_labels.take_all()}
-        if new_map == lbl:
-            labels = new_labels
+        labels = jumped.select_columns(["node", "label"])
+        changed = jumped.sum("changed")
+        if not changed:
             break
-        labels = new_labels
-    return labels
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"], "component": b["label"]}),
+        batch_format="pyarrow",
+    )

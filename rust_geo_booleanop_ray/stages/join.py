@@ -71,6 +71,8 @@ def shuffle_hash_join(
     right_cols,
     n_buckets: int = 64,
     distinct: str | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Inner equi-join of two Datasets on ``key``.
 
@@ -86,21 +88,26 @@ def shuffle_hash_join(
     ``distinct='left'|'right'`` keeps the first row per key on that side
     before joining.  All rows of a key land in one bucket, so
     bucket-local dedup IS global dedup — a semi-join without paying a
-    separate distinct shuffle."""
+    separate distinct shuffle.
+
+    ``left_schema``/``right_schema``: pass the sides' arrow schemas when
+    you know them — ``Dataset.schema()`` on a lazily-derived side may
+    execute part of its plan (a whole aggregate for shuffle-rooted
+    datasets), so callers in iterative loops should always pass these."""
 
     all_cols = list(left_cols) + list(right_cols)
 
     # The two tagged sides must be schema-aligned for union(), so the
     # null padding columns need each side's REAL arrow types, captured
     # from the dataset schemas up front.
-    lschema = left.schema()
-    rschema = right.schema()
+    lschema = left_schema if left_schema is not None else left.schema().base_schema
+    rschema = right_schema if right_schema is not None else right.schema().base_schema
     types = {}
     for c in left_cols:
-        types[c] = lschema.base_schema.field(c).type
+        types[c] = lschema.field(c).type
     for c in right_cols:
-        types[c] = rschema.base_schema.field(c).type
-    key_type = lschema.base_schema.field(key).type
+        types[c] = rschema.field(c).type
+    key_type = lschema.field(key).type
     # the Fibonacci bucket hash below assumes non-null integer keys:
     # to_numpy on a null-bearing or non-integer key yields floats /
     # objects and NaN→uint64 casting is platform-dependent (equal keys

@@ -232,3 +232,61 @@ def test_ivf_ann_recall(ray_session):
     for q in t_by_q:
         assert q in a_by_q and q in a_by_q[q]
     assert np.mean(recalls) >= 0.2, np.mean(recalls)
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Distributed label propagation + pointer jumping == a local
+    union-find on a random graph with chains, cliques and singleton
+    bridge structure."""
+    import ray.data as rd
+
+    from rust_geo_booleanop_ray.stages.dedup import connected_components
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    nodes = np.arange(100, 200)
+    edges = []
+    # long chain (exercises pointer jumping), a clique, random pairs
+    for i in range(100, 130):
+        edges.append((i, i + 1))
+    for i in range(150, 155):
+        for j in range(i + 1, 155):
+            edges.append((i, j))
+    for _ in range(25):
+        a, b = rng.choice(nodes, 2, replace=False)
+        edges.append((int(a), int(b)))
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for a, b in edges:
+        for x in (a, b):
+            expected[x] = find(x)
+    # canonicalize: representative = min of each component
+    comp_min = {}
+    for x, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    expected = {x: comp_min[find(x)] for x in expected}
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+                "doc_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).take_all()
+    }
+    assert got == expected
