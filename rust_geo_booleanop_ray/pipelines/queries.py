@@ -256,30 +256,6 @@ def q_pip_join(sf_dir: str):
             }
         )
 
-    def contain_join(group: pa.Table) -> pa.Table:
-        side = np.asarray(group["side"].to_pylist())
-        pts = group.filter(pa.array(side == "point"))
-        rects = group.filter(pa.array(side == "rect"))
-        if pts.num_rows == 0 or rects.num_rows == 0:
-            return pa.schema(
-                [pa.field("p_partkey", pa.int64()), pa.field("c_custkey", pa.int64())]
-            ).empty_table()
-        px = pts["px"].to_numpy()
-        py = pts["py"].to_numpy()
-        inside = (
-            (px[None, :] >= rects["minx"].to_numpy()[:, None])
-            & (px[None, :] <= rects["maxx"].to_numpy()[:, None])
-            & (py[None, :] >= rects["miny"].to_numpy()[:, None])
-            & (py[None, :] <= rects["maxy"].to_numpy()[:, None])
-        )
-        ri, pi = np.nonzero(inside)
-        return pa.table(
-            {
-                "p_partkey": rects["p_partkey"].take(pa.array(ri)),
-                "c_custkey": pts["c_custkey"].take(pa.array(pi)),
-            }
-        )
-
     points = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
         point_rows, batch_format="pyarrow"
     )
@@ -287,12 +263,58 @@ def q_pip_join(sf_dir: str):
         rect_rows, batch_format="pyarrow"
     )
     pairs = points.union(rects).groupby("cell").map_groups(
-        contain_join, batch_format="pyarrow"
+        _contain_join_group, batch_format="pyarrow"
     )
     # No PBSM replica dedup needed: a point lives in exactly ONE home
     # cell, so each (rect, point) pair is emitted exactly once — the
     # oracle cross-check pins this invariant.
     return pairs.select_columns(["p_partkey", "c_custkey"])
+
+
+# bound on the dense pts×rects candidate matrix inside one cell group:
+# one pathological hot cell must never allocate an unbounded bool
+# matrix, so the product is evaluated in rect chunks of at most
+# MAX_CONTAIN_MATRIX elements (skew splitting changes the partitioning
+# upstream; this guard caps the worst case regardless)
+MAX_CONTAIN_MATRIX = 1 << 22
+
+
+def _contain_join_group(group: pa.Table) -> pa.Table:
+    """groupby(cell) kernel: points-in-rects within one cell, chunked."""
+    is_pt = pc.equal(group["side"], "point")
+    pts = group.filter(is_pt)
+    rects = group.filter(pc.invert(is_pt))
+    if pts.num_rows == 0 or rects.num_rows == 0:
+        return pa.schema(
+            [pa.field("p_partkey", pa.int64()), pa.field("c_custkey", pa.int64())]
+        ).empty_table()
+    px = pts["px"].to_numpy()
+    py = pts["py"].to_numpy()
+    rminx = rects["minx"].to_numpy()
+    rminy = rects["miny"].to_numpy()
+    rmaxx = rects["maxx"].to_numpy()
+    rmaxy = rects["maxy"].to_numpy()
+    chunk = max(1, MAX_CONTAIN_MATRIX // max(1, len(px)))
+    out_ri, out_pi = [], []
+    for lo in range(0, len(rminx), chunk):
+        hi = min(lo + chunk, len(rminx))
+        inside = (
+            (px[None, :] >= rminx[lo:hi, None])
+            & (px[None, :] <= rmaxx[lo:hi, None])
+            & (py[None, :] >= rminy[lo:hi, None])
+            & (py[None, :] <= rmaxy[lo:hi, None])
+        )
+        ri, pi = np.nonzero(inside)
+        out_ri.append(ri + lo)
+        out_pi.append(pi)
+    ri = np.concatenate(out_ri)
+    pi = np.concatenate(out_pi)
+    return pa.table(
+        {
+            "p_partkey": rects["p_partkey"].take(pa.array(ri)),
+            "c_custkey": pts["c_custkey"].take(pa.array(pi)),
+        }
+    )
 
 
 Q_PIP_JOIN_SQL = f"""
@@ -406,32 +428,8 @@ def q_pip_join_skew(sf_dir: str):
     ).map_batches(split_points, batch_format="pyarrow")
     rects = rects.map_batches(split, batch_format="pyarrow")
 
-    def contain_join(group: pa.Table) -> pa.Table:
-        side = np.asarray(group["side"].to_pylist())
-        pts = group.filter(pa.array(side == "point"))
-        rcts = group.filter(pa.array(side == "rect"))
-        if pts.num_rows == 0 or rcts.num_rows == 0:
-            return pa.schema(
-                [pa.field("p_partkey", pa.int64()), pa.field("c_custkey", pa.int64())]
-            ).empty_table()
-        px = pts["px"].to_numpy()
-        py = pts["py"].to_numpy()
-        inside = (
-            (px[None, :] >= rcts["minx"].to_numpy()[:, None])
-            & (px[None, :] <= rcts["maxx"].to_numpy()[:, None])
-            & (py[None, :] >= rcts["miny"].to_numpy()[:, None])
-            & (py[None, :] <= rcts["maxy"].to_numpy()[:, None])
-        )
-        ri, pi = np.nonzero(inside)
-        return pa.table(
-            {
-                "p_partkey": rcts["p_partkey"].take(pa.array(ri)),
-                "c_custkey": pts["c_custkey"].take(pa.array(pi)),
-            }
-        )
-
     pairs = points.union(rects).groupby("cell").map_groups(
-        contain_join, batch_format="pyarrow"
+        _contain_join_group, batch_format="pyarrow"
     )
     # As in q_pip_join: points land in exactly one (possibly finer)
     # cell and hot-cell children tile the hot cell disjointly, so no
@@ -589,7 +587,6 @@ Q_PRICING_SQL = """
 def q_top_customers(sf_dir: str):
     """Top-10 customers by order spend: partial sums → shuffle →
     sort/limit; customer names joined via broadcast lookup."""
-    import ray
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -612,21 +609,16 @@ def q_top_customers(sf_dir: str):
 
     import pyarrow.parquet as pq
 
+    from ..stages.join import broadcast_join
+
+    # dimension lookup via the standard broadcast-join operator (Arrow
+    # table ray.put once + searchsorted attach) — no driver-side dict
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    names_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist())))
-
-    def attach(batch: pa.Table) -> pa.Table:
-        names = ray.get(names_ref)
-        keys = batch["o_custkey"].to_pylist()
-        return pa.table(
-            {
-                "c_custkey": pa.array(keys, pa.int64()),
-                "c_name": pa.array([names.get(k) for k in keys], pa.string()),
-                "spend_c": batch["spend_c"],
-            }
-        )
-
-    return top.map_batches(attach, batch_format="pyarrow")
+    top = top.map_batches(
+        lambda b: b.rename_columns(["c_custkey", "spend_c"]), batch_format="pyarrow"
+    )
+    joined = broadcast_join(top, cust, "c_custkey", ["c_name"])
+    return joined.select_columns(["c_custkey", "c_name", "spend_c"])
 
 
 Q_TOP_CUSTOMERS_SQL = """

@@ -130,6 +130,7 @@ def lsh_bucketed_topk(embeddings_ds, queries, k: int, dim: int = 64, n_bits: int
         vecs = _embedding_matrix(bucketed["embedding"]).astype(np.float64)
         ids = bucketed["vec_id"].to_numpy()
         unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        qid_arr = np.asarray(query_ids)
         out_q, out_v, out_s = [], [], []
         for qb, q_idxs in by_bucket.items():
             mask = buckets == qb
@@ -137,15 +138,23 @@ def lsh_bucketed_topk(embeddings_ds, queries, k: int, dim: int = 64, n_bits: int
                 continue
             sims = qnorm[q_idxs] @ unit[mask].T
             sub_ids = ids[mask]
-            for row, qi in enumerate(q_idxs):
-                out_q.extend([query_ids[qi]] * len(sub_ids))
-                out_v.extend(sub_ids.tolist())
-                out_s.extend(sims[row].tolist())
+            # vectorized assembly: repeat/tile, no per-candidate loop
+            out_q.append(np.repeat(qid_arr[q_idxs], len(sub_ids)))
+            out_v.append(np.tile(sub_ids, len(q_idxs)))
+            out_s.append(sims.ravel())
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "cosine": pa.array(out_s, pa.float64()),
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
             }
         )
 
@@ -202,6 +211,7 @@ def ivf_topk(embeddings_ds, queries, k: int, centroids: np.ndarray, nprobe: int 
         ids = batch["vec_id"].to_numpy()
         unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         assign = np.argmax(unit @ cent.T, axis=1)
+        qid_arr = np.asarray(query_ids)
         out_q, out_v, out_s = [], [], []
         for c, q_idxs in by_centroid.items():
             mask = assign == c
@@ -209,15 +219,22 @@ def ivf_topk(embeddings_ds, queries, k: int, centroids: np.ndarray, nprobe: int 
                 continue
             sims = qunit[q_idxs] @ unit[mask].T
             sub_ids = ids[mask]
-            for row, qi in enumerate(q_idxs):
-                out_q.extend([query_ids[qi]] * len(sub_ids))
-                out_v.extend(sub_ids.tolist())
-                out_s.extend(sims[row].tolist())
+            out_q.append(np.repeat(qid_arr[q_idxs], len(sub_ids)))
+            out_v.append(np.tile(sub_ids, len(q_idxs)))
+            out_s.append(sims.ravel())
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "cosine": pa.array(out_s, pa.float64()),
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), pa.float64()),
             }
         )
 

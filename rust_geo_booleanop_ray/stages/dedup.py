@@ -105,13 +105,26 @@ class MinHasher:
         self.n_perm = n_perm
         self.k = shingle_k
 
+    _SHINGLE_BASE = np.uint64(1099511628211)  # FNV-64 prime
+
     def shingle_hashes(self, text: str) -> np.ndarray:
-        data = text.encode("utf-8")
+        """Distinct 64-bit hashes of the k-byte shingles, vectorized:
+        a polynomial rolling hash evaluated with k strided adds/muls
+        over the whole byte buffer (no per-shingle Python), unique'd.
+        The (a·h+b) mod p permutations on top make the base hash's
+        mixing quality immaterial for the MinHash estimator."""
+        data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
         k = self.k
         if len(data) <= k:
-            return np.array([zlib.crc32(data)], dtype=np.uint64)
-        hs = {zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)}
-        return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+            h = np.uint64(0)
+            for b in data:
+                h = h * self._SHINGLE_BASE + b
+            return np.array([h], dtype=np.uint64)
+        n = len(data) - k + 1
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            h = h * self._SHINGLE_BASE + data[j : j + n]
+        return np.unique(h)
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingle_hashes(text)

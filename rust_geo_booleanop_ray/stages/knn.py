@@ -51,18 +51,16 @@ def _neighbor_cells(cx: np.ndarray, cy: np.ndarray, res: int) -> tuple:
     jy = np.broadcast_to(
         np.clip(iy[:, None, None] + offs[None, None, :], 0, n_cells - 1), (n_pts, 3, 3)
     ).reshape(n_pts, 9)
-    # dedup clamped duplicates per row
+    # dedup clamped duplicates per row, vectorized: sort each row's 9
+    # packed ids and keep first occurrences (no per-point Python)
     packed = (jx.astype(np.uint64) << np.uint64(32)) | jy.astype(np.uint64)
-    row_idx_list = []
-    cell_list = []
-    for i in range(len(cx)):  # 9 elems per row; dedup via np.unique
-        u = np.unique(packed[i])
-        row_idx_list.append(np.full(len(u), i, dtype=np.int64))
-        cell_list.append(u)
-    if not row_idx_list:
+    if n_pts == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
-    row_idx = np.concatenate(row_idx_list)
-    packed_u = np.concatenate(cell_list)
+    packed.sort(axis=1)
+    first = np.ones((n_pts, 9), dtype=bool)
+    first[:, 1:] = packed[:, 1:] != packed[:, :-1]
+    row_idx = np.repeat(np.arange(n_pts, dtype=np.int64), 9)[first.ravel()]
+    packed_u = packed.ravel()[first.ravel()]
     ux = (packed_u >> np.uint64(32)).astype(np.uint64)
     uy = (packed_u & np.uint64(0xFFFFFFFF)).astype(np.uint64)
     morton = _part1by1(ux) | (_part1by1(uy) << np.uint64(1))

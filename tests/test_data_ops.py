@@ -290,3 +290,37 @@ def test_connected_components_matches_union_find(ray_session):
         for r in connected_components(pairs).take_all()
     }
     assert got == expected
+
+
+def test_contain_join_group_chunks_hot_cell(monkeypatch):
+    """One hot cell must never allocate an unbounded pts×rects matrix:
+    with the chunk cap forced tiny, the output is identical to the
+    single-matrix evaluation."""
+    import rust_geo_booleanop_ray.pipelines.queries as Q
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    n_pts, n_rects = 400, 300
+    px, py = rng.uniform(0, 100, n_pts), rng.uniform(0, 100, n_pts)
+    cx, cy = rng.uniform(0, 100, n_rects), rng.uniform(0, 100, n_rects)
+    hw, hh = rng.uniform(1, 8, n_rects), rng.uniform(1, 8, n_rects)
+    group = pa.table(
+        {
+            "side": pa.array(["point"] * n_pts + ["rect"] * n_rects),
+            "c_custkey": pa.array(
+                list(range(n_pts)) + [0] * n_rects, pa.int64()
+            ),
+            "px": pa.array(np.concatenate([px, np.zeros(n_rects)])),
+            "py": pa.array(np.concatenate([py, np.zeros(n_rects)])),
+            "p_partkey": pa.array([0] * n_pts + list(range(n_rects)), pa.int64()),
+            "minx": pa.array(np.concatenate([np.zeros(n_pts), cx - hw])),
+            "miny": pa.array(np.concatenate([np.zeros(n_pts), cy - hh])),
+            "maxx": pa.array(np.concatenate([np.zeros(n_pts), cx + hw])),
+            "maxy": pa.array(np.concatenate([np.zeros(n_pts), cy + hh])),
+        }
+    )
+    full = Q._contain_join_group(group)
+    monkeypatch.setattr(Q, "MAX_CONTAIN_MATRIX", 1000)  # forces ~120 chunks
+    chunked = Q._contain_join_group(group)
+    key = lambda t: sorted(zip(t["p_partkey"].to_pylist(), t["c_custkey"].to_pylist()))
+    assert full.num_rows > 0
+    assert key(full) == key(chunked)
