@@ -18,15 +18,31 @@ from .subdivide import fill_queue, subdivide
 OPERATIONS = (OP_INTERSECTION, OP_DIFFERENCE, OP_UNION, OP_XOR)
 
 
-def boolean_op(subject, clipping, operation):
+def boolean_op(subject, clipping, operation, dtype: str = "f64"):
     """Boolean operation on two multipolygons; returns a multipolygon.
 
     Dispatches to the native (C) kernel when available — an
     operation-for-operation port verified bit-for-bit against the same
     golden corpus (see native/); `GEO_NATIVE=0` or a missing compiler
-    falls back to the pure-Python kernel below."""
+    falls back to the pure-Python kernel below.
+
+    ``dtype="f32"`` runs the generic-Float kernel in single precision
+    (the reference is generic over Float, helper.rs:8-10): inputs are
+    rounded to binary32, intersection arithmetic and the ULP nudge run
+    as true f32 ops (geom/f32.py), and outputs are exact
+    f32-representable doubles.  The f32 path always uses the Python
+    kernel (the native port is f64)."""
     if operation not in OPERATIONS:
         raise ValueError(f"unknown operation: {operation!r}")
+
+    if dtype == "f32":
+        from .f32 import mp_to_f32, mp_to_f64
+
+        return mp_to_f64(
+            boolean_op_python(mp_to_f32(subject), mp_to_f32(clipping), operation)
+        )
+    if dtype != "f64":
+        raise ValueError(f"unknown dtype: {dtype!r}")
 
     from ..native import native_boolean_op
 

@@ -258,5 +258,13 @@ def signed_area(p0, p1, p2) -> float:
 
 
 def nextafter(x: float, up: bool) -> float:
-    """ULP step; mirrors reference lib/src/boolean/helper.rs:16-24."""
+    """ULP step; mirrors reference lib/src/boolean/helper.rs:16-24.
+
+    Dispatches on the coordinate type: binary32 step for the f32
+    kernel path (the reference is generic over Float), binary64
+    otherwise."""
+    from .f32 import Float32, f32_nextafter
+
+    if isinstance(x, Float32):
+        return f32_nextafter(x, up)
     return math.nextafter(x, math.inf if up else -math.inf)
