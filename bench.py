@@ -72,6 +72,8 @@ def bench_list():
         "lang_id",
         "ngram_dedup",
         "poly_clip",
+        "poly_clip_quads",
+        "tile_coverage_rects",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

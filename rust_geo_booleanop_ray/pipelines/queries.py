@@ -38,18 +38,8 @@ ANN_K = 10
 STOPWORDS_SQL = "('the','a','of','and','to','in','is')"
 
 
-def _rect_mp_array(minx, miny, maxx, maxy) -> pa.ListArray:
-    """Vectorized axis-aligned rects → multipolygon column."""
-    n = len(minx)
-    xs = np.stack([minx, maxx, maxx, minx, minx], axis=1)
-    ys = np.stack([miny, miny, maxy, maxy, miny], axis=1)
-    coords = np.empty((n * 5, 2))
-    coords[:, 0] = xs.ravel()
-    coords[:, 1] = ys.ravel()
-    coord_arr = pa.FixedSizeListArray.from_arrays(pa.array(coords.ravel()), 2)
-    ring = pa.ListArray.from_arrays(pa.array(np.arange(n + 1, dtype=np.int32) * 5), coord_arr)
-    one = pa.array(np.arange(n + 1, dtype=np.int32))
-    return pa.ListArray.from_arrays(one, pa.ListArray.from_arrays(one, ring))
+# vectorized axis-aligned rects → multipolygon column (shared helper)
+from ..sources.arrow_geom import rects_to_arrow as _rect_mp_array  # noqa: E402
 
 
 def _part_rect_batch(batch: pa.Table) -> pa.Table:
@@ -381,12 +371,14 @@ def q_pip_join_skew(sf_dir: str):
             }
         )
 
-    # materialized once: both the counting pre-pass and the join read
-    # these blocks from the object store instead of re-running the
-    # read+explode (the rect side is the bounded side of this join)
+    # NOT materialized: the exploded rect side would otherwise sit in
+    # the object store as the memory ceiling of the whole query.  The
+    # counting pre-pass and the join each stream their own pass over
+    # the column-pruned read + explode — recomputing one cheap
+    # map_batches beats holding the widest intermediate resident.
     rects = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
         rect_rows, batch_format="pyarrow"
-    ).materialize()
+    )
 
     # ---- pre-pass: per-batch partial cell counts → tiny driver merge
     def cell_counts(batch: pa.Table) -> pa.Table:

@@ -81,15 +81,17 @@ class TopKPerQuery:
         self.__name__ = type(self).__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = group.to_pandas().drop_duplicates(subset=["query_id", "vec_id"])
-        df = df.sort_values(
-            ["cosine", "vec_id"], ascending=[False, True], kind="mergesort"
-        ).head(self.k)
-        df = df.reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native merge: dedup by vec_id (duplicate candidates
+        # carry equal cosines), lexsort (-cosine, vec_id), head k
+        vid = group["vec_id"].to_numpy()
+        cos = group["cosine"].to_numpy()
+        uniq, first = np.unique(vid, return_index=True)
+        order = np.lexsort((uniq, -cos[first]))[: self.k]
+        take = pa.array(first[order].astype(np.int64))
+        out = group.take(take)
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
 
 
 def brute_force_topk(embeddings_ds, queries, k: int):

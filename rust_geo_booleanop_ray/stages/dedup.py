@@ -22,7 +22,6 @@ Scale shapes (ray_guide aggregation/dedup patterns):
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -230,34 +229,68 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 
 class SimHasher:
-    """64-bit SimHash over word tokens (weights = token frequency)."""
+    """64-bit SimHash over word tokens (weights = token frequency).
 
-    def __init__(self):
-        pass
+    Fully vectorized across the batch: one split/flatten, token hashes
+    via a polynomial hash evaluated position-by-position over the
+    flattened byte buffer (max-token-length iterations, each a masked
+    vector op), per-doc ±1 bit accumulation via reduceat."""
 
-    @staticmethod
-    def simhash(text: str) -> np.int64:
-        toks = text.split(" ")
-        if not toks:
-            return np.int64(0)
-        hs = np.fromiter(
-            (zlib.crc32(t.encode("utf-8")) * 2654435761 % (1 << 64) for t in toks),
-            dtype=np.uint64,
-            count=len(toks),
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-        acc = (bits * 2 - 1).sum(axis=0)
-        out = np.uint64(0)
-        for b in np.flatnonzero(acc > 0):
-            out |= np.uint64(1) << np.uint64(b)
-        return np.int64(out.astype(np.int64))
+    _BASE = np.uint64(1099511628211)  # FNV-64 prime
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        vals = np.fromiter(
-            (self.simhash(t) for t in texts), dtype=np.int64, count=len(texts)
+        import pyarrow.compute as pc_
+
+        n = batch.num_rows
+        toks = pc_.split_pattern(batch["text"], " ")
+        n_tok = pc_.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc_.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        total = len(flat)
+        if total == 0:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "simhash": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                }
+            )
+        # utf-8 byte segments of every token, zero-copy from the arrow
+        # string buffers
+        flat_bin = flat.cast(pa.binary())
+        off_buf = np.frombuffer(flat_bin.buffers()[1], dtype=np.int32)
+        starts = off_buf[flat_bin.offset : flat_bin.offset + total + 1].astype(np.int64)
+        data = np.frombuffer(flat_bin.buffers()[2], dtype=np.uint8).astype(np.uint64)
+        lens = starts[1:] - starts[:-1]
+
+        h = np.zeros(total, dtype=np.uint64)
+        for j in range(int(lens.max()) if total else 0):
+            active = lens > j
+            if not active.any():
+                break
+            h[active] = h[active] * self._BASE + data[starts[:-1][active] + j]
+        # finalizer mix so short tokens still spread over 64 bits
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+
+        bits = (
+            (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        ).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(n_tok)))
+        sum_bits = np.add.reduceat(bits, offsets[:-1], axis=0)
+        sum_bits = np.where((offsets[1:] > offsets[:-1])[:, None], sum_bits, 0)
+        acc = 2 * sum_bits - n_tok[:, None]  # Σ(±1) per bit per doc
+        out_bits = (acc > 0).astype(np.uint64)
+        vals = (out_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
         )
-        return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(vals, pa.int64())})
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(vals.view(np.int64), pa.int64()),
+            }
+        )
 
 
 def simhash_band_explode(batch: pa.Table, bands: int = 4) -> pa.Table:

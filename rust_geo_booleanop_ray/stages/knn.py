@@ -179,14 +179,17 @@ class TopKMerge:
         self.__name__ = type(self).__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = group.to_pandas()
-        df = df.drop_duplicates(subset=["query_id", "neighbor_id"])
-        df = df.sort_values(["dist", "neighbor_id"], kind="mergesort").head(self.k)
-        df = df.reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native merge: dedup replicas by neighbor id (equal
+        # pairs carry equal dists), lexsort (dist, neighbor_id), head k
+        nid = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        dist = group["dist"].to_numpy()
+        uniq, first = np.unique(nid, return_index=True)
+        order = np.lexsort((uniq, dist[first]))[: self.k]
+        take = pa.array(first[order].astype(np.int64))
+        out = group.take(take)
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
 
 
 def knn_pipeline(points_ds, k: int, res: int, id_col: str = "image_id", query_col: str | None = None):

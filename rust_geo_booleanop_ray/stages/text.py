@@ -74,26 +74,44 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
 
 
 class LangId:
-    """Actor-pool stage: heuristic language ID (markers compiled once)."""
+    """Actor-pool stage: heuristic language ID.
+
+    Marker value-sets are materialized once per actor in __init__;
+    scoring is fully vectorized (split → flatten → is_in per language
+    → reduceat per doc → first-strictly-greater argmax, the same
+    tie-break the SQL oracle mirrors)."""
 
     def __init__(self):
-        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        self.langs = list(_LANG_MARKERS)
+        self.marker_arrays = {
+            lang: pa.array(sorted(marks)) for lang, marks in _LANG_MARKERS.items()
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        pred = []
-        for t in texts:
-            toks = t.lower().split(" ")
-            best_lang, best = "und", 0
-            for lang, marks in self.markers.items():
-                score = sum(1 for w in toks if w in marks)
-                if score > best:
-                    best, best_lang = score, lang
-            pred.append(best_lang)
+        toks = pc.split_pattern(pc.utf8_lower(batch["text"]), " ")
+        n_tokens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        offsets = np.concatenate(([0], np.cumsum(n_tokens)))
+        n = batch.num_rows
+        scores = np.zeros((len(self.langs), n), dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            hit = pc.is_in(flat, value_set=self.marker_arrays[lang])
+            hit_np = hit.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(flat):
+                s = np.add.reduceat(hit_np, offsets[:-1])
+                scores[li] = np.where(offsets[1:] > offsets[:-1], s, 0)
+        # argmax returns the FIRST max index — exactly the Python/SQL
+        # first-strictly-greater tie-break; all-zero scores → 'und'
+        first_max = scores.argmax(axis=0)
+        pred = np.where(
+            scores.max(axis=0) > 0,
+            np.asarray(self.langs, dtype=object)[first_max],
+            "und",
+        )
         out = batch.select(
             [c for c in ("doc_id", "lang") if c in batch.column_names]
         )
-        return out.append_column("lang_pred", pa.array(pred, pa.string()))
+        return out.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
 
 
 _FP_WINDOW = 8

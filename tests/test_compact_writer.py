@@ -58,3 +58,25 @@ def test_generators_shapes():
     # determinism
     c, _ = generate_random_triangles_polygons()
     assert a == c
+
+
+def test_plot_cases_svg(tmp_path):
+    """SVG visualizer (reference plot_test_cases.py port): one
+    well-formed figure per expected op, panels + shaded paths present."""
+    import xml.etree.ElementTree as ET
+
+    from rust_geo_booleanop_ray.plot_cases import main as plot_main
+
+    fixture = (
+        "/root/reference/tests/fixtures/generic_test_cases/"
+        "basic2_poly_with_hole.geojson"
+    )
+    out = tmp_path / "plots"
+    plot_main([fixture, "-o", str(out)])
+    files = sorted(out.iterdir())
+    assert len(files) >= 4  # one per expected operation
+    for f in files:
+        root = ET.parse(f).getroot()
+        assert root.tag.endswith("svg")
+        paths = [e for e in root.iter() if e.tag.endswith("path")]
+        assert len(paths) >= 6  # shaded + outline per layer across panels
