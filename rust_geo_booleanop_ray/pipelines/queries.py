@@ -1094,12 +1094,49 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_fingerprints(sf_dir: str):
-    """Rolling-hash document fingerprints (deterministic ints)."""
+    """Rolling-hash document fingerprints (deterministic ints); the
+    oracle reproduces the min-over-windows polynomial hash with
+    arbitrary-precision HUGEINT arithmetic — value-exact."""
     from ..stages.text import fingerprint_batch
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow"
     )
+
+
+def _build_fingerprints_sql() -> str:
+    from ..stages.text import _FP_BASE, _FP_WINDOW
+
+    B = int(_FP_BASE)
+    H = 1 << 64
+    powers = [pow(B, k, H) for k in range(_FP_WINDOW)]
+    terms = " + ".join(
+        f"unicode(t[i+{j}:i+{j}]) * {powers[_FP_WINDOW - 1 - j]}::HUGEINT"
+        for j in range(_FP_WINDOW)
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < {_FP_WINDOW}
+                  THEN text || repeat(' ', {_FP_WINDOW} - length(text))
+                  ELSE text END AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             list_min([ (({terms}) % 18446744073709551616::HUGEINT)
+                        FOR i IN range(1, length(t) - {_FP_WINDOW - 2}) ]) AS hv
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(hv - CASE WHEN hv >= 9223372036854775808::HUGEINT
+                     THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                AS BIGINT) AS fingerprint
+    FROM w
+"""
+
+
+Q_FINGERPRINTS_SQL = _build_fingerprints_sql()
 
 
 def q_embedding_near_dup(sf_dir: str):
@@ -1775,4 +1812,5 @@ def build_oracle_sql():
         "lang_id": Q_LANG_ID_SQL,
         "poly_clip": Q_POLY_CLIP_SQL,
         "tile_coverage_rects": Q_TILE_COVERAGE_RECTS_SQL,
+        "fingerprints": Q_FINGERPRINTS_SQL,
     }

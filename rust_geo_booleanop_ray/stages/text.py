@@ -119,15 +119,18 @@ _FP_BASE = np.uint64(1099511628211)
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """Rolling-hash document fingerprint: min 64-bit hash over all
-    8-char windows (Rabin–Karp / winnowing-lite).  Deterministic."""
+    """Rolling-hash document fingerprint: min 64-bit polynomial hash
+    over all 8-CODE-POINT windows (Rabin–Karp / winnowing-lite;
+    short texts are space-padded).  Code points — not utf-8 bytes — so
+    the DuckDB oracle can mirror it exactly with unicode()/character
+    slicing (Q_FINGERPRINTS_SQL).  Deterministic, wrap-mod-2^64."""
     texts = batch["text"].to_pylist()
     fps = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if len(data) < _FP_WINDOW:
-            data = np.pad(data, (0, _FP_WINDOW - len(data)), constant_values=32)
-        # vectorized rolling hash: polynomial over a sliding window
+        if len(t) < _FP_WINDOW:
+            t = t + " " * (_FP_WINDOW - len(t))
+        # utf-32 view = vectorized code-point array
+        data = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
         n = len(data) - _FP_WINDOW + 1
         h = np.zeros(n, dtype=np.uint64)
         for j in range(_FP_WINDOW):
