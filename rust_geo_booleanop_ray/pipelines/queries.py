@@ -1051,12 +1051,58 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
-    """Sign-LSH bucketed ANN (alternative scale path) — rows-only."""
+    """Sign-LSH bucketed ANN (alternative scale path).  The planes are
+    deterministic Rademacher ±1 matrices, so the oracle reproduces the
+    exact bucketing (sign expressions inlined as literals) and the
+    same candidate set → value-exact ranks."""
     from ..stages.ann import lsh_bucketed_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = lsh_bucketed_topk(ds, _ann_queries(sf_dir), ANN_K, n_bits=4)
     return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def _sign_bucket_expr(n_bits: int, seed: int, dim: int = 64) -> str:
+    """SQL expression computing the sign-LSH bucket of ``embedding``
+    with the SAME deterministic Rademacher planes as the engine.
+    Signs are inlined (the sign of Σ ±e_d equals the engine's
+    unit-vector projection sign — normalization is a positive
+    scale)."""
+    from ..stages.dedup import rademacher_planes
+
+    planes = rademacher_planes(dim, n_bits, seed)
+    bits = []
+    for b in range(n_bits):
+        terms = " + ".join(
+            ("" if planes[d, b] > 0 else "-") + f"embedding[{d + 1}]"
+            for d in range(dim)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _build_ann_lsh_sql() -> str:
+    bucket = _sign_bucket_expr(n_bits=4, seed=13)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
+    eb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM e),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM eb WHERE vec_id < 5),
+    cand AS (
+      SELECT q.qid AS query_id, eb.vec_id,
+             list_cosine_similarity(eb.embedding, q.qe) AS cos
+      FROM eb JOIN q ON eb.bucket = q.qb
+    )
+    SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= {ANN_K}
+"""
+
+
+Q_ANN_LSH_SQL = _build_ann_lsh_sql()
 
 
 def q_minhash_near_dup(sf_dir: str):
@@ -1077,8 +1123,78 @@ def q_minhash_near_dup(sf_dir: str):
     )
 
 
+def _build_simhash_pairs_sql() -> str:
+    """SQL mirror of the full simhash pipeline: per-token polynomial
+    hash over code points (list_reduce) + murmur finalizer (split
+    32×64 multiply keeps the HUGEINT products under 2^127), per-doc ±1
+    bit vote, 4×16-bit band blocking, bit_count(xor) hamming ≤ 3.
+    Assumes no band bucket exceeds the engine's quadratic-guard cap
+    (200) — true for the synthetic corpus; the cap exists for
+    adversarial skew at scale."""
+    H = "18446744073709551616::HUGEINT"
+    B = "1099511628211::HUGEINT"
+    C = "18397679294719823053::HUGEINT"
+    S33 = "8589934592::HUGEINT"
+    S32 = "4294967296::HUGEINT"
+    pw = ", ".join(f"{1 << k}::HUGEINT" for k in range(64))
+    bandpw = ", ".join(f"{1 << (16 * k)}::HUGEINT" for k in range(4))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h0 AS (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(0::HUGEINT, [unicode(tok[i:i])::HUGEINT FOR i IN range(1, length(tok)+1)]),
+          (a, x) -> (a * {B} + x) % {H}) AS h
+      FROM toks
+    ),
+    m1 AS (SELECT doc_id, xor(h, h // {S33}) AS h FROM h0),
+    m2 AS (SELECT doc_id,
+             ((((h // {S32}) * {C}) % {H}) * {S32} + (h % {S32}) * {C}) % {H} AS h
+           FROM m1),
+    hf AS (SELECT doc_id, xor(h, h // {S33}) AS h FROM m2),
+    bp AS (SELECT unnest(range(64)) AS bit, unnest([{pw}]) AS p),
+    bits AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM hf, bp GROUP BY doc_id, bit
+    ),
+    sim AS (
+      SELECT bits.doc_id,
+             SUM(CASE WHEN acc > 0 THEN p ELSE 0::HUGEINT END) AS simu
+      FROM bits JOIN bp USING (bit) GROUP BY bits.doc_id
+    ),
+    s64 AS (
+      SELECT doc_id, simu,
+             CAST(simu - CASE WHEN simu >= 9223372036854775808::HUGEINT
+                         THEN {H} ELSE 0::HUGEINT END AS BIGINT) AS sim64
+      FROM sim
+    ),
+    bands AS (
+      SELECT doc_id, sim64, b.range AS band,
+             (simu // unnest_p.bpw) % 65536::HUGEINT AS band_val
+      FROM s64, range(4) b,
+           (SELECT unnest(range(4)) AS band2, unnest([{bandpw}]) AS bpw) unnest_p
+      WHERE b.range = unnest_p.band2
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.sim64, b.sim64)) AS ham
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(MIN(ham) AS BIGINT) AS hamming
+    FROM pairs WHERE ham <= 3 GROUP BY doc_a, doc_b
+"""
+
+
+Q_SIMHASH_PAIRS_SQL = _build_simhash_pairs_sql()
+
+
 def q_simhash_pairs(sf_dir: str):
-    """SimHash hamming≤3 near-dup pairs (band blocking)."""
+    """SimHash hamming≤3 near-dup pairs (band blocking); value-exact
+    vs the full SQL mirror (Q_SIMHASH_PAIRS_SQL)."""
     from ..stages.dedup import SimHasher, SimhashPairs, simhash_band_explode
     from ray.data.aggregate import Min
 
@@ -1144,7 +1260,10 @@ def q_embedding_near_dup(sf_dir: str):
 
     Threshold 0.35 suits the synthetic random-vector table (true
     near-dups don't exist there; this exercises the bucketing +
-    verify machinery and keeps the output schema non-empty)."""
+    verify machinery and keeps the output schema non-empty).  The
+    deterministic Rademacher planes make the whole pipeline
+    SQL-mirrorable; cosines are rounded to 4 dp for cross-engine
+    value equality (gap ≫ fp error)."""
     from ..stages.dedup import EmbeddingLshBucket, EmbeddingNearDupPairs
     from ray.data.aggregate import Max
 
@@ -1155,9 +1274,39 @@ def q_embedding_near_dup(sf_dir: str):
     pairs = bucketed.groupby("bucket").map_groups(
         EmbeddingNearDupPairs(threshold=0.35), batch_format="pyarrow"
     )
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+    agg = pairs.groupby(["vec_a", "vec_b"]).aggregate(
         Max("cosine", alias_name="cosine")
     )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "vec_a": b["vec_a"],
+                "vec_b": b["vec_b"],
+                "cosine_r": pa.array(np.round(b["cosine"].to_numpy(), 4)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _build_embedding_near_dup_sql() -> str:
+    bucket = _sign_bucket_expr(n_bits=8, seed=13)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
+    eb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM e),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_cosine_similarity(a.embedding, b.embedding) AS cos
+      FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(MAX(cos), 4) AS cosine_r
+    FROM pairs WHERE cos >= 0.35 GROUP BY vec_a, vec_b
+"""
+
+
+Q_EMBEDDING_NEAR_DUP_SQL = _build_embedding_near_dup_sql()
 
 
 def q_martinez_fixtures(sf_dir: str):
@@ -1813,4 +1962,7 @@ def build_oracle_sql():
         "poly_clip": Q_POLY_CLIP_SQL,
         "tile_coverage_rects": Q_TILE_COVERAGE_RECTS_SQL,
         "fingerprints": Q_FINGERPRINTS_SQL,
+        "simhash_pairs": Q_SIMHASH_PAIRS_SQL,
+        "ann_lsh": Q_ANN_LSH_SQL,
+        "embedding_near_dup": Q_EMBEDDING_NEAR_DUP_SQL,
     }

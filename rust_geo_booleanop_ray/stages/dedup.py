@@ -232,11 +232,13 @@ class SimHasher:
     """64-bit SimHash over word tokens (weights = token frequency).
 
     Fully vectorized across the batch: one split/flatten, token hashes
-    via a polynomial hash evaluated position-by-position over the
-    flattened byte buffer (max-token-length iterations, each a masked
-    vector op), per-doc ±1 bit accumulation via reduceat."""
+    via a polynomial hash over CODE POINTS (decoded vectorized from
+    the flat utf-8 buffer — code points, not bytes, so the DuckDB
+    oracle can mirror the hash with unicode()/list_reduce) plus a
+    murmur-style finalizer; per-doc ±1 bit accumulation via reduceat."""
 
     _BASE = np.uint64(1099511628211)  # FNV-64 prime
+    _FINAL_MUL = np.uint64(0xFF51AFD7ED558CCD)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc_
@@ -257,21 +259,26 @@ class SimHasher:
             )
         # utf-8 byte segments of every token, zero-copy from the arrow
         # string buffers
+        from ..functions.unicode import utf8_codepoints
+
         flat_bin = flat.cast(pa.binary())
         off_buf = np.frombuffer(flat_bin.buffers()[1], dtype=np.int32)
-        starts = off_buf[flat_bin.offset : flat_bin.offset + total + 1].astype(np.int64)
-        data = np.frombuffer(flat_bin.buffers()[2], dtype=np.uint8).astype(np.uint64)
-        lens = starts[1:] - starts[:-1]
+        byte_starts = off_buf[flat_bin.offset : flat_bin.offset + total + 1].astype(np.int64)
+        data = np.frombuffer(flat_bin.buffers()[2], dtype=np.uint8)
+        cps, prefix = utf8_codepoints(data)
+        cps = cps.astype(np.uint64)
+        cp_starts = prefix[byte_starts[:-1]]
+        lens = prefix[byte_starts[1:]] - cp_starts
 
         h = np.zeros(total, dtype=np.uint64)
         for j in range(int(lens.max()) if total else 0):
             active = lens > j
             if not active.any():
                 break
-            h[active] = h[active] * self._BASE + data[starts[:-1][active] + j]
+            h[active] = h[active] * self._BASE + cps[cp_starts[active] + j]
         # finalizer mix so short tokens still spread over 64 bits
         h ^= h >> np.uint64(33)
-        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h *= self._FINAL_MUL
         h ^= h >> np.uint64(33)
 
         bits = (
@@ -315,11 +322,19 @@ def simhash_band_explode(batch: pa.Table, bands: int = 4) -> pa.Table:
 
 
 class SimhashPairs:
-    """map_groups on (band_id, band_val): verified hamming pairs."""
+    """map_groups on (band_id, band_val): verified hamming pairs.
 
-    def __init__(self, max_hamming: int = 3, cap: int = 200):
+    EXACT — every within-bucket pair is evaluated; a hot bucket is
+    processed in row chunks so the pairwise xor matrix stays under
+    ``max_matrix`` elements (memory-bounded, never silently
+    truncated — the old cap dropped real pairs once a bucket passed
+    it).  The quadratic pair count of a pathological bucket is
+    inherent to band blocking; chunking bounds the memory, not the
+    work."""
+
+    def __init__(self, max_hamming: int = 3, max_matrix: int = 1 << 22):
         self.max_hamming = max_hamming
-        self.cap = cap
+        self.max_matrix = max_matrix
         self.__name__ = type(self).__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -327,29 +342,38 @@ class SimhashPairs:
         sh = group["simhash"].to_numpy().view(np.uint64)
         uniq, pos = np.unique(ids, return_index=True)
         sh = sh[pos]
-        if len(uniq) < 2:
-            return pa.schema(
-                [
-                    pa.field("doc_a", pa.int64()),
-                    pa.field("doc_b", pa.int64()),
-                    pa.field("hamming", pa.int64()),
-                ]
-            ).empty_table()
-        if len(uniq) > self.cap:
-            order = np.argsort(uniq)[: self.cap]
-            uniq, sh = uniq[order], sh[order]
-        x = sh[:, None] ^ sh[None, :]
-        ham = np.zeros_like(x, dtype=np.int64)
-        while x.any():
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        ii, jj = np.triu_indices(len(uniq), k=1)
-        keep = ham[ii, jj] <= self.max_hamming
+        n = len(uniq)
+        empty = pa.schema(
+            [
+                pa.field("doc_a", pa.int64()),
+                pa.field("doc_b", pa.int64()),
+                pa.field("hamming", pa.int64()),
+            ]
+        ).empty_table()
+        if n < 2:
+            return empty
+        chunk = max(1, self.max_matrix // n)
+        out_a, out_b, out_h = [], [], []
+        for lo in range(0, n - 1, chunk):
+            hi = min(lo + chunk, n)
+            x = sh[lo:hi, None] ^ sh[None, :]
+            ham = np.zeros(x.shape, dtype=np.int64)
+            while x.any():
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            ii, jj = np.nonzero(ham <= self.max_hamming)
+            keep = (ii + lo) < jj  # upper triangle only
+            if keep.any():
+                out_a.append(uniq[ii[keep] + lo])
+                out_b.append(uniq[jj[keep]])
+                out_h.append(ham[ii[keep], jj[keep]])
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "doc_a": pa.array(uniq[ii[keep]], pa.int64()),
-                "doc_b": pa.array(uniq[jj[keep]], pa.int64()),
-                "hamming": pa.array(ham[ii, jj][keep], pa.int64()),
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h), pa.int64()),
             }
         )
 
@@ -357,12 +381,30 @@ class SimhashPairs:
 # ------------------------------------------------------------- embeddings
 
 
+def rademacher_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes from splitmix64(seed, d, b).
+
+    Rademacher projections give the same sign-LSH collision guarantees
+    as gaussian planes, and the matrix is a pure integer-hash function
+    — so oracles can inline it as literals and reproduce the exact
+    bucketing."""
+    from .footprint import _splitmix64
+
+    idx = (
+        np.uint64(seed) * np.uint64(1_000_003)
+        + np.arange(dim, dtype=np.uint64)[:, None] * np.uint64(n_bits)
+        + np.arange(n_bits, dtype=np.uint64)[None, :]
+    )
+    s = _splitmix64(idx)
+    return np.where((s >> np.uint64(63)).astype(bool), 1.0, -1.0)
+
+
 class EmbeddingLshBucket:
-    """Sign-LSH bucketing of unit-normalized embeddings (seeded planes)."""
+    """Sign-LSH bucketing of unit-normalized embeddings (seeded
+    deterministic Rademacher planes — see ``rademacher_planes``)."""
 
     def __init__(self, dim: int = 64, n_bits: int = 12, seed: int = 13):
-        rng = np.random.Generator(np.random.PCG64(seed))
-        self.planes = rng.standard_normal((dim, n_bits))
+        self.planes = rademacher_planes(dim, n_bits, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = batch["embedding"]
@@ -387,11 +429,14 @@ class EmbeddingLshBucket:
 
 
 class EmbeddingNearDupPairs:
-    """map_groups on bucket: cosine ≥ threshold pairs within bucket."""
+    """map_groups on bucket: cosine ≥ threshold pairs within bucket.
 
-    def __init__(self, threshold: float = 0.95, cap: int = 500):
+    EXACT within the bucket — hot buckets are evaluated in row chunks
+    (bounded similarity matrix) instead of silently truncated."""
+
+    def __init__(self, threshold: float = 0.95, max_matrix: int = 1 << 21):
         self.threshold = threshold
-        self.cap = cap
+        self.max_matrix = max_matrix
         self.__name__ = type(self).__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -399,26 +444,35 @@ class EmbeddingNearDupPairs:
         vecs = _list_matrix(group["embedding"], len(ids))
         uniq, pos = np.unique(ids, return_index=True)
         vecs = vecs[pos]
-        if len(uniq) < 2:
-            return pa.schema(
-                [
-                    pa.field("vec_a", pa.int64()),
-                    pa.field("vec_b", pa.int64()),
-                    pa.field("cosine", pa.float64()),
-                ]
-            ).empty_table()
-        if len(uniq) > self.cap:
-            order = np.argsort(uniq)[: self.cap]
-            uniq, vecs = uniq[order], vecs[order]
+        n = len(uniq)
+        empty = pa.schema(
+            [
+                pa.field("vec_a", pa.int64()),
+                pa.field("vec_b", pa.int64()),
+                pa.field("cosine", pa.float64()),
+            ]
+        ).empty_table()
+        if n < 2:
+            return empty
         unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        sim = unit @ unit.T
-        ii, jj = np.triu_indices(len(uniq), k=1)
-        keep = sim[ii, jj] >= self.threshold
+        chunk = max(1, self.max_matrix // n)
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, n - 1, chunk):
+            hi = min(lo + chunk, n)
+            sim = unit[lo:hi] @ unit.T
+            ii, jj = np.nonzero(sim >= self.threshold)
+            keep = (ii + lo) < jj
+            if keep.any():
+                out_a.append(uniq[ii[keep] + lo])
+                out_b.append(uniq[jj[keep]])
+                out_c.append(sim[ii[keep], jj[keep]].astype(np.float64))
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "vec_a": pa.array(uniq[ii[keep]], pa.int64()),
-                "vec_b": pa.array(uniq[jj[keep]], pa.int64()),
-                "cosine": pa.array(sim[ii, jj][keep].astype(np.float64)),
+                "vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "vec_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c)),
             }
         )
 
