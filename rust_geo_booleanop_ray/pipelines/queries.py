@@ -1105,9 +1105,74 @@ def _build_ann_lsh_sql() -> str:
 Q_ANN_LSH_SQL = _build_ann_lsh_sql()
 
 
+def _build_minhash_sql(threshold: float = 0.5) -> str:
+    """Full SQL mirror of the MinHash+LSH pipeline: code-point shingle
+    hashes (5-wide polynomial windows), the 64 splitmix64-derived
+    permutations inlined as literals with the engine's exact
+    wrap-mod-2^64-then-mod-p arithmetic, 8×8 banded blocking via
+    list_reduce band hashes, and the k/64 signature-equality estimator
+    (dyadic — hash-exact across engines)."""
+    from ..stages.dedup import minhash_coeffs
+
+    a, b = minhash_coeffs(64, 7)
+    H = "18446744073709551616::HUGEINT"
+    P = "2305843009213693951::HUGEINT"
+    BF = 1099511628211
+    Bp = [pow(BF, k, 1 << 64) for k in range(5)]
+    win = " + ".join(
+        f"unicode(t[i+{j}:i+{j}])::HUGEINT * {Bp[4 - j]}::HUGEINT" for j in range(5)
+    )
+    sig_exprs = ",\n        ".join(
+        f"list_min(list_transform(sh, h -> ((({int(a[k])}::HUGEINT * h) % {H} "
+        f"+ {int(b[k])}::HUGEINT) % {H}) % {P}))"
+        for k in range(64)
+    )
+    band_exprs = ",\n        ".join(
+        f"list_reduce(list_prepend(0::HUGEINT, sig[{8 * j + 1}:{8 * j + 8}]), "
+        f"(acc, x) -> (acc * {BF}::HUGEINT + x) % {H})"
+        for j in range(8)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, text AS t FROM documents),
+    s AS (
+      SELECT doc_id,
+        CASE WHEN length(t) <= 5
+          THEN [list_reduce(list_prepend(0::HUGEINT,
+                 [unicode(t[i:i])::HUGEINT FOR i IN range(1, length(t)+1)]),
+                 (acc, x) -> (acc * {BF}::HUGEINT + x) % {H})]
+          ELSE list_distinct([ (({win}) % {H}) FOR i IN range(1, length(t) - 3) ])
+        END AS sh
+      FROM d
+    ),
+    sg AS (
+      SELECT doc_id, [
+        {sig_exprs}
+      ] AS sig FROM s
+    ),
+    bands AS (
+      SELECT doc_id, sig, unnest(range(8)) AS band,
+             unnest([
+        {band_exprs}
+             ]) AS band_hash
+      FROM sg
+    ),
+    pairs AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             len([k FOR k IN range(1, 65) IF x.sig[k] = y.sig[k]]) / 64.0 AS est
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, MAX(est) AS est_jaccard
+    FROM pairs WHERE est >= {threshold} GROUP BY doc_a, doc_b
+"""
+
+
+Q_MINHASH_SQL = _build_minhash_sql()
+
+
 def q_minhash_near_dup(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs over documents (est_jaccard
-    ≥ 0.5).  Not SQL-expressible — rows-only check."""
+    ≥ 0.5); value-exact vs the full SQL pipeline mirror."""
     from ..stages.dedup import LshCandidatePairs, MinHasher, lsh_band_explode
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1824,17 +1889,36 @@ Q_TILE_COVERAGE_RECTS_SQL = f"""
 """
 
 
+Q_NGRAM_DEDUP_SQL = f"""
+    WITH cand AS ({_build_minhash_sql(threshold=0.3)}),
+    tx AS (
+      SELECT doc_id,
+             list_distinct([ text[i:i+4] FOR i IN range(1, greatest(2, length(text) - 3)) ]) AS sh
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_a, doc_b,
+             CAST(floor(100.0 * len(list_intersect(a.sh, b.sh))
+                        / len(list_distinct(list_concat(a.sh, b.sh))) + 0.5) AS BIGINT) AS jaccard_pct
+      FROM cand JOIN tx a ON a.doc_id = cand.doc_a
+                JOIN tx b ON b.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard_pct FROM v WHERE jaccard_pct >= 50
+"""
+
+
 def q_ngram_dedup(sf_dir: str):
-    """N-gram Jaccard near-dup pairs: MinHash LSH proposes candidates,
-    the exact 5-gram Jaccard verifies ≥ 0.5 (reported as integer percent
-    so the check is float-free) — rows-only."""
+    """N-gram Jaccard near-dup pairs: MinHash LSH proposes candidates
+    (deterministic — the oracle reproduces the exact candidate set),
+    the exact 5-gram Jaccard verifies ≥ 0.5 (integer percent,
+    half-up) — value-exact vs the SQL mirror."""
     from ray.data.aggregate import Max
 
     from ..stages.dedup import (
         LshCandidatePairs,
         MinHasher,
         lsh_band_explode,
-        ngram_jaccard,
+        ngram_jaccard_pct,
     )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1883,7 +1967,7 @@ def q_ngram_dedup(sf_dir: str):
         texts = ray.get(texts_ref)
         a = batch["doc_a"].to_pylist()
         b = batch["doc_b"].to_pylist()
-        jacc = [int(round(100 * ngram_jaccard(texts[x], texts[y]))) for x, y in zip(a, b)]
+        jacc = [ngram_jaccard_pct(texts[x], texts[y]) for x, y in zip(a, b)]
         out = pa.table(
             {
                 "doc_a": batch["doc_a"],
@@ -1965,4 +2049,6 @@ def build_oracle_sql():
         "simhash_pairs": Q_SIMHASH_PAIRS_SQL,
         "ann_lsh": Q_ANN_LSH_SQL,
         "embedding_near_dup": Q_EMBEDDING_NEAR_DUP_SQL,
+        "minhash_near_dup": Q_MINHASH_SQL,
+        "ngram_dedup": Q_NGRAM_DEDUP_SQL,
     }

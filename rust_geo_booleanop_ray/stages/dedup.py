@@ -82,6 +82,18 @@ def exact_dedup_merge(group: pa.Table) -> pa.Table:
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def minhash_coeffs(n_perm: int, seed: int):
+    """Deterministic (a, b) permutation coefficients from splitmix64 —
+    a pure integer-hash function the SQL oracle inlines as literals."""
+    from .footprint import _splitmix64
+
+    ks = np.arange(n_perm, dtype=np.uint64)
+    base = np.uint64(seed) * np.uint64(1_000_003)
+    a = _splitmix64(base + np.uint64(2) * ks) % (_MERSENNE - np.uint64(1)) + np.uint64(1)
+    b = _splitmix64(base + np.uint64(2) * ks + np.uint64(1)) % _MERSENNE
+    return a, b
+
+
 def _list_matrix(arr, n_rows: int) -> np.ndarray:
     """(Fixed-size or plain) list column of equal-length lists → (n, d)."""
     if isinstance(arr, pa.ChunkedArray):
@@ -93,26 +105,29 @@ def _list_matrix(arr, n_rows: int) -> np.ndarray:
 class MinHasher:
     """Actor-pool stage: char-shingle MinHash signatures.
 
-    Permutation coefficients are generated once per actor (seeded).
+    Everything is a deterministic integer-hash function — shingles are
+    a polynomial rolling hash over CODE POINTS and the permutation
+    coefficients derive from splitmix64(seed, i) — so the DuckDB
+    oracle can reproduce signatures exactly (Q_MINHASH_SQL inlines the
+    coefficients and mirrors the wrap-mod-2^64-then-mod-p arithmetic).
     Emits (doc_id, sig: fixed_size_list<int64, n_perm>).
     """
 
     def __init__(self, n_perm: int = 64, shingle_k: int = 5, seed: int = 7):
-        rng = np.random.Generator(np.random.PCG64(seed))
-        self.a = rng.integers(1, int(_MERSENNE), n_perm, dtype=np.uint64)
-        self.b = rng.integers(0, int(_MERSENNE), n_perm, dtype=np.uint64)
+        self.a, self.b = minhash_coeffs(n_perm, seed)
         self.n_perm = n_perm
         self.k = shingle_k
 
     _SHINGLE_BASE = np.uint64(1099511628211)  # FNV-64 prime
 
     def shingle_hashes(self, text: str) -> np.ndarray:
-        """Distinct 64-bit hashes of the k-byte shingles, vectorized:
-        a polynomial rolling hash evaluated with k strided adds/muls
-        over the whole byte buffer (no per-shingle Python), unique'd.
-        The (a·h+b) mod p permutations on top make the base hash's
-        mixing quality immaterial for the MinHash estimator."""
-        data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        """Distinct 64-bit hashes of the k-code-point shingles,
+        vectorized: a polynomial rolling hash evaluated with k strided
+        adds/muls over the code-point array (utf-32 view; no
+        per-shingle Python), unique'd.  The (a·h+b) permutations on
+        top make the base hash's mixing quality immaterial for the
+        MinHash estimator."""
+        data = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
         k = self.k
         if len(data) <= k:
             h = np.uint64(0)
@@ -127,7 +142,8 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingle_hashes(text)
-        # (a*h + b) mod p, min over shingles, per permutation
+        # (a*h + b) in wrapping uint64, then mod p; min over shingles,
+        # per permutation (the oracle mirrors this exact sequence)
         vals = (self.a[None, :] * sh[:, None] + self.b[None, :]) % _MERSENNE
         return vals.min(axis=0).astype(np.int64)
 
@@ -174,55 +190,80 @@ class LshCandidatePairs:
     """map_groups fn on groupby(band_id, band_hash): emit verified pairs.
 
     Jaccard is estimated from full signatures (fraction of equal
-    minhash components — the standard unbiased estimator); groups
-    larger than ``cap`` are truncated with a logged marker row rather
-    than exploding quadratically (no silent caps).
+    minhash components — the standard unbiased estimator).  EXACT —
+    hot buckets are evaluated in row chunks so the comparison tensor
+    stays under ``max_matrix`` (rows × rows × n_perm) elements instead
+    of being truncated (the old cap dropped real pairs).
     """
 
-    def __init__(self, threshold: float = 0.6, cap: int = 200):
+    def __init__(self, threshold: float = 0.6, max_matrix: int = 1 << 24):
         self.threshold = threshold
-        self.cap = cap
+        self.max_matrix = max_matrix
         self.__name__ = type(self).__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
         ids = group["doc_id"].to_numpy()
         uniq, first_pos = np.unique(ids, return_index=True)
-        if len(uniq) < 2:
-            return pa.schema(
-                [
-                    pa.field("doc_a", pa.int64()),
-                    pa.field("doc_b", pa.int64()),
-                    pa.field("est_jaccard", pa.float64()),
-                    pa.field("truncated", pa.bool_()),
-                ]
-            ).empty_table()
+        n = len(uniq)
+        empty = pa.schema(
+            [
+                pa.field("doc_a", pa.int64()),
+                pa.field("doc_b", pa.int64()),
+                pa.field("est_jaccard", pa.float64()),
+            ]
+        ).empty_table()
+        if n < 2:
+            return empty
         sigs = _list_matrix(group["sig"], len(ids))[first_pos]
-        truncated = len(uniq) > self.cap
-        if truncated:
-            order = np.argsort(uniq)[: self.cap]
-            uniq = uniq[order]
-            sigs = sigs[order]
-        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-        ii, jj = np.triu_indices(len(uniq), k=1)
-        est = eq[ii, jj]
-        keep = est >= self.threshold
+        n_perm = sigs.shape[1]
+        chunk = max(1, self.max_matrix // max(1, n * n_perm))
+        out_a, out_b, out_e = [], [], []
+        for lo in range(0, n - 1, chunk):
+            hi = min(lo + chunk, n)
+            eq = (sigs[lo:hi, None, :] == sigs[None, :, :]).mean(axis=2)
+            ii, jj = np.nonzero(eq >= self.threshold)
+            keep = (ii + lo) < jj
+            if keep.any():
+                out_a.append(uniq[ii[keep] + lo])
+                out_b.append(uniq[jj[keep]])
+                out_e.append(eq[ii[keep], jj[keep]])
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "doc_a": pa.array(np.minimum(uniq[ii[keep]], uniq[jj[keep]]), pa.int64()),
-                "doc_b": pa.array(np.maximum(uniq[ii[keep]], uniq[jj[keep]]), pa.int64()),
-                "est_jaccard": pa.array(est[keep]),
-                "truncated": pa.array(np.full(keep.sum(), truncated), pa.bool_()),
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "est_jaccard": pa.array(np.concatenate(out_e)),
             }
         )
 
 
+def ngram_shingles(text: str, k: int = 5) -> set:
+    """Character k-gram set (short texts yield their truncated tail
+    grams, matching SQL character slicing)."""
+    return {text[i : i + k] for i in range(max(1, len(text) - k + 1))}
+
+
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     """Exact character n-gram Jaccard (verification function)."""
-    a = {text_a[i : i + k] for i in range(max(1, len(text_a) - k + 1))}
-    b = {text_b[i : i + k] for i in range(max(1, len(text_b) - k + 1))}
+    a = ngram_shingles(text_a, k)
+    b = ngram_shingles(text_b, k)
     if not a and not b:
         return 1.0
     return len(a & b) / len(a | b)
+
+
+def ngram_jaccard_pct(text_a: str, text_b: str, k: int = 5) -> int:
+    """Integer-percent Jaccard with half-UP rounding, computed as
+    floor((100·|∩|)/|∪| + 0.5) — the exact float op sequence the SQL
+    oracle uses, so percentages agree bit-for-bit even at .5
+    boundaries."""
+    a = ngram_shingles(text_a, k)
+    b = ngram_shingles(text_b, k)
+    union = len(a | b)
+    if union == 0:
+        return 100
+    return int(np.floor(100.0 * len(a & b) / union + 0.5))
 
 
 # ---------------------------------------------------------------- simhash
