@@ -1578,6 +1578,37 @@ def q_poly_clip_quads(sf_dir: str):
     )
 
 
+def q_video_frames(sf_dir: str):
+    """Video frame sampling: every 2nd frame of each synthetic clip →
+    (video_id, frame_idx, frame_phash) rows.  Raw and PNG-compressed
+    frame payloads both decode for real — rows-only (codec output is
+    not SQL-expressible)."""
+    from ..sources.videos import read_synth_videos
+    from ..stages.video_ops import FrameSample
+
+    ds = read_synth_videos(500)
+    out = ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"stride": 2},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )
+    return out.select_columns(["video_id", "frame_idx", "frame_phash"])
+
+
+def q_audio_features(sf_dir: str):
+    """PCM16 audio decode → integer-exact clip features (peak,
+    absolute sum, zero crossings) — rows-only."""
+    from ..sources.videos import read_synth_audio
+    from ..stages.video_ops import AudioFeatures
+
+    ds = read_synth_audio(1000)
+    return ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=128, concurrency=2
+    )
+
+
 def q_tile_coverage(sf_dir: str):
     """Flagship tiling pipeline summary (vector tiles + coverage)."""
     from .flagship import tile_pipeline
@@ -2009,6 +2040,8 @@ def build_queries():
         "embedding_near_dup": q_embedding_near_dup,
         "martinez_fixtures": q_martinez_fixtures,
         "image_features": q_image_features,
+        "video_frames": q_video_frames,
+        "audio_features": q_audio_features,
         "tile_coverage": q_tile_coverage,
         "tile_coverage_rects": q_tile_coverage_rects,
         "poly_clip": q_poly_clip,

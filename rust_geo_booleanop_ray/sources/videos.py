@@ -1,0 +1,132 @@
+"""Deterministic synthetic video + audio tables (multimodal columns).
+
+Multimodal payloads are opaque ``binary`` columns with typed metadata;
+decode happens in actor-pool stages (stages/video_ops.py).  Both
+sources are pure functions of the row index, exposed as streaming Ray
+datasources (generation inside map_batches tasks — the driver never
+holds the table).
+
+video schema: (video_id: string, bytes: binary, w: int32, h: int32,
+n_frames: int32, fps: float64, fmt: string, caption: string)
+  fmt="rawv"  — concatenated raw RGB frame planes (n_frames·h·w·3)
+  fmt="pngv"  — concatenated length-prefixed PNG frames (real codec)
+
+audio schema: (audio_id: string, bytes: binary, sample_rate: int32,
+n_samples: int32, fmt: string)
+  fmt="pcm16" — little-endian int16 PCM
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+_VID_SIZES = np.array([8, 12, 16], dtype=np.int32)
+
+
+def _video_pixels(i: int, w: int, h: int, n_frames: int) -> np.ndarray:
+    """(n_frames, h, w, 3) deterministic pixels: per-frame PCG stream
+    plus a moving gradient so consecutive frames differ predictably."""
+    rng = np.random.Generator(np.random.PCG64(977_003 * i + 11))
+    base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+    for f in range(n_frames):
+        shift = (np.arange(w, dtype=np.int32) + 7 * f) % 256
+        frames[f] = (base.astype(np.int32) + shift[None, :, None]) % 256
+    return frames
+
+
+def synth_video_batch(indices: np.ndarray, seed: int = 42) -> pa.Table:
+    from ..functions.png import encode_png
+
+    indices = np.asarray(indices, dtype=np.int64)
+    ids, payloads, ws, hs, nfs, fmts, caps = [], [], [], [], [], [], []
+    for i in map(int, indices):
+        w = int(_VID_SIZES[i % 3])
+        h = int(_VID_SIZES[(i // 3) % 3])
+        n_frames = 4 + (i % 5)
+        frames = _video_pixels(i, w, h, n_frames)
+        if i % 7 == 0:  # compressed path: length-prefixed PNG frames
+            parts = []
+            for f in range(n_frames):
+                png = encode_png(frames[f])
+                parts.append(struct.pack("<I", len(png)) + png)
+            payloads.append(b"".join(parts))
+            fmts.append("pngv")
+        else:
+            payloads.append(frames.tobytes())
+            fmts.append("rawv")
+        ids.append(f"vid-{i:08d}")
+        ws.append(w)
+        hs.append(h)
+        nfs.append(n_frames)
+        caps.append(f"clip {i} of a synthetic scene pan")
+    return pa.table(
+        {
+            "video_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "n_frames": pa.array(nfs, pa.int32()),
+            "fps": pa.array([24.0] * len(ids), pa.float64()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+        }
+    )
+
+
+def read_synth_videos(n_videos: int, seed: int = 42):
+    import ray.data as rd
+
+    ds = rd.range(n_videos, override_num_blocks=max(4, min(64, n_videos // 256)))
+    return ds.map_batches(
+        lambda b: synth_video_batch(b["id"].to_numpy(), seed=seed),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def synth_audio_batch(indices: np.ndarray, seed: int = 42) -> pa.Table:
+    """Deterministic PCM16 clips: two sine tones + noise, per-row
+    frequencies derived from the index."""
+    indices = np.asarray(indices, dtype=np.int64)
+    ids, payloads, srs, ns = [], [], [], []
+    for i in map(int, indices):
+        sr = 8000
+        n = 2048 + 512 * (i % 3)
+        t = np.arange(n, dtype=np.float64) / sr
+        f1 = 200.0 + (i % 17) * 50.0
+        f2 = 800.0 + (i % 11) * 90.0
+        rng = np.random.Generator(np.random.PCG64(seed * 7919 + i))
+        wave = (
+            0.5 * np.sin(2 * np.pi * f1 * t)
+            + 0.3 * np.sin(2 * np.pi * f2 * t)
+            + 0.05 * rng.standard_normal(n)
+        )
+        pcm = np.clip(wave * 32767.0, -32768, 32767).astype("<i2")
+        ids.append(f"aud-{i:08d}")
+        payloads.append(pcm.tobytes())
+        srs.append(sr)
+        ns.append(n)
+    return pa.table(
+        {
+            "audio_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array(srs, pa.int32()),
+            "n_samples": pa.array(ns, pa.int32()),
+            "fmt": pa.array(["pcm16"] * len(ids), pa.string()),
+        }
+    )
+
+
+def read_synth_audio(n_clips: int, seed: int = 42):
+    import ray.data as rd
+
+    ds = rd.range(n_clips, override_num_blocks=max(4, min(64, n_clips // 256)))
+    return ds.map_batches(
+        lambda b: synth_audio_batch(b["id"].to_numpy(), seed=seed),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -324,3 +324,41 @@ def test_contain_join_group_chunks_hot_cell(monkeypatch):
     key = lambda t: sorted(zip(t["p_partkey"].to_pylist(), t["c_custkey"].to_pylist()))
     assert full.num_rows > 0
     assert key(full) == key(chunked)
+
+
+def test_utf8_codepoints_vectorized_decoder():
+    """1-4 byte sequences decode to the same code points as Python."""
+    from rust_geo_booleanop_ray.functions.unicode import utf8_codepoints
+
+    s = "aé中𝄞 zz-ß漢🎉x"
+    data = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    cps, prefix = utf8_codepoints(data)
+    assert cps.tolist() == [ord(c) for c in s]
+    # byte-segment → code-point-segment mapping
+    head = "aé中"
+    nb = len(head.encode("utf-8"))
+    assert prefix[nb] == len(head)
+    # empty buffer
+    cps0, p0 = utf8_codepoints(np.empty(0, dtype=np.uint8))
+    assert len(cps0) == 0 and p0.tolist() == [0]
+
+
+def test_deterministic_hash_parameters():
+    """Rademacher planes and minhash coefficients are pure functions of
+    (seed, shape) — stable across processes for the SQL oracles."""
+    from rust_geo_booleanop_ray.stages.dedup import (
+        minhash_coeffs,
+        rademacher_planes,
+    )
+
+    p1 = rademacher_planes(64, 8, seed=13)
+    p2 = rademacher_planes(64, 8, seed=13)
+    assert (p1 == p2).all()
+    assert set(np.unique(p1)) == {-1.0, 1.0}
+    # roughly balanced signs
+    assert 0.3 < (p1 > 0).mean() < 0.7
+    a1, b1 = minhash_coeffs(64, 7)
+    a2, b2 = minhash_coeffs(64, 7)
+    assert (a1 == a2).all() and (b1 == b2).all()
+    assert (a1 >= 1).all() and (a1 < (1 << 61) - 1).all()
+    assert len(set(a1.tolist())) == 64  # all distinct
