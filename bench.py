@@ -74,6 +74,8 @@ def bench_list():
         "poly_clip",
         "poly_clip_quads",
         "tile_coverage_rects",
+        "video_frames",
+        "audio_features",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))
