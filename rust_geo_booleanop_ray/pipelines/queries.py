@@ -380,9 +380,21 @@ def q_pip_join_skew(sf_dir: str):
         rect_rows, batch_format="pyarrow"
     )
 
-    # ---- pre-pass: per-batch partial cell counts → tiny driver merge
+    # ---- pre-pass: SAMPLED per-batch partial cell counts → tiny driver
+    # merge.  A deterministic hash-sample of the rect side estimates
+    # per-cell density; the threshold is scaled by the sampling rate.
+    # Mis-detecting a hot cell only changes the partitioning (the
+    # oracle pins that the ANSWER is invariant); at 100-TB scale this
+    # replaces a second full pass over the data with a 25% one.
+    SAMPLE_MOD, SAMPLE_KEEP = 4, 1  # keep keys with hash%4 == 1 (25%)
+
     def cell_counts(batch: pa.Table) -> pa.Table:
-        cells, counts = np.unique(batch["cell"].to_numpy(), return_counts=True)
+        keys = batch["p_partkey"].to_numpy().astype(np.uint64)
+        h = (keys * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)
+        keep = (h % np.uint64(SAMPLE_MOD)) == SAMPLE_KEEP
+        cells, counts = np.unique(
+            batch["cell"].to_numpy()[keep], return_counts=True
+        )
         return pa.table(
             {"cell": pa.array(cells, pa.int64()), "n": pa.array(counts, pa.int64())}
         )
@@ -390,7 +402,11 @@ def q_pip_join_skew(sf_dir: str):
     totals = Counter()
     for row in rects.map_batches(cell_counts, batch_format="pyarrow").take_all():
         totals[row["cell"]] += row["n"]
-    hot = {np.uint64(c) for c, n in totals.items() if n > HOT_CELL_THRESHOLD}
+    hot = {
+        np.uint64(c)
+        for c, n in totals.items()
+        if n * SAMPLE_MOD > HOT_CELL_THRESHOLD
+    }
 
     def split(batch: pa.Table) -> pa.Table:
         return split_hot_cells(batch, hot, steps=1)

@@ -14,6 +14,12 @@ additions a large-scale pipeline needs.  Two physical strategies:
   union shuffles once, not once per side).  This is the scale path for
   big⋈big; key skew is the operator's documented hazard — pre-aggregate
   the probe side first (as q_revenue_by_nation does) or salt hot keys.
+
+Ray ≥2.46 ships an experimental ``Dataset.join`` (hash shuffle via
+aggregator actors); measured head-to-head on a 600k⋈150k int join at 32
+CPUs it runs ~1.5× slower than this union+sort+Acero plan (6.9 s vs
+4.5 s — actor-pool startup dominates), so the engine keeps its own
+operator and revisits when the built-in stabilizes.
 """
 
 from __future__ import annotations
