@@ -84,3 +84,25 @@ def test_f32_conformance_spot_check(name):
         a32 = shoelace_area(r32)
         a64 = shoelace_area(exp.result)
         assert a32 == pytest.approx(a64, rel=1e-4, abs=1e-6), (name, exp.op_tag)
+
+
+def test_f32_property_random_quads():
+    """Property sweep: random integer-coordinate convex quad pairs
+    through every op in f32 — outputs are always f32-representable,
+    areas non-negative, and within f32 relative error of the f64 run."""
+    rng = np.random.Generator(np.random.PCG64(77))
+    for trial in range(30):
+        def quad():
+            cx, cy = rng.integers(0, 64, 2)
+            w, h = rng.integers(1, 20, 2)
+            return [[[(float(cx), float(cy)), (float(cx + w), float(cy)),
+                      (float(cx + w), float(cy + h)), (float(cx), float(cy + h)),
+                      (float(cx), float(cy))]]]
+        a, b = quad(), quad()
+        for op in ("intersection", "union", "difference", "xor"):
+            r32 = boolean_op(a, b, op, dtype="f32")
+            assert _f32_representable(r32)
+            a32 = shoelace_area(r32)
+            a64 = shoelace_area(boolean_op(a, b, op))
+            assert a32 >= 0
+            assert a32 == pytest.approx(a64, rel=1e-5, abs=1e-6), (trial, op)
