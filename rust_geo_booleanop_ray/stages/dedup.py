@@ -669,6 +669,13 @@ def connected_components(pairs_ds, max_rounds: int = 30, a_col: str = "doc_a", b
         changed = jumped.sum("changed")
         if not changed:
             break
+    else:
+        # with pointer jumping, max_rounds=30 covers diameters up to
+        # ~2^30; exhausting it means something is wrong — never return
+        # possibly-unconverged labels silently
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
 
     return labels.map_batches(
         lambda b: pa.table({"node": b["node"], "component": b["label"]}),
