@@ -76,6 +76,7 @@ def bench_list():
         "tile_coverage_rects",
         "video_frames",
         "audio_features",
+        "regex_tokens",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

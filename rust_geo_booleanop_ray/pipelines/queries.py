@@ -982,6 +982,31 @@ Q_TEXT_STATS_SQL = f"""
 """
 
 
+def q_regex_tokens(sf_dir: str):
+    """BPE-ish regex token counting per language: letter/digit/punct
+    runs via one vectorized RE2 pass per batch (both Arrow and DuckDB
+    use RE2 with identical semantics for this lookahead-free
+    pattern)."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.text import regex_token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    counts = ds.map_batches(regex_token_count_batch, batch_format="pyarrow")
+    return counts.groupby("lang").aggregate(
+        Sum("bpe_tokens", alias_name="sum_bpe_tokens"),
+        Max("bpe_tokens", alias_name="max_bpe_tokens"),
+    )
+
+
+Q_REGEX_TOKENS_SQL = r"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS BIGINT) AS sum_bpe_tokens,
+           CAST(MAX(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS BIGINT) AS max_bpe_tokens
+    FROM documents GROUP BY lang
+"""
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 for query vectors (vec_id < 5)."""
     from ..stages.ann import brute_force_topk
@@ -2047,6 +2072,7 @@ def build_queries():
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
+        "regex_tokens": q_regex_tokens,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
@@ -2087,6 +2113,7 @@ def build_oracle_sql():
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "dedup_components": Q_DEDUP_COMPONENTS_SQL,
         "text_stats": Q_TEXT_STATS_SQL,
+        "regex_tokens": Q_REGEX_TOKENS_SQL,
         "ann_topk": Q_ANN_TOPK_SQL,
         "revenue_by_nation": Q_REVENUE_BY_NATION_SQL,
         "order_priority": Q_ORDER_PRIORITY_SQL,

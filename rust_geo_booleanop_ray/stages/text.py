@@ -73,6 +73,21 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
     return stats.append_column("quality", pa.array(score))
 
 
+# BPE-ish tokenizer pattern: letter runs, digit runs, punctuation runs
+# (lookahead-free so Arrow's and DuckDB's RE2 agree exactly)
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def regex_token_count_batch(batch: pa.Table, pattern: str = BPE_PATTERN) -> pa.Table:
+    """Vectorized BPE-ish token counting: one RE2 pass per batch
+    (pc.count_substring_regex — no Python per row)."""
+    counts = pc.count_substring_regex(batch["text"], pattern)
+    out = batch.select(
+        [c for c in ("doc_id", "lang", "source") if c in batch.column_names]
+    )
+    return out.append_column("bpe_tokens", pc.cast(counts, pa.int64()))
+
+
 class LangId:
     """Actor-pool stage: heuristic language ID.
 

@@ -362,3 +362,19 @@ def test_deterministic_hash_parameters():
     assert (a1 == a2).all() and (b1 == b2).all()
     assert (a1 >= 1).all() and (a1 < (1 << 61) - 1).all()
     assert len(set(a1.tolist())) == 64  # all distinct
+
+
+def test_regex_token_count_matches_python_re():
+    import re
+
+    from rust_geo_booleanop_ray.stages.text import (
+        BPE_PATTERN,
+        regex_token_count_batch,
+    )
+
+    texts = ["Hello, world! 42 times... café 中文 naïve-test", "a1b2 c-3", "", "   ", "x"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": pa.array(texts)})
+    out = regex_token_count_batch(t)
+    assert out["bpe_tokens"].to_pylist() == [
+        len(re.findall(BPE_PATTERN, s)) for s in texts
+    ]
