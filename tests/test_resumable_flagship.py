@@ -2,6 +2,7 @@
 partition → resume rewrites only that partition, output unchanged."""
 
 import glob
+import json
 import os
 
 import pyarrow as pa
@@ -42,3 +43,33 @@ def test_flagship_resume(tmp_path):
     # config change ⇒ everything recomputes
     m3 = tile_pipeline_resumable(out, n_images=300, tile_res=4, raster_px=16).take_all()
     assert all(not r["skipped"] for r in m3)
+
+
+def test_dedup_job_resume(tmp_path, ray_session):
+    """The dedup job CLI commits hash-bucket partitions atomically and
+    a re-run skips them all (pure function of input+config)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "dedup_job", os.path.join(os.path.dirname(__file__), "..", "scripts", "dedup_job.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "dedup")
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    import io
+    from contextlib import redirect_stdout
+
+    def run():
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            mod.main(["--out", out, "--input", sf, "--n-parts", "8"])
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    r1 = run()
+    assert r1["partitions_written"] == 8
+    assert r1["docs_kept"] == 500  # all texts distinct at sf0.001
+    r2 = run()
+    assert r2["partitions_written"] == 0  # all committed, skipped pre-shuffle
+    assert len(glob.glob(os.path.join(out, "part=*", "_lineage.json"))) == 8
