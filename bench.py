@@ -77,6 +77,7 @@ def bench_list():
         "video_frames",
         "audio_features",
         "regex_tokens",
+        "range_join",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

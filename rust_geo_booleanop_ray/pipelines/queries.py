@@ -846,6 +846,81 @@ Q_ASOF_JOIN_SQL = """
 # ------------------------------------------------------------------ documents
 
 
+_EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
+
+
+def q_range_join(sf_dir: str):
+    """Range (interval) join — a custom operator Ray Data lacks:
+    events are matched into deterministic supplier maintenance windows
+    (integer-microsecond bounds derived from s_suppkey), via the
+    broadcast interval join with a warm per-actor time-bucket index.
+    Per-window event counts + cents-exact value sums."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.join import BroadcastIntervalJoin
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = supp["s_suppkey"].to_numpy()
+    start = _EPOCH_2024_US + ((sk * 7919) % 720) * 3_600_000_000
+    end = start + (1 + sk % 6) * 3_600_000_000
+    intervals = pa.table(
+        {
+            "interval_id": pa.array(sk, pa.int64()),
+            "start_us": pa.array(start, pa.int64()),
+            "end_us": pa.array(end, pa.int64()),
+        }
+    )
+    iref = ray.put(intervals)
+
+    def points(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "ts_us": pa.array(ts, pa.int64()),
+                "value_c": pa.array(_cents(batch["value"].to_numpy())),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        points, batch_format="pyarrow"
+    )
+    joined = ds.map_batches(
+        BroadcastIntervalJoin,
+        fn_constructor_kwargs={"intervals": iref},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return (
+        joined.map_batches(
+            lambda b: pa.table({"s_suppkey": b["interval_id"], "value_c": b["value_c"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("s_suppkey")
+        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value_c"))
+    )
+
+
+Q_RANGE_JOIN_SQL = f"""
+    WITH w AS (
+      SELECT s_suppkey,
+             {_EPOCH_2024_US} + ((s_suppkey * 7919) % 720) * 3600000000 AS start_us,
+             {_EPOCH_2024_US} + ((s_suppkey * 7919) % 720) * 3600000000
+               + (1 + s_suppkey % 6) * 3600000000 AS end_us
+      FROM supplier
+    ),
+    e AS (SELECT epoch_us(ts) AS t,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+          FROM events)
+    SELECT s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+    FROM w JOIN e ON e.t >= w.start_us AND e.t <= w.end_us
+    GROUP BY s_suppkey
+"""
+
+
 def q_dedup_exact(sf_dir: str):
     """Exact dedup groups: representative (min doc_id) + group size."""
     from ..stages.dedup import content_hash_batch, exact_dedup_merge, exact_dedup_partial
@@ -2069,6 +2144,7 @@ def build_queries():
         "sessions": q_sessions,
         "hash_sample": q_hash_sample,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
@@ -2110,6 +2186,7 @@ def build_oracle_sql():
         "sessions": Q_SESSIONS_SQL,
         "hash_sample": Q_HASH_SAMPLE_SQL,
         "asof_join": Q_ASOF_JOIN_SQL,
+        "range_join": Q_RANGE_JOIN_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "dedup_components": Q_DEDUP_COMPONENTS_SQL,
         "text_stats": Q_TEXT_STATS_SQL,

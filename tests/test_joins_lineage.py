@@ -107,3 +107,37 @@ def test_shuffle_hash_join_rejects_null_keys():
     out = shuffle_hash_join(left, right, key="k", left_cols=["v"], right_cols=["w"])
     with pytest.raises(Exception, match="null"):
         out.take_all()
+
+
+def test_broadcast_interval_join_matches_bruteforce():
+    """Time-bucket interval index == brute-force containment, including
+    boundary timestamps (inclusive bounds) and bucket-spanning
+    intervals."""
+    import numpy as np
+
+    from rust_geo_booleanop_ray.stages.join import BroadcastIntervalJoin
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    B = 1000  # tiny bucket to force multi-bucket intervals
+    starts = rng.integers(0, 50_000, 40)
+    ends = starts + rng.integers(0, 7_000, 40)  # spans up to 7 buckets
+    intervals = pa.table(
+        {
+            "interval_id": pa.array(np.arange(40), pa.int64()),
+            "start_us": pa.array(starts, pa.int64()),
+            "end_us": pa.array(ends, pa.int64()),
+        }
+    )
+    ts = np.concatenate([rng.integers(0, 60_000, 500), starts[:5], ends[:5]])
+    batch = pa.table(
+        {"pid": pa.array(np.arange(len(ts)), pa.int64()), "ts_us": pa.array(ts, pa.int64())}
+    )
+    out = BroadcastIntervalJoin(intervals, bucket_us=B)(batch)
+    got = sorted(zip(out["pid"].to_pylist(), out["interval_id"].to_pylist()))
+    expect = sorted(
+        (int(p), int(i))
+        for p in range(len(ts))
+        for i in range(40)
+        if starts[i] <= ts[p] <= ends[i]
+    )
+    assert got == expect
