@@ -230,8 +230,10 @@ def micro():
     )
     from rust_geo_booleanop_ray.sources.geojson_fixtures import load_fixture
 
-    BENCH = "/root/reference/tests/fixtures/benchmarks"
-    GENERIC = "/root/reference/tests/fixtures/generic_test_cases"
+    from rust_geo_booleanop_ray.sources.fixture_pairs import fixtures_root
+
+    BENCH = f"{fixtures_root()}/benchmarks"
+    GENERIC = f"{fixtures_root()}/generic_test_cases"
 
     def fixture_pair(path):
         c = load_fixture(path)

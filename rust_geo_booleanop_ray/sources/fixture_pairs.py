@@ -12,12 +12,32 @@ tests/src/helper.rs:35-43).
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 
 from .arrow_geom import MULTIPOLYGON_T, mps_to_arrow
 from .geojson_fixtures import OP_TAGS, load_fixture_dir
 
-DEFAULT_FIXTURE_DIR = "/root/reference/tests/fixtures/generic_test_cases"
+# The 45-case corpus is MIT-licensed test DATA vendored into the repo
+# (tests/fixtures/) so the bit-for-bit conformance gate works without a
+# reference checkout; the reference path is kept as a fallback only.
+_VENDORED = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+)
+_REFERENCE = "/root/reference/tests/fixtures"
+
+
+def fixtures_root() -> str:
+    """Root of the GeoJSON fixture tree (vendored copy preferred)."""
+    if os.path.isdir(os.path.join(_VENDORED, "generic_test_cases")):
+        return _VENDORED
+    return _REFERENCE
+
+
+DEFAULT_FIXTURE_DIR = os.path.join(fixtures_root(), "generic_test_cases")
 
 
 def fixture_pairs_table(fixture_dir: str = DEFAULT_FIXTURE_DIR) -> pa.Table:

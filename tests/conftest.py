@@ -6,7 +6,7 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REF_FIXTURES = "/root/reference/tests/fixtures"
+REF_FIXTURES = os.path.join(REPO, "tests", "fixtures")  # vendored corpus
 TESTDATA = "/root/testdata"
 
 

@@ -17,7 +17,9 @@ from rust_geo_booleanop_ray.sources.generators import (
     generate_random_triangles_polygons,
 )
 
-FIXTURE_DIR = "/root/reference/tests/fixtures/generic_test_cases"
+from rust_geo_booleanop_ray.sources.fixture_pairs import DEFAULT_FIXTURE_DIR
+
+FIXTURE_DIR = DEFAULT_FIXTURE_DIR
 FIXTURES = sorted(glob.glob(os.path.join(FIXTURE_DIR, "*.geojson")))
 
 
@@ -67,10 +69,7 @@ def test_plot_cases_svg(tmp_path):
 
     from rust_geo_booleanop_ray.plot_cases import main as plot_main
 
-    fixture = (
-        "/root/reference/tests/fixtures/generic_test_cases/"
-        "basic2_poly_with_hole.geojson"
-    )
+    fixture = os.path.join(FIXTURE_DIR, "basic2_poly_with_hole.geojson")
     out = tmp_path / "plots"
     plot_main([fixture, "-o", str(out)])
     files = sorted(out.iterdir())

@@ -16,7 +16,9 @@ from rust_geo_booleanop_ray.sources.geojson_fixtures import (
     multipolygons_equal,
 )
 
-FIXTURE_DIR = "/root/reference/tests/fixtures/generic_test_cases"
+from rust_geo_booleanop_ray.sources.fixture_pairs import DEFAULT_FIXTURE_DIR
+
+FIXTURE_DIR = DEFAULT_FIXTURE_DIR
 
 # the dispatching kernel (native C when built, else Python) AND the
 # pure-Python kernel are BOTH held to the golden corpus — the Python

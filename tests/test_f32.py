@@ -14,7 +14,9 @@ from rust_geo_booleanop_ray.sources.geojson_fixtures import (
     load_fixture,
 )
 
-FIXTURES = "/root/reference/tests/fixtures/generic_test_cases"
+from rust_geo_booleanop_ray.sources.fixture_pairs import DEFAULT_FIXTURE_DIR
+
+FIXTURES = DEFAULT_FIXTURE_DIR
 
 
 def _f32_representable(mp):

@@ -21,7 +21,12 @@ pytestmark = pytest.mark.skipif(
 )
 
 FIXTURES = sorted(
-    glob.glob("/root/reference/tests/fixtures/generic_test_cases/*.geojson")
+    glob.glob(
+        __import__(
+            "rust_geo_booleanop_ray.sources.fixture_pairs", fromlist=["DEFAULT_FIXTURE_DIR"]
+        ).DEFAULT_FIXTURE_DIR
+        + "/*.geojson"
+    )
 )
 
 

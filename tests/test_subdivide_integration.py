@@ -10,7 +10,9 @@ from rust_geo_booleanop_ray.geom.subdivide import fill_queue, subdivide
 from rust_geo_booleanop_ray.geom.sweep_event import SweepEvent
 from rust_geo_booleanop_ray.sources.geojson_fixtures import load_fixture
 
-FIXTURES = "/root/reference/tests/fixtures"
+from rust_geo_booleanop_ray.sources.fixture_pairs import fixtures_root
+
+FIXTURES = fixtures_root()
 
 
 def _shapes(name):
