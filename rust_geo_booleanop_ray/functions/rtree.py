@@ -93,3 +93,40 @@ class STRtree:
         lb = self.leaf_boxes[cand]
         hit = self._overlap(lb, qminx, qminy, qmaxx, qmaxy)
         return self.order[cand[hit]]
+
+    def query_many(self, qminx, qminy, qmaxx, qmaxy):
+        """Batched probe: one vectorized descent for a whole batch of
+        query boxes.  Returns ``(row, cand)`` int64 arrays such that
+        box ``cand[i]`` overlaps query ``row[i]``; pairs are sorted by
+        (row, cand) — identical to calling :meth:`query` per row and
+        ``np.sort``-ing each result, with zero per-row Python."""
+        qminx = np.asarray(qminx, dtype=np.float64)
+        qminy = np.asarray(qminy, dtype=np.float64)
+        qmaxx = np.asarray(qmaxx, dtype=np.float64)
+        qmaxy = np.asarray(qmaxy, dtype=np.float64)
+        nq = len(qminx)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        if self.n == 0 or nq == 0:
+            return empty
+        B = self.leaf_size
+        arangeB = np.arange(B, dtype=np.int64)
+        top = len(self.levels[-1])
+        # live (query, node) pairs; the top level is ≤ leaf_size nodes
+        q = np.repeat(np.arange(nq, dtype=np.int64), top)
+        node = np.tile(np.arange(top, dtype=np.int64), nq)
+        for li in range(len(self.levels) - 1, -1, -1):
+            nb = self.levels[li][node]
+            keep = self._overlap(nb, qminx[q], qminy[q], qmaxx[q], qmaxy[q])
+            q, node = q[keep], node[keep]
+            if not len(q):
+                return empty
+            children = node[:, None] * B + arangeB[None, :]
+            limit = len(self.levels[li - 1]) if li > 0 else self.n
+            valid = children < limit
+            q = np.repeat(q, valid.sum(axis=1))
+            node = children[valid]
+        lb = self.leaf_boxes[node]
+        hit = self._overlap(lb, qminx[q], qminy[q], qmaxx[q], qmaxy[q])
+        q, cand = q[hit], self.order[node[hit]]
+        o = np.lexsort((cand, q))
+        return q[o], cand[o]

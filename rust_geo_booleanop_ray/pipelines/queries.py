@@ -284,21 +284,32 @@ def _contain_join_group(group: pa.Table) -> pa.Table:
     rminy = rects["miny"].to_numpy()
     rmaxx = rects["maxx"].to_numpy()
     rmaxy = rects["maxy"].to_numpy()
-    chunk = max(1, MAX_CONTAIN_MATRIX // max(1, len(px)))
-    out_ri, out_pi = [], []
-    for lo in range(0, len(rminx), chunk):
-        hi = min(lo + chunk, len(rminx))
+    if len(px) * len(rminx) <= MAX_CONTAIN_MATRIX:
+        # fast path: the whole product fits under the guard — one dense
+        # evaluation, no chunk loop, no concatenate copies
         inside = (
-            (px[None, :] >= rminx[lo:hi, None])
-            & (px[None, :] <= rmaxx[lo:hi, None])
-            & (py[None, :] >= rminy[lo:hi, None])
-            & (py[None, :] <= rmaxy[lo:hi, None])
+            (px[None, :] >= rminx[:, None])
+            & (px[None, :] <= rmaxx[:, None])
+            & (py[None, :] >= rminy[:, None])
+            & (py[None, :] <= rmaxy[:, None])
         )
         ri, pi = np.nonzero(inside)
-        out_ri.append(ri + lo)
-        out_pi.append(pi)
-    ri = np.concatenate(out_ri)
-    pi = np.concatenate(out_pi)
+    else:
+        chunk = max(1, MAX_CONTAIN_MATRIX // max(1, len(px)))
+        out_ri, out_pi = [], []
+        for lo in range(0, len(rminx), chunk):
+            hi = min(lo + chunk, len(rminx))
+            inside = (
+                (px[None, :] >= rminx[lo:hi, None])
+                & (px[None, :] <= rmaxx[lo:hi, None])
+                & (py[None, :] >= rminy[lo:hi, None])
+                & (py[None, :] <= rmaxy[lo:hi, None])
+            )
+            ri, pi = np.nonzero(inside)
+            out_ri.append(ri + lo)
+            out_pi.append(pi)
+        ri = np.concatenate(out_ri)
+        pi = np.concatenate(out_pi)
     return pa.table(
         {
             "p_partkey": rects["p_partkey"].take(pa.array(ri)),
@@ -324,8 +335,6 @@ def q_pip_join_skew(sf_dir: str):
     replicas; both sides re-explode those cells one resolution finer
     before the shuffle.  Same DuckDB oracle as pip_join — skew handling
     must change the partitioning, never the answer."""
-    from collections import Counter
-
     from ray.data.aggregate import Count
 
     from ..stages.cells import cell_encode, explode_to_cells, split_hot_cells
@@ -399,13 +408,21 @@ def q_pip_join_skew(sf_dir: str):
             {"cell": pa.array(cells, pa.int64()), "n": pa.array(counts, pa.int64())}
         )
 
-    totals = Counter()
-    for row in rects.map_batches(cell_counts, batch_format="pyarrow").take_all():
-        totals[row["cell"]] += row["n"]
+    # Merge partials with a groupby BEFORE pulling to the driver: the
+    # driver receives ≤ one row per distinct cell (≤ 4^res), bounded
+    # regardless of block count — never O(n_batches × cells).
+    from ray.data.aggregate import Sum
+
+    totals = (
+        rects.map_batches(cell_counts, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
     hot = {
-        np.uint64(c)
-        for c, n in totals.items()
-        if n * SAMPLE_MOD > HOT_CELL_THRESHOLD
+        np.uint64(row["cell"])
+        for row in totals
+        if row["n"] * SAMPLE_MOD > HOT_CELL_THRESHOLD
     }
 
     def split(batch: pa.Table) -> pa.Table:
@@ -645,22 +662,26 @@ def q_events_window(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def bucket(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
+        # Arrow-native partial aggregation — no pandas round-trip.
         ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "event_type": batch["event_type"].to_pylist(),
-                "window_id": ts // 3_600_000_000,
-                "value_c": _cents(batch["value"].to_numpy()),
+                "event_type": batch["event_type"],
+                "window_id": pa.array(ts // 3_600_000_000, pa.int64()),
+                "value_c": pa.array(_cents(batch["value"].to_numpy()), pa.int64()),
             }
         )
-        agg = (
-            df.groupby(["event_type", "window_id"], sort=False)
-            .agg(n=("value_c", "size"), sum_value_c=("value_c", "sum"))
-            .reset_index()
+        agg = pa.TableGroupBy(t, ["event_type", "window_id"]).aggregate(
+            [("value_c", "count"), ("value_c", "sum")]
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return pa.table(
+            {
+                "event_type": agg["event_type"],
+                "window_id": agg["window_id"],
+                "n": agg["value_c_count"].cast(pa.int64()),
+                "sum_value_c": agg["value_c_sum"].cast(pa.int64()),
+            }
+        )
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
     return ds.map_batches(bucket, batch_format="pyarrow").groupby(
@@ -1139,31 +1160,79 @@ def _ann_queries(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF ANN (the scale path): centroids trained on a driver-side
-    sample, vectors bucketed into inverted lists inside map_batches,
-    queries probe their nprobe nearest lists.  Approximate — rows-only;
-    tests pin recall vs the brute-force baseline."""
-    import pyarrow.parquet as pq
+    """IVF ANN (the scale path): vectors bucketed into inverted lists
+    inside map_batches, queries probe their nprobe nearest lists.  The
+    catalog query runs with FIXED deterministic centroids (Rademacher
+    ±1 rows — equal norms, so assignment is argmax of signed
+    coordinate sums), which makes assignment + probing + ranking
+    value-exact vs the SQL mirror.  k-means training stays a separate
+    tested function (train_ivf_centroids + recall test)."""
+    from ..stages.ann import ivf_fixed_centroids, ivf_topk
 
-    from ..stages.ann import ivf_topk, train_ivf_centroids
-
-    # train on the FIRST row groups only (a bounded sample), not the
-    # whole column — the IVF training set stays O(sample) at any scale
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    batches = []
-    got = 0
-    for b in pf.iter_batches(batch_size=1024, columns=["embedding"]):
-        batches.append(b)
-        got += b.num_rows
-        if got >= 2000:
-            break
-    sample = pa.Table.from_batches(batches)["embedding"].combine_chunks()
-    smat = sample.values.to_numpy(zero_copy_only=False).reshape(len(sample), -1)
-    centroids = train_ivf_centroids(smat[:2000].astype(np.float64), n_centroids=16)
-
+    centroids = ivf_fixed_centroids(IVF_CENTROIDS, 64, seed=IVF_SEED)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ivf_topk(ds, _ann_queries(sf_dir), ANN_K, centroids, nprobe=4)
+    out = ivf_topk(ds, _ann_queries(sf_dir), ANN_K, centroids, nprobe=IVF_NPROBE)
     return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+IVF_SEED = 29
+
+
+def _build_ann_ivf_sql() -> str:
+    """SQL mirror of the fixed-centroid IVF pipeline: the ±1 centroid
+    rows inline as signed coordinate sums; assignment is first-argmax
+    (list_position of list_max — numpy argmax semantics); each query
+    probes its nprobe top centroids; exact cosine ranks within the
+    probed lists."""
+    from ..stages.ann import ivf_fixed_centroids
+
+    cent = ivf_fixed_centroids(IVF_CENTROIDS, 64, seed=IVF_SEED)
+    dot_exprs = ",\n        ".join(
+        "("
+        + " ".join(
+            ("+" if cent[c, d] > 0 else "-") + f" embedding[{d + 1}]"
+            for d in range(cent.shape[1])
+        ).lstrip("+ ")
+        + ")"
+        for c in range(cent.shape[0])
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, embedding, [
+        {dot_exprs}
+      ] AS dots FROM e
+    ),
+    asg AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid
+      FROM d
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, dots AS qdots FROM d WHERE vec_id < 5),
+    qc AS (
+      SELECT qid, qe, c - 1 AS centroid,
+             row_number() OVER (PARTITION BY qid ORDER BY qdots[c] DESC, c) AS crnk
+      FROM q, UNNEST(generate_series(1, {IVF_CENTROIDS})) AS t(c)
+    ),
+    probe AS (SELECT qid, qe, centroid FROM qc WHERE crnk <= {IVF_NPROBE}),
+    cand AS (
+      SELECT p.qid AS query_id, a.vec_id,
+             list_cosine_similarity(a.embedding, p.qe) AS cos
+      FROM asg a JOIN probe p ON a.centroid = p.centroid
+    )
+    SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= {ANN_K}
+"""
+
+
+Q_ANN_IVF_SQL = _build_ann_ivf_sql()
 
 
 def q_ann_lsh(sf_dir: str):
@@ -1726,11 +1795,114 @@ def q_audio_features(sf_dir: str):
 
 
 def q_tile_coverage(sf_dir: str):
-    """Flagship tiling pipeline summary (vector tiles + coverage)."""
+    """Flagship tiling pipeline summary (vector tiles + coverage):
+    synth images → rotated quad footprints → bbox cover at res 4 →
+    exact Martinez clip per tile → pixel-center rasterize (16×16) →
+    per-tile coverage fraction.  Value-exact vs a SQL mirror that
+    inlines the deterministic quad parameters as literals, reproduces
+    the grid cover + Morton tile ids in integer arithmetic, decides
+    positive-area quad∩tile overlap by the separating-axis test, and
+    tests pixel centers (exact dyadic doubles) against each rotated
+    rect directly — coverage counts are integers over 256, so the
+    fraction is an exact dyadic double in both engines."""
     from .flagship import tile_pipeline
 
     ds = tile_pipeline(n_images=1000, tile_res=4, raster_px=16)
     return ds.select_columns(["tile_id", "coverage_fraction"])
+
+
+def _build_tile_coverage_sql(n_images: int = 1000, tile_res: int = 4, px: int = 16) -> str:
+    """SQL mirror of q_tile_coverage (see its docstring).  The quad
+    parameter literals come from footprint_params — the same
+    deterministic generator math the engine runs, NOT engine output."""
+    assert tile_res == 4, "Morton spread below is written for 4-bit indices"
+    from ..stages.footprint import footprint_params
+
+    cx, cy, ct, st, hw, hh = footprint_params(np.arange(n_images, dtype=np.int64))
+    # ::DOUBLE on every literal — DuckDB otherwise types long decimal
+    # literals in VALUES as DECIMAL(38,·) and overflows
+    rows = ",\n      ".join(
+        f"({cx[i]!r}::DOUBLE, {cy[i]!r}::DOUBLE, {ct[i]!r}::DOUBLE, "
+        f"{st[i]!r}::DOUBLE, {hw[i]!r}::DOUBLE, {hh[i]!r}::DOUBLE)"
+        for i in range(n_images)
+    )
+    n_side = 2**tile_res
+    wx = 360.0 / n_side  # 22.5, exact dyadic
+    wy = 180.0 / n_side  # 11.25, exact dyadic
+    sx = wx / px  # 1.40625, exact dyadic
+    sy = wy / px  # 0.703125, exact dyadic
+
+    def gidx(expr: str, lo: float, span: float) -> str:
+        return (
+            f"least(CAST(floor(greatest((({expr}) - {lo!r}) / {span!r}, 0.0)"
+            f" * {float(n_side)!r}) AS BIGINT), {n_side - 1})"
+        )
+
+    def spread(v: str) -> str:
+        return f"(({v} & 1) | (({v} & 2) << 1) | (({v} & 4) << 2) | (({v} & 8) << 3))"
+
+    return f"""
+    WITH q(cx, cy, ct, st, hw, hh) AS (VALUES
+      {rows}
+    ),
+    qb AS (
+      SELECT *, abs(ct) * hw + abs(st) * hh AS ex,
+                abs(st) * hw + abs(ct) * hh AS ey
+      FROM q
+    ),
+    g AS (
+      SELECT *,
+             {gidx("cx - ex", -180.0, 360.0)} AS ix0,
+             {gidx("cx + ex", -180.0, 360.0)} AS ix1,
+             {gidx("cy - ey", -90.0, 180.0)} AS iy0,
+             {gidx("cy + ey", -90.0, 180.0)} AS iy1
+      FROM qb
+    ),
+    pairs AS (
+      SELECT g.*, tx.ix, ty.iy
+      FROM g, UNNEST(generate_series(ix0, ix1)) AS tx(ix),
+              UNNEST(generate_series(iy0, iy1)) AS ty(iy)
+    ),
+    tiles AS (
+      SELECT *,
+             (CAST({tile_res} AS BIGINT) << 58)
+               | {spread("ix")} | ({spread("iy")} << 1) AS tile_id,
+             -180.0 + CAST(ix AS DOUBLE) * {wx!r} AS tx0,
+             -90.0 + CAST(iy AS DOUBLE) * {wy!r} AS ty0
+      FROM pairs
+    ),
+    ov AS (
+      SELECT * FROM (SELECT *, tx0 + {wx!r} AS tx1, ty0 + {wy!r} AS ty1 FROM tiles)
+      WHERE cx - ex < tx1 AND cx + ex > tx0
+        AND cy - ey < ty1 AND cy + ey > ty0
+        AND least((tx0-cx)*ct + (ty0-cy)*st, (tx1-cx)*ct + (ty0-cy)*st,
+                  (tx0-cx)*ct + (ty1-cy)*st, (tx1-cx)*ct + (ty1-cy)*st) < hw
+        AND greatest((tx0-cx)*ct + (ty0-cy)*st, (tx1-cx)*ct + (ty0-cy)*st,
+                     (tx0-cx)*ct + (ty1-cy)*st, (tx1-cx)*ct + (ty1-cy)*st) > -hw
+        AND least(-(tx0-cx)*st + (ty0-cy)*ct, -(tx1-cx)*st + (ty0-cy)*ct,
+                  -(tx0-cx)*st + (ty1-cy)*ct, -(tx1-cx)*st + (ty1-cy)*ct) < hh
+        AND greatest(-(tx0-cx)*st + (ty0-cy)*ct, -(tx1-cx)*st + (ty0-cy)*ct,
+                     -(tx0-cx)*st + (ty1-cy)*ct, -(tx1-cx)*st + (ty1-cy)*ct) > -hh
+    ),
+    pix AS (SELECT CAST(i AS DOUBLE) + 0.5 AS o, i FROM UNNEST(generate_series(0, {px - 1})) AS t(i)),
+    hits AS (
+      SELECT DISTINCT o.tile_id, px_.i AS pi, py_.i AS pj
+      FROM ov o, pix px_, pix py_
+      WHERE abs(((o.tx0 + px_.o * {sx!r}) - o.cx) * o.ct
+              + ((o.ty0 + py_.o * {sy!r}) - o.cy) * o.st) < o.hw
+        AND abs(-((o.tx0 + px_.o * {sx!r}) - o.cx) * o.st
+              + ((o.ty0 + py_.o * {sy!r}) - o.cy) * o.ct) < o.hh
+    )
+    SELECT t.tile_id,
+           COALESCE(h.covered, 0.0) / {float(px * px)!r} AS coverage_fraction
+    FROM (SELECT DISTINCT tile_id FROM ov) t
+    LEFT JOIN (
+      SELECT tile_id, CAST(COUNT(*) AS DOUBLE) AS covered FROM hits GROUP BY tile_id
+    ) h USING (tile_id)
+"""
+
+
+Q_TILE_COVERAGE_SQL = _build_tile_coverage_sql()
 
 
 def q_revenue_by_nation(sf_dir: str):
@@ -2095,13 +2267,18 @@ def q_ngram_dedup(sf_dir: str):
                 pa.field("jaccard_pct", pa.int64()),
             ]
         ).empty_table()
-    needed = set(cand_t["doc_a"].to_pylist()) | set(cand_t["doc_b"].to_pylist())
+    needed = pc.unique(
+        pa.chunked_array(
+            list(cand_t["doc_a"].chunks) + list(cand_t["doc_b"].chunks)
+        ).combine_chunks()
+    )
     needed_ref = ray.put(needed)
 
     def pick(batch: pa.Table) -> pa.Table:
+        # Vectorized membership on the big (corpus) side — never a
+        # per-row Python loop in this stage.
         want = ray.get(needed_ref)
-        mask = pa.array([d in want for d in batch["doc_id"].to_pylist()])
-        return batch.filter(mask)
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=want))
 
     subset = (
         _read(sf_dir, "documents", ["doc_id", "text"])
@@ -2127,6 +2304,131 @@ def q_ngram_dedup(sf_dir: str):
     return rd.from_arrow(cand_t).map_batches(verify, batch_format="pyarrow")
 
 
+# ------------------------------------------------------- big×big join
+
+SUPPLIER_RECT_SQL = """
+    SELECT s_suppkey,
+           CAST((s_suppkey * 7) % 97 AS DOUBLE) - CAST(2 + (s_suppkey % 6) AS DOUBLE) AS minx,
+           CAST((s_suppkey * 11) % 89 AS DOUBLE) - CAST(2 + ((s_suppkey * 3) % 5) AS DOUBLE) AS miny,
+           CAST((s_suppkey * 7) % 97 AS DOUBLE) + CAST(2 + (s_suppkey % 6) AS DOUBLE) AS maxx,
+           CAST((s_suppkey * 11) % 89 AS DOUBLE) + CAST(2 + ((s_suppkey * 3) % 5) AS DOUBLE) AS maxy
+    FROM supplier
+"""
+
+
+def _supplier_rect_batch(batch: pa.Table) -> pa.Table:
+    """supplier rows → deterministic integer-valued rects (+ geometry)."""
+    sk = batch["s_suppkey"].to_numpy().astype(np.int64)
+    cx = ((sk * 7) % 97).astype(np.float64)
+    cy = ((sk * 11) % 89).astype(np.float64)
+    hw = (2 + (sk % 6)).astype(np.float64)
+    hh = (2 + ((sk * 3) % 5)).astype(np.float64)
+    minx, miny, maxx, maxy = cx - hw, cy - hh, cx + hw, cy + hh
+    out = batch.append_column("minx", pa.array(minx))
+    out = out.append_column("miny", pa.array(miny))
+    out = out.append_column("maxx", pa.array(maxx))
+    out = out.append_column("maxy", pa.array(maxy))
+    return out.append_column("geom", _rect_mp_array(minx, miny, maxx, maxy))
+
+
+def q_poly_join_big(sf_dir: str):
+    """Big×big cell-partitioned spatial join + clip (PBSM): part rects
+    × supplier rects where NEITHER side is broadcast — the 100-TB
+    shape.  Both sides explode to their covering cells, ONE shuffle on
+    the shared cell key co-locates them, and each cell group joins
+    locally via STR-tree candidates + whole-batch native Martinez clip
+    (stages/join_clip.py::join_cells_within_group — the engine lift of
+    the bbox gate at /root/reference/lib/src/boolean/mod.rs:106-109).
+    Geometries spanning several cells are replicated, so the same pair
+    can be found in every shared cell: the PBSM replica dedup on
+    (p_partkey, s_suppkey) pins that replication changes partitioning,
+    never the answer.  Rect subjects make the exact Martinez clip area
+    closed-form for the oracle; only positive-area intersections are
+    kept (edge-touching rects clip to an empty multipolygon)."""
+    from ray.data.aggregate import Max
+
+    from ..stages.cells import explode_to_cells
+    from ..stages.join_clip import join_cells_within_group
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        batch = _part_rect_batch(batch)
+        n = batch.num_rows
+        t = pa.table(
+            {
+                "image_id": pc.cast(batch["p_partkey"], pa.string()),
+                "tile_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "footprint": batch["footprint"],
+                "geom": batch["footprint"],
+                "minx": batch["minx"],
+                "miny": batch["miny"],
+                "maxx": batch["maxx"],
+                "maxy": batch["maxy"],
+                "side": pa.array(["probe"] * n),
+            }
+        )
+        return explode_to_cells(t, KNN_RES)
+
+    def build_rows(batch: pa.Table) -> pa.Table:
+        batch = _supplier_rect_batch(batch)
+        n = batch.num_rows
+        t = pa.table(
+            {
+                "image_id": pa.array([""] * n, pa.string()),
+                "tile_id": batch["s_suppkey"],
+                "footprint": batch["geom"],
+                "geom": batch["geom"],
+                "minx": batch["minx"],
+                "miny": batch["miny"],
+                "maxx": batch["maxx"],
+                "maxy": batch["maxy"],
+                "side": pa.array(["build"] * n),
+            }
+        )
+        return explode_to_cells(t, KNN_RES)
+
+    probe = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        probe_rows, batch_format="pyarrow"
+    )
+    build = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        build_rows, batch_format="pyarrow"
+    )
+    joined = (
+        probe.union(build)
+        .groupby("cell")
+        .map_groups(join_cells_within_group, batch_format="pyarrow")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        area = batch["clip_area"].to_numpy().astype(np.int64)
+        out = pa.table(
+            {
+                "p_partkey": pc.cast(batch["image_id"], pa.int64()),
+                "s_suppkey": batch["tile_id"],
+                "clip_area": pa.array(area, pa.int64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["clip_area"], 1))
+
+    # PBSM replica dedup: replicas carry identical exact areas, so a
+    # groupby-max collapses them without a distinct pass.
+    return (
+        joined.map_batches(finalize, batch_format="pyarrow")
+        .groupby(["p_partkey", "s_suppkey"])
+        .aggregate(Max("clip_area", alias_name="clip_area"))
+    )
+
+
+Q_POLY_JOIN_BIG_SQL = f"""
+    WITH r AS ({PART_RECT_SQL}), s AS ({SUPPLIER_RECT_SQL})
+    SELECT r.p_partkey, s.s_suppkey,
+           CAST((least(r.maxx, s.maxx) - greatest(r.minx, s.minx)) *
+                (least(r.maxy, s.maxy) - greatest(r.miny, s.miny)) AS BIGINT) AS clip_area
+    FROM r, s
+    WHERE least(r.maxx, s.maxx) > greatest(r.minx, s.minx)
+      AND least(r.maxy, s.maxy) > greatest(r.miny, s.miny)
+"""
+
+
 # ------------------------------------------------------------------ catalog
 
 
@@ -2137,6 +2439,7 @@ def build_queries():
         "pip_join": q_pip_join,
         "pip_join_skew": q_pip_join_skew,
         "pip_join_rtree": q_pip_join_rtree,
+        "poly_join_big": q_poly_join_big,
         "spatial_knn": q_spatial_knn,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -2179,6 +2482,7 @@ def build_oracle_sql():
         "pip_join": Q_PIP_JOIN_SQL,
         "pip_join_skew": Q_PIP_JOIN_SQL,
         "pip_join_rtree": Q_PIP_JOIN_SQL,
+        "poly_join_big": Q_POLY_JOIN_BIG_SQL,
         "spatial_knn": Q_SPATIAL_KNN_SQL,
         "pricing_summary": Q_PRICING_SQL,
         "top_customers": Q_TOP_CUSTOMERS_SQL,
@@ -2192,12 +2496,14 @@ def build_oracle_sql():
         "text_stats": Q_TEXT_STATS_SQL,
         "regex_tokens": Q_REGEX_TOKENS_SQL,
         "ann_topk": Q_ANN_TOPK_SQL,
+        "ann_ivf": Q_ANN_IVF_SQL,
         "revenue_by_nation": Q_REVENUE_BY_NATION_SQL,
         "order_priority": Q_ORDER_PRIORITY_SQL,
         "quality_filter": Q_QUALITY_FILTER_SQL,
         "lang_id": Q_LANG_ID_SQL,
         "poly_clip": Q_POLY_CLIP_SQL,
         "tile_coverage_rects": Q_TILE_COVERAGE_RECTS_SQL,
+        "tile_coverage": Q_TILE_COVERAGE_SQL,
         "fingerprints": Q_FINGERPRINTS_SQL,
         "simhash_pairs": Q_SIMHASH_PAIRS_SQL,
         "ann_lsh": Q_ANN_LSH_SQL,

@@ -166,6 +166,19 @@ def lsh_bucketed_topk(embeddings_ds, queries, k: int, dim: int = 64, n_bits: int
     )
 
 
+def ivf_fixed_centroids(n_centroids: int = 16, dim: int = 64, seed: int = 29) -> np.ndarray:
+    """Pretrained-centroid stand-in that makes IVF fully deterministic
+    and SQL-mirrorable: Rademacher ±1 rows (splitmix64 signs).  All
+    rows share the same norm (√dim), so nearest-centroid assignment of
+    a unit vector equals argmax of the raw signed coordinate sums —
+    the form an oracle can inline as literal sign expressions.  Real
+    k-means training (train_ivf_centroids) remains the scale path,
+    pinned by the recall test."""
+    from .dedup import rademacher_planes
+
+    return rademacher_planes(dim, n_centroids, seed).T.copy()
+
+
 def train_ivf_centroids(matrix: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 11) -> np.ndarray:
     """Deterministic spherical k-means on a driver-side SAMPLE (at 100 TB
     you train on ~1M sampled rows, never the full table).  Returns unit

@@ -26,6 +26,9 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+# Per-byte popcount lookup table for the vectorized hamming distance.
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
 # ---------------------------------------------------------------- exact
 
 
@@ -49,19 +52,19 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "d
 
 
 def exact_dedup_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: (content_hash → min doc_id, count)."""
-    import pandas as pd
+    """Per-batch combiner: (content_hash → min doc_id, count).
 
-    df = pa.table(
-        {"content_hash": batch["content_hash"], "doc_id": batch["doc_id"]}
-    ).to_pandas()
-    agg = df.groupby("content_hash", sort=False)["doc_id"].agg(["min", "count"])
-    agg = agg.reset_index()
+    Arrow-native (``pa.TableGroupBy``) — no pandas round-trip in the
+    hot partial-aggregation stage."""
+    agg = pa.TableGroupBy(
+        pa.table({"content_hash": batch["content_hash"], "doc_id": batch["doc_id"]}),
+        "content_hash",
+    ).aggregate([("doc_id", "min"), ("doc_id", "count")])
     return pa.table(
         {
-            "content_hash": pa.array(agg["content_hash"].to_numpy(), pa.int64()),
-            "doc_id": pa.array(agg["min"].to_numpy(), pa.int64()),
-            "n": pa.array(agg["count"].to_numpy(), pa.int64()),
+            "content_hash": agg["content_hash"].cast(pa.int64()),
+            "doc_id": agg["doc_id_min"].cast(pa.int64()),
+            "n": agg["doc_id_count"].cast(pa.int64()),
         }
     )
 
@@ -397,11 +400,12 @@ class SimhashPairs:
         out_a, out_b, out_h = [], [], []
         for lo in range(0, n - 1, chunk):
             hi = min(lo + chunk, n)
-            x = sh[lo:hi, None] ^ sh[None, :]
-            ham = np.zeros(x.shape, dtype=np.int64)
-            while x.any():
-                ham += (x & np.uint64(1)).astype(np.int64)
-                x >>= np.uint64(1)
+            x = np.ascontiguousarray(sh[lo:hi, None] ^ sh[None, :])
+            # Byte-LUT popcount: 8 table lookups + a sum per element,
+            # instead of a 64-iteration shift-and-mask loop.
+            ham = _POPCOUNT8[x.view(np.uint8).reshape(x.shape + (8,))].sum(
+                axis=-1, dtype=np.int64
+            )
             ii, jj = np.nonzero(ham <= self.max_hamming)
             keep = (ii + lo) < jj  # upper triangle only
             if keep.any():
@@ -554,6 +558,20 @@ def connected_components(pairs_ds, max_rounds: int = 30, a_col: str = "doc_a", b
 
     from .join import shuffle_hash_join
 
+    def _fresh(ds):
+        """Materialize AND sever lineage.  Each round's shortcut join
+        reads the same parent dataset twice, and Ray Data traverses
+        plan/stats lineage as a TREE (no memoization) — so chaining
+        materialize() alone makes driver-side planning+stats work
+        DOUBLE per round (exponential in rounds; profiled at minutes
+        per round by round 12).  Re-rooting the dataset on its
+        materialized block refs keeps every block in the object store
+        (nothing touches the driver) while giving the next round a
+        depth-1 plan."""
+        import ray.data as rd
+
+        return rd.from_arrow_refs(ds.materialize().to_arrow_refs())
+
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch[a_col]
         b = batch[b_col]
@@ -574,7 +592,7 @@ def connected_components(pairs_ds, max_rounds: int = 30, a_col: str = "doc_a", b
         # costs a task per round, so tiny graphs run near-single-block
         # while big ones spread across the cluster
         n_buckets = int(min(256, max(2, edges.count() // 65536)))
-    edges = edges.repartition(n_buckets).materialize()
+    edges = _fresh(edges.repartition(n_buckets))
 
     # labels₀: every node labels itself
     labels = (
@@ -585,8 +603,8 @@ def connected_components(pairs_ds, max_rounds: int = 30, a_col: str = "doc_a", b
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
         .repartition(n_buckets)
-        .materialize()
     )
+    labels = _fresh(labels)
 
     i64 = pa.int64()
     edge_schema = pa.schema([("node", i64), ("peer", i64)])
@@ -630,8 +648,8 @@ def connected_components(pairs_ds, max_rounds: int = 30, a_col: str = "doc_a", b
             own.union(flowed)
             .groupby("node")
             .aggregate(Min("label", alias_name="label"), Min("old", alias_name="old"))
-            .materialize()
         )
+        propagated = _fresh(propagated)
 
         # -- shortcut (pointer jumping): label ← label(label)
         jumped = shuffle_hash_join(
@@ -663,7 +681,8 @@ def connected_components(pairs_ds, max_rounds: int = 30, a_col: str = "doc_a", b
                 }
             ),
             batch_format="pyarrow",
-        ).repartition(n_buckets).materialize()
+        ).repartition(n_buckets)
+        jumped = _fresh(jumped)
 
         labels = jumped.select_columns(["node", "label"])
         changed = jumped.sum("changed")

@@ -42,6 +42,33 @@ def image_index(batch: pa.Table) -> np.ndarray:
     return pc.cast(sliced, pa.int64()).to_numpy().astype(np.uint64)
 
 
+def footprint_params(indices) -> tuple:
+    """(cx, cy, cos_t, sin_t, half_w, half_h) for the given image
+    indices — the identical float-op sequence as derive_footprints
+    (w/h re-derived from the synth-source _SIZES table), exposed so SQL
+    oracles can inline the quad parameters as literals."""
+    from ..sources.images import _SIZES
+
+    idx = np.asarray(indices, dtype=np.uint64)
+    u_pos_x = _u01(_splitmix64(idx))
+    u_pos_y = _u01(_splitmix64(idx + np.uint64(1 << 32)))
+    u_rot = _u01(_splitmix64(idx + np.uint64(2 << 32)))
+    u_scale = _u01(_splitmix64(idx + np.uint64(3 << 32)))
+    cx = -170.0 + u_pos_x * 340.0
+    cy = -80.0 + u_pos_y * 160.0
+    i64 = idx.astype(np.int64)
+    ws = _SIZES[i64 % len(_SIZES)].astype(np.float64)
+    hs = _SIZES[(i64 // 3) % len(_SIZES)].astype(np.float64)
+    scale = (0.5 + u_scale) * 0.05
+    half_w = ws * scale * 0.5
+    half_h = hs * scale * 0.5
+    giant = (idx % np.uint64(512)) == np.uint64(0)
+    half_w = np.where(giant, 15.0, half_w)
+    half_h = np.where(giant, 10.0, half_h)
+    theta = u_rot * (2.0 * np.pi)
+    return cx, cy, np.cos(theta), np.sin(theta), half_w, half_h
+
+
 def derive_footprints(batch: pa.Table) -> pa.Table:
     """map_batches kernel: image batch → + footprint, centroid, bbox cols."""
     idx = image_index(batch)

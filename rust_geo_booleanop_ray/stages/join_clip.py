@@ -258,17 +258,11 @@ class BroadcastPolyJoinClip:
         bmaxx = batch["maxx"].to_numpy()
         bmaxy = batch["maxy"].to_numpy()
 
-        # candidate (subject row, clip polygon) pairs from the warm tree
-        cand_rows, cand_polys = [], []
-        for i in range(batch.num_rows):
-            cands = self.tree.query(bminx[i], bminy[i], bmaxx[i], bmaxy[i])
-            if len(cands):
-                cand_rows.append(np.full(len(cands), i, dtype=np.int64))
-                cand_polys.append(np.sort(cands))
-        if not cand_rows:
+        # candidate (subject row, clip polygon) pairs: ONE vectorized
+        # descent for the whole batch — no per-row Python probe.
+        cand_row, cand_poly = self.tree.query_many(bminx, bminy, bmaxx, bmaxy)
+        if not len(cand_row):
             return _EMPTY_JOIN_SCHEMA.empty_table()
-        cand_row = np.concatenate(cand_rows)
-        cand_poly = np.concatenate(cand_polys)
 
         fp_all = batch["footprint"]
         if isinstance(fp_all, pa.ChunkedArray):
@@ -350,16 +344,9 @@ def join_cells_within_group(group: pa.Table) -> pa.Table:
     pmaxx = probe["maxx"].to_numpy()
     pmaxy = probe["maxy"].to_numpy()
 
-    cand_rows, cand_builds = [], []
-    for i in range(probe.num_rows):
-        cands = tree.query(pminx[i], pminy[i], pmaxx[i], pmaxy[i])
-        if len(cands):
-            cand_rows.append(np.full(len(cands), i, dtype=np.int64))
-            cand_builds.append(np.sort(cands))
-    if not cand_rows:
+    cand_row, cand_build = tree.query_many(pminx, pminy, pmaxx, pmaxy)
+    if not len(cand_row):
         return _EMPTY_JOIN_SCHEMA.empty_table()
-    cand_row = np.concatenate(cand_rows)
-    cand_build = np.concatenate(cand_builds)
 
     fp_col = probe["footprint"]
     if isinstance(fp_col, pa.ChunkedArray):

@@ -53,22 +53,11 @@ class RtreeContainsJoin:
         px = batch[self.x_col].to_numpy()
         py = batch[self.y_col].to_numpy()
         pids = batch[self.point_id_col]
-        out_pid = []
-        out_zone = []
-        for i in range(len(px)):
-            cand = self._tree.query(px[i], py[i], px[i], py[i])
-            if len(cand) == 0:
-                continue
-            hit = cand[
-                (px[i] >= self._minx[cand])
-                & (px[i] <= self._maxx[cand])
-                & (py[i] >= self._miny[cand])
-                & (py[i] <= self._maxy[cand])
-            ]
-            out_pid.extend([i] * len(hit))
-            out_zone.extend(hit.tolist())
-        take_p = pa.array(np.asarray(out_pid, dtype=np.int64))
-        take_z = pa.array(np.asarray(out_zone, dtype=np.int64))
+        # one vectorized descent for the whole batch of point queries;
+        # bbox-overlap for a degenerate (point) box IS containment
+        rows, zones = self._tree.query_many(px, py, px, py)
+        take_p = pa.array(rows)
+        take_z = pa.array(zones)
         return pa.table(
             {
                 self.point_id_col: pids.take(take_p),

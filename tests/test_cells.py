@@ -116,3 +116,33 @@ def test_rtree_randomized():
             ).tolist()
         )
         assert got == brute
+
+
+def test_rtree_query_many_matches_per_row():
+    """query_many ≡ per-row query + np.sort, for boxes, points and
+    empty/degenerate cases."""
+    rng = np.random.default_rng(7)
+    n = 400
+    x = rng.uniform(-10, 10, n)
+    y = rng.uniform(-10, 10, n)
+    t = STRtree(x, y, x + rng.uniform(0.1, 2, n), y + rng.uniform(0.1, 2, n), leaf_size=8)
+    nq = 120
+    qx = rng.uniform(-12, 12, nq)
+    qy = rng.uniform(-12, 12, nq)
+    w = rng.uniform(0, 3, nq)
+    w[::5] = 0.0  # degenerate point queries mixed in
+    rows, cands = t.query_many(qx, qy, qx + w, qy + w)
+    exp_rows, exp_cands = [], []
+    for i in range(nq):
+        c = np.sort(t.query(qx[i], qy[i], qx[i] + w[i], qy[i] + w[i]))
+        exp_rows.extend([i] * len(c))
+        exp_cands.extend(c.tolist())
+    assert rows.tolist() == exp_rows
+    assert cands.tolist() == exp_cands
+
+    # empty tree and empty query batch
+    empty = STRtree(np.empty(0), np.empty(0), np.empty(0), np.empty(0))
+    r, c = empty.query_many(qx, qy, qx, qy)
+    assert len(r) == 0 and len(c) == 0
+    r, c = t.query_many(np.empty(0), np.empty(0), np.empty(0), np.empty(0))
+    assert len(r) == 0 and len(c) == 0
