@@ -1728,14 +1728,23 @@ Q_POLY_CLIP_SQL = _build_poly_clip_sql()
 
 
 def q_poly_clip_quads(sf_dir: str):
-    """Rotated image-footprint quads × the irregular region set — the
-    same BroadcastPolyJoinClip operator over non-axis-aligned subjects
-    (not SQL-expressible, rows-only)."""
+    """Rotated image-footprint quads × the irregular region set through
+    the warm broadcast R-tree actor (BroadcastPolyJoinClip, whole-batch
+    native Martinez clip) — per-region piece counts plus 16×16
+    pixel-center coverage of the clipped pieces (the engine rasterizes
+    the MARTINEZ OUTPUT polygons; RasterizePartial pre-aggregates
+    before the one groupby shuffle).  Value-exact: the oracle inlines
+    the deterministic quad parameters and region cell bounds as
+    literals, decides positive-area overlap by the separating-axis
+    test, and tests exact-dyadic pixel centers against each rotated
+    rect directly (center ∈ quad∩region ⇔ center ∈ quad, since grid
+    centers lie strictly inside their region) — the same
+    discretization trick as Q_TILE_COVERAGE_SQL."""
     import ray
-    from ray.data.aggregate import Count, Sum
 
     from ..pipelines.flagship import footprints_dataset
     from ..stages.join_clip import BroadcastPolyJoinClip
+    from ..stages.tiles import RasterizePartial, merge_rasters
 
     polys_ref = ray.put(_region_polys_table())
     fp = footprints_dataset(2000)
@@ -1745,22 +1754,94 @@ def q_poly_clip_quads(sf_dir: str):
         batch_format="pyarrow",
         concurrency=2,
     )
+    part = out.map_batches(RasterizePartial(px=16), batch_format="pyarrow")
+    merged = part.groupby("tile_id").map_groups(merge_rasters, batch_format="pyarrow")
 
-    def to_int(batch: pa.Table) -> pa.Table:
+    def finalize(batch: pa.Table) -> pa.Table:
+        covered = [
+            int((np.frombuffer(b, np.uint16) > 0).sum())
+            for b in batch["raster"].to_pylist()
+        ]
         return pa.table(
             {
                 "region_id": batch["tile_id"],
-                "area_e6": pa.array(
-                    np.round(batch["clip_area"].to_numpy() * 1e6).astype(np.int64)
-                ),
+                "n_pieces": batch["n_pieces"],
+                "px_covered": pa.array(covered, pa.int64()),
             }
         )
 
-    return (
-        out.map_batches(to_int, batch_format="pyarrow")
-        .groupby("region_id")
-        .aggregate(Count(alias_name="n_pieces"), Sum("area_e6", alias_name="area_e6"))
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def _build_poly_clip_quads_sql(n_images: int = 2000, px: int = 16) -> str:
+    """SQL mirror of q_poly_clip_quads (see its docstring).  Quad
+    literals come from footprint_params (generator math, not engine
+    output); region bounds are the exact-dyadic cell bounds."""
+    from ..stages.footprint import footprint_params
+
+    t = _region_polys_table()
+    rrows = ",\n      ".join(
+        f"({t['tile_id'][i].as_py()}, {t['minx'][i].as_py()!r}::DOUBLE, "
+        f"{t['miny'][i].as_py()!r}::DOUBLE, {t['maxx'][i].as_py()!r}::DOUBLE, "
+        f"{t['maxy'][i].as_py()!r}::DOUBLE)"
+        for i in range(t.num_rows)
     )
+    cx, cy, ct, st, hw, hh = footprint_params(np.arange(n_images, dtype=np.int64))
+    qrows = ",\n      ".join(
+        f"({cx[i]!r}::DOUBLE, {cy[i]!r}::DOUBLE, {ct[i]!r}::DOUBLE, "
+        f"{st[i]!r}::DOUBLE, {hw[i]!r}::DOUBLE, {hh[i]!r}::DOUBLE)"
+        for i in range(n_images)
+    )
+    # pixel center: engine computes x0 + ((i + 0.5) * (x1 - x0)) / px —
+    # mirror the op order (all quantities are exact dyadic doubles)
+    cxp = f"(o.rx0 + px_.o * (o.rx1 - o.rx0) / {float(px)!r})"
+    cyp = f"(o.ry0 + py_.o * (o.ry1 - o.ry0) / {float(px)!r})"
+    return f"""
+    WITH r(region_id, rx0, ry0, rx1, ry1) AS (VALUES
+      {rrows}
+    ),
+    q(cx, cy, ct, st, hw, hh) AS (VALUES
+      {qrows}
+    ),
+    qb AS (
+      SELECT *, abs(ct) * hw + abs(st) * hh AS ex,
+                abs(st) * hw + abs(ct) * hh AS ey
+      FROM q
+    ),
+    ov AS (
+      SELECT r.region_id, r.rx0, r.ry0, r.rx1, r.ry1,
+             qb.cx, qb.cy, qb.ct, qb.st, qb.hw, qb.hh
+      FROM qb, r
+      WHERE cx - ex < rx1 AND cx + ex > rx0
+        AND cy - ey < ry1 AND cy + ey > ry0
+        AND least((rx0-cx)*ct + (ry0-cy)*st, (rx1-cx)*ct + (ry0-cy)*st,
+                  (rx0-cx)*ct + (ry1-cy)*st, (rx1-cx)*ct + (ry1-cy)*st) < hw
+        AND greatest((rx0-cx)*ct + (ry0-cy)*st, (rx1-cx)*ct + (ry0-cy)*st,
+                     (rx0-cx)*ct + (ry1-cy)*st, (rx1-cx)*ct + (ry1-cy)*st) > -hw
+        AND least(-(rx0-cx)*st + (ry0-cy)*ct, -(rx1-cx)*st + (ry0-cy)*ct,
+                  -(rx0-cx)*st + (ry1-cy)*ct, -(rx1-cx)*st + (ry1-cy)*ct) < hh
+        AND greatest(-(rx0-cx)*st + (ry0-cy)*ct, -(rx1-cx)*st + (ry0-cy)*ct,
+                     -(rx0-cx)*st + (ry1-cy)*ct, -(rx1-cx)*st + (ry1-cy)*ct) > -hh
+    ),
+    pix AS (SELECT CAST(i AS DOUBLE) + 0.5 AS o, i
+            FROM UNNEST(generate_series(0, {px - 1})) AS t(i)),
+    hits AS (
+      SELECT DISTINCT o.region_id, px_.i AS pi, py_.i AS pj
+      FROM ov o, pix px_, pix py_
+      WHERE abs(({cxp} - o.cx) * o.ct + ({cyp} - o.cy) * o.st) < o.hw
+        AND abs(-({cxp} - o.cx) * o.st + ({cyp} - o.cy) * o.ct) < o.hh
+    )
+    SELECT p.region_id, p.n_pieces,
+           COALESCE(h.px_covered, CAST(0 AS BIGINT)) AS px_covered
+    FROM (SELECT region_id, CAST(COUNT(*) AS BIGINT) AS n_pieces
+          FROM ov GROUP BY region_id) p
+    LEFT JOIN (SELECT region_id, CAST(COUNT(*) AS BIGINT) AS px_covered
+               FROM hits GROUP BY region_id) h
+    USING (region_id)
+"""
+
+
+Q_POLY_CLIP_QUADS_SQL = _build_poly_clip_quads_sql()
 
 
 def q_video_frames(sf_dir: str):
@@ -2502,6 +2583,7 @@ def build_oracle_sql():
         "quality_filter": Q_QUALITY_FILTER_SQL,
         "lang_id": Q_LANG_ID_SQL,
         "poly_clip": Q_POLY_CLIP_SQL,
+        "poly_clip_quads": Q_POLY_CLIP_QUADS_SQL,
         "tile_coverage_rects": Q_TILE_COVERAGE_RECTS_SQL,
         "tile_coverage": Q_TILE_COVERAGE_SQL,
         "fingerprints": Q_FINGERPRINTS_SQL,
