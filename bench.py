@@ -51,6 +51,7 @@ def bench_list():
         "pip_join",
         "pip_join_skew",
         "pip_join_rtree",
+        "poly_join_big",
         "spatial_knn",
         "pricing_summary",
         "top_customers",
@@ -74,6 +75,7 @@ def bench_list():
         "poly_clip",
         "poly_clip_quads",
         "tile_coverage_rects",
+        "tile_coverage",
         "video_frames",
         "audio_features",
         "regex_tokens",

@@ -2421,15 +2421,16 @@ def q_poly_join_big(sf_dir: str):
     (stages/join_clip.py::join_cells_within_group — the engine lift of
     the bbox gate at /root/reference/lib/src/boolean/mod.rs:106-109).
     Geometries spanning several cells are replicated, so the same pair
-    can be found in every shared cell: the PBSM replica dedup on
-    (p_partkey, s_suppkey) pins that replication changes partitioning,
-    never the answer.  Rect subjects make the exact Martinez clip area
-    closed-form for the oracle; only positive-area intersections are
-    kept (edge-touching rects clip to an empty multipolygon)."""
-    from ray.data.aggregate import Max
-
+    is FOUND in every shared cell: PBSM reference-cell duplicate
+    avoidance (keep a pair only in the cell holding the min corner of
+    the two bboxes' intersection) emits each pair from exactly one
+    cell — no second shuffle to dedup replicas — pinning that
+    replication changes partitioning, never the answer.  Rect subjects
+    make the exact Martinez clip area closed-form for the oracle; only
+    positive-area intersections are kept (edge-touching rects clip to
+    an empty multipolygon)."""
     from ..stages.cells import explode_to_cells
-    from ..stages.join_clip import join_cells_within_group
+    from ..stages.join_clip import join_cells_within_group_dedup
 
     def probe_rows(batch: pa.Table) -> pa.Table:
         batch = _part_rect_batch(batch)
@@ -2476,7 +2477,7 @@ def q_poly_join_big(sf_dir: str):
     joined = (
         probe.union(build)
         .groupby("cell")
-        .map_groups(join_cells_within_group, batch_format="pyarrow")
+        .map_groups(join_cells_within_group_dedup, batch_format="pyarrow")
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -2490,13 +2491,7 @@ def q_poly_join_big(sf_dir: str):
         )
         return out.filter(pc.greater_equal(out["clip_area"], 1))
 
-    # PBSM replica dedup: replicas carry identical exact areas, so a
-    # groupby-max collapses them without a distinct pass.
-    return (
-        joined.map_batches(finalize, batch_format="pyarrow")
-        .groupby(["p_partkey", "s_suppkey"])
-        .aggregate(Max("clip_area", alias_name="clip_area"))
-    )
+    return joined.map_batches(finalize, batch_format="pyarrow")
 
 
 Q_POLY_JOIN_BIG_SQL = f"""

@@ -214,15 +214,27 @@ def arrow_mp_areas(arr: pa.Array) -> np.ndarray:
         return out
     x = coords[:, 0]
     y = coords[:, 1]
-    # consecutive-pair cross terms over the whole buffer; the pair that
-    # straddles a ring boundary is subtracted back out per ring below
+    # consecutive-pair cross terms over the whole buffer (the pair
+    # straddling a ring boundary is skipped by the length mask below)
     cross = np.empty(len(x), dtype=np.float64)
     cross[:-1] = x[:-1] * y[1:] - x[1:] * y[:-1]
     cross[-1] = 0.0
     starts = ring_off[:-1].astype(np.int64)
     ends = ring_off[1:].astype(np.int64)
-    ring_sums = np.add.reduceat(cross, starts)
-    ring_sums = ring_sums - cross[np.maximum(ends - 1, 0)]
+    if len(starts) == 0:
+        return out
+    # left-to-right accumulation WITHIN each ring, vectorized ACROSS
+    # rings: k-th cross term of every ring added per iteration.  This
+    # is bit-for-bit the scalar shoelace loop — reduceat/np.sum use
+    # pairwise summation, which rounds differently, and subtracting the
+    # boundary term back out after a whole-buffer reduceat made a row's
+    # area depend on its NEIGHBORS in the buffer.  Iterations = longest
+    # ring in the batch (5 for quads, tens for clip pieces).
+    lens = ends - starts
+    ring_sums = np.zeros(len(starts), dtype=np.float64)
+    for k in range(int(lens.max()) - 1):
+        m = k < lens - 1
+        ring_sums[m] += cross[starts[m] + k]
     ring_abs = np.abs(ring_sums) / 2.0
     # first ring of each polygon adds, holes subtract
     sign = np.full(len(starts), -1.0)

@@ -317,13 +317,24 @@ class BroadcastPolyJoinClip:
         )
 
 
-def join_cells_within_group(group: pa.Table) -> pa.Table:
+def join_cells_within_group(group: pa.Table, pbsm_dedup: bool = False) -> pa.Table:
     """Large×large within-cell join for groupby(cell).map_groups.
 
     Input: one cell's rows from BOTH sides, tagged by ``side`` column
     ('probe' carries image_id+footprint, 'build' carries tile_id+geom).
     Builds an STR-tree on the build side (small per cell), probes with
     the probe side, emits exact clipped intersections.
+
+    ``pbsm_dedup=True`` applies PBSM reference-cell duplicate
+    avoidance (Patel & DeWitt's partition-based spatial merge): a
+    candidate pair is kept only in the cell containing the min corner
+    of the two bboxes' intersection, so every pair is emitted by
+    EXACTLY ONE of the cells both sides were replicated to — no
+    second shuffle to dedup replicas, and replicated pairs pay the
+    Martinez clip only once.  Requires the group to carry its ``cell``
+    column (groupby key); the corner is mapped with the same
+    clamped grid index used by ``cover_bbox``, so boundary corners
+    resolve to the same cell the cover replicated to.
     """
     side = group["side"].to_pylist()
     is_build = np.array([s == "build" for s in side])
@@ -332,9 +343,11 @@ def join_cells_within_group(group: pa.Table) -> pa.Table:
     if build.num_rows == 0 or probe.num_rows == 0:
         return _EMPTY_JOIN_SCHEMA.empty_table()
 
+    bminx = build["minx"].to_numpy()
+    bminy = build["miny"].to_numpy()
     tree = STRtree(
-        build["minx"].to_numpy(),
-        build["miny"].to_numpy(),
+        bminx,
+        bminy,
         build["maxx"].to_numpy(),
         build["maxy"].to_numpy(),
     )
@@ -347,6 +360,22 @@ def join_cells_within_group(group: pa.Table) -> pa.Table:
     cand_row, cand_build = tree.query_many(pminx, pminy, pmaxx, pmaxy)
     if not len(cand_row):
         return _EMPTY_JOIN_SCHEMA.empty_table()
+
+    if pbsm_dedup:
+        from .cells import cell_encode
+
+        gcell = np.uint64(group["cell"][0].as_py())
+        res = int(gcell >> np.uint64(58))
+        ref = cell_encode(
+            np.maximum(pminx[cand_row], bminx[cand_build]),
+            np.maximum(pminy[cand_row], bminy[cand_build]),
+            res,
+        )
+        mine = ref == gcell
+        cand_row = cand_row[mine]
+        cand_build = cand_build[mine]
+        if not len(cand_row):
+            return _EMPTY_JOIN_SCHEMA.empty_table()
 
     fp_col = probe["footprint"]
     if isinstance(fp_col, pa.ChunkedArray):
@@ -398,3 +427,11 @@ def join_cells_within_group(group: pa.Table) -> pa.Table:
             "clip_area": pa.array(out_area, pa.float64()),
         }
     )
+
+
+def join_cells_within_group_dedup(group: pa.Table) -> pa.Table:
+    """map_groups entrypoint: within-cell join WITH PBSM reference-cell
+    duplicate avoidance (see join_cells_within_group) — the shape to
+    use after explode_to_cells, where pairs sharing several cells must
+    be emitted exactly once without a second dedup shuffle."""
+    return join_cells_within_group(group, pbsm_dedup=True)

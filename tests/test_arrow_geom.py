@@ -103,3 +103,30 @@ def test_arrow_mp_areas_matches_scalar_shoelace():
     # sliced view must not absorb trailing rings
     sl = arr.slice(1, 3)
     assert (arrow_mp_areas(sl) == ref[1:4]).all()
+
+
+def test_arrow_mp_areas_position_independent():
+    """A row's area must not depend on its neighbors in the buffer:
+    bit-for-bit equal to the scalar shoelace on irrational-ish coords
+    whether the row is alone or embedded mid-batch (regression: the
+    ring-boundary cross term used to be added then subtracted back,
+    rounding differently per position)."""
+    import numpy as np
+
+    from rust_geo_booleanop_ray.sources.arrow_geom import (
+        arrow_mp_areas,
+        mps_to_arrow,
+        shoelace_area,
+    )
+    from rust_geo_booleanop_ray.stages.footprint import derive_footprints
+    from rust_geo_booleanop_ray.sources.images import synth_image_batch
+    from rust_geo_booleanop_ray.sources.arrow_geom import arrow_to_mps
+
+    fp = derive_footprints(synth_image_batch(np.arange(25)))["footprint"]
+    fp = fp.combine_chunks() if hasattr(fp, "combine_chunks") else fp
+    mps = arrow_to_mps(fp)
+    batch_areas = arrow_mp_areas(fp)
+    for i, mp in enumerate(mps):
+        solo = arrow_mp_areas(mps_to_arrow([mp]))[0]
+        assert batch_areas[i] == solo, i
+        assert batch_areas[i] == shoelace_area(mp), i

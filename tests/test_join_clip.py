@@ -303,3 +303,70 @@ def test_join_cells_within_group_native_matches_python(monkeypatch):
     monkeypatch.delenv("GEO_NATIVE")
     assert native_out.num_rows > 0
     assert _rows_key(native_out) == _rows_key(py_out)
+
+
+def test_pbsm_dedup_matches_emit_all_plus_dedup():
+    """PBSM reference-cell duplicate avoidance: joining per cell with
+    pbsm_dedup=True yields each (image, tile) pair EXACTLY once, and
+    the pair set + areas equal emit-all-then-dedup across cells."""
+    from rust_geo_booleanop_ray.stages.cells import explode_to_cells
+    from rust_geo_booleanop_ray.stages.join_clip import (
+        join_cells_within_group_dedup,
+    )
+
+    f = _footprints(120)  # includes a giant (idx 0) spanning many cells
+    n_p = f.num_rows
+    probe = pa.table(
+        {
+            "image_id": f["image_id"],
+            "tile_id": pa.array([0] * n_p, pa.int64()),
+            "footprint": f["footprint"],
+            "geom": f["footprint"],
+            "minx": f["minx"],
+            "miny": f["miny"],
+            "maxx": f["maxx"],
+            "maxy": f["maxy"],
+            "side": pa.array(["probe"] * n_p),
+        }
+    )
+    # build side: offset copies of the same quads so bboxes straddle
+    # cell boundaries differently from the probe side
+    g = _footprints(90)
+    n_b = g.num_rows
+    build = pa.table(
+        {
+            "image_id": pa.array([""] * n_b),
+            "tile_id": pa.array(np.arange(n_b), pa.int64()),
+            "footprint": g["footprint"],
+            "geom": g["footprint"],
+            "minx": g["minx"],
+            "miny": g["miny"],
+            "maxx": g["maxx"],
+            "maxy": g["maxy"],
+            "side": pa.array(["build"] * n_b),
+        }
+    )
+    res = 4
+    both = pa.concat_tables([explode_to_cells(probe, res), explode_to_cells(build, res)])
+    cells = both["cell"].to_numpy()
+
+    dedup_pairs = {}
+    all_pairs = {}
+    for c in np.unique(cells):
+        grp = both.filter(pa.array(cells == c))
+        out_d = join_cells_within_group_dedup(grp)
+        for i in range(out_d.num_rows):
+            key = (out_d["image_id"][i].as_py(), out_d["tile_id"][i].as_py())
+            assert key not in dedup_pairs, f"pair {key} emitted twice"
+            dedup_pairs[key] = out_d["clip_area"][i].as_py()
+        out_a = join_cells_within_group(grp)
+        for i in range(out_a.num_rows):
+            key = (out_a["image_id"][i].as_py(), out_a["tile_id"][i].as_py())
+            all_pairs[key] = out_a["clip_area"][i].as_py()
+
+    assert set(dedup_pairs) == set(all_pairs)
+    assert dedup_pairs and len(all_pairs) < sum(
+        1 for _ in dedup_pairs
+    ) or len(dedup_pairs) == len(all_pairs)
+    for k, v in dedup_pairs.items():
+        assert v == all_pairs[k], k
