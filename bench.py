@@ -248,9 +248,9 @@ def micro():
         ("issue96/intersection", *fixture_pair(f"{GENERIC}/issue96.geojson"), OP_INTERSECTION, 30),
         ("issue96/union", *fixture_pair(f"{GENERIC}/issue96.geojson"), OP_UNION, 30),
         ("random_triangles/xor", *generate_random_triangles_polygons(), OP_XOR, 30),
-        ("grid/xor", *generate_grid_polygons(), OP_XOR, 10),
-        ("asia/union", *fixture_pair(f"{BENCH}/asia.geojson"), OP_UNION, 5),
-        ("circles_vs_rects/xor", *generate_circles_vs_rects(), OP_XOR, 5),
+        ("grid/xor", *generate_grid_polygons(), OP_XOR, 30),
+        ("asia/union", *fixture_pair(f"{BENCH}/asia.geojson"), OP_UNION, 10),
+        ("circles_vs_rects/xor", *generate_circles_vs_rects(), OP_XOR, 10),
     ]
 
     # batch-path throughput: many small pairs through ONE Arrow-native
@@ -276,26 +276,56 @@ def micro():
             file=sys.stderr,
         )
 
+    # Criterion's statistical protocol (reference benchmark.rs:83-87):
+    # 0.1 s warm-up, 3 s measurement window split into the workload's
+    # sample count (100 small / 30 medium / 10 large), each sample
+    # timing a fixed iteration batch sized from the warm-up estimate.
+    stats = {}
     for name, subject, clipping, op, samples in workloads:
-        boolean_op(subject, clipping, op)  # warm-up
+        warm_end = time.perf_counter() + 0.1
+        n_warm = 0
+        while time.perf_counter() < warm_end or n_warm == 0:
+            boolean_op(subject, clipping, op)
+            n_warm += 1
+        est = 0.1 / n_warm
+        iters = max(1, int(3.0 / (samples * est)))
         times = []
-        budget_t0 = time.perf_counter()
         for _ in range(samples):
             t0 = time.perf_counter()
-            boolean_op(subject, clipping, op)
-            times.append(time.perf_counter() - t0)
-            if time.perf_counter() - budget_t0 > 3.0:
-                break
-        per[name] = round(min(times), 6)
-        print(f"# {name}: min {min(times)*1e3:.3f} ms over {len(times)} runs", file=sys.stderr)
+            for _ in range(iters):
+                boolean_op(subject, clipping, op)
+            times.append((time.perf_counter() - t0) / iters)
+        mean = sum(times) / len(times)
+        var = (
+            sum((t - mean) ** 2 for t in times) / (len(times) - 1)
+            if len(times) > 1
+            else 0.0
+        )
+        std = var**0.5
+        med = sorted(times)[len(times) // 2]
+        per[name] = round(mean, 6)
+        stats[name] = {
+            "mean": round(mean, 6),
+            "median": round(med, 6),
+            "std": round(std, 7),
+            "min": round(min(times), 6),
+            "samples": samples,
+            "iters_per_sample": iters,
+        }
+        print(
+            f"# {name}: {mean*1e3:.3f} ms ± {std*1e3:.3f} "
+            f"({samples} samples × {iters} iters)",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
             {
-                "metric": "Martinez kernel micro-bench (min wall time per op, reference benchmark.rs workloads)",
+                "metric": "Martinez kernel micro-bench (criterion protocol: mean wall time per op, reference benchmark.rs workloads)",
                 "value": round(sum(per.values()), 6),
                 "unit": "sec",
                 "queries": per,
+                "stats": stats,
                 "num_cpus": 1,
             }
         )

@@ -560,28 +560,27 @@ def q_pricing_summary(sf_dir: str):
     cutoff = np.datetime64("1998-09-02T00:00:00.000000")
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         ship = batch["l_shipdate"].to_numpy()
         mask = ship <= cutoff
+        keep = pa.array(mask)
         qty = batch["l_quantity"].to_numpy()[mask]
         price = batch["l_extendedprice"].to_numpy()[mask]
         disc = batch["l_discount"].to_numpy()[mask]
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "l_returnflag": np.asarray(batch["l_returnflag"].to_pylist())[mask],
-                "l_linestatus": np.asarray(batch["l_linestatus"].to_pylist())[mask],
-                "q": _cents(qty),
-                "base": _cents(price),
-                "disc": _cents(price * (1.0 - disc)),
+                "l_returnflag": batch["l_returnflag"].filter(keep),
+                "l_linestatus": batch["l_linestatus"].filter(keep),
+                "q": pa.array(_cents(qty)),
+                "base": pa.array(_cents(price)),
+                "disc": pa.array(_cents(price * (1.0 - disc))),
             }
         )
-        agg = (
-            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
-            .agg(sum_qty_c=("q", "sum"), sum_base_c=("base", "sum"), sum_disc_c=("disc", "sum"), n_rows=("q", "size"))
-            .reset_index()
+        agg = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("q", "sum"), ("base", "sum"), ("disc", "sum"), ("q", "count")]
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return agg.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_c", "sum_base_c", "sum_disc_c", "n_rows"]
+        )
 
     ds = _read(
         sf_dir,
@@ -615,16 +614,14 @@ def q_top_customers(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "o_custkey": batch["o_custkey"].to_numpy(),
-                "spend_c": _cents(batch["o_totalprice"].to_numpy()),
+                "o_custkey": batch["o_custkey"],
+                "spend_c": pa.array(_cents(batch["o_totalprice"].to_numpy())),
             }
         )
-        agg = df.groupby("o_custkey", sort=False)["spend_c"].sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        agg = pa.TableGroupBy(t, "o_custkey").aggregate([("spend_c", "sum")])
+        return agg.rename_columns(["o_custkey", "spend_c"])
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     spend = orders.map_batches(partial, batch_format="pyarrow").groupby(
@@ -1997,19 +1994,19 @@ def q_revenue_by_nation(sf_dir: str):
     from ..stages.join import broadcast_join, shuffle_hash_join
 
     def rev_partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "l_orderkey": batch["l_orderkey"].to_numpy(),
-                "rev_c": _cents(
-                    batch["l_extendedprice"].to_numpy()
-                    * (1.0 - batch["l_discount"].to_numpy())
+                "l_orderkey": batch["l_orderkey"],
+                "rev_c": pa.array(
+                    _cents(
+                        batch["l_extendedprice"].to_numpy()
+                        * (1.0 - batch["l_discount"].to_numpy())
+                    )
                 ),
             }
         )
-        agg = df.groupby("l_orderkey", sort=False)["rev_c"].sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        agg = pa.TableGroupBy(t, "l_orderkey").aggregate([("rev_c", "sum")])
+        return agg.rename_columns(["l_orderkey", "rev_c"])
 
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     # batch-local partial only — no per-orderkey shuffle aggregate; the
