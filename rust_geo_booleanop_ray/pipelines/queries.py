@@ -1591,7 +1591,13 @@ def q_martinez_fixtures(sf_dir: str):
 
 
 def q_image_features(sf_dir: str):
-    """Synthetic image table → decode → features; phash invariance."""
+    """Synthetic image table → real decode (PNG rows inflate through
+    the pure-numpy codec) → integer-exact per-image features.
+    Value-exact: the oracle inlines GENERATOR-side expected values
+    (phash + position-weighted pixel checksum computed from the input
+    pixel math, never through the codec) as literals; the engine
+    recomputes the same features through the encode→decode round trip,
+    so driver equality pins the codec bit-for-bit on every row."""
     from ..sources.images import read_synth_images
     from ..stages.image_ops import DecodeFeatures
 
@@ -1601,17 +1607,37 @@ def q_image_features(sf_dir: str):
     )
 
     def check(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         return pa.table(
             {
                 "image_id": batch["image_id"],
-                "phash_ok": pc.equal(batch["phash"], batch["phash_decoded"]),
-                "luma_std": batch["luma_std"],
+                "phash": batch["phash_decoded"],
+                "pix_checksum": batch["pix_checksum"],
             }
         )
 
     return feats.map_batches(check, batch_format="pyarrow")
+
+
+def _values_oracle_sql(t: pa.Table) -> str:
+    """Expected-values oracle: a VALUES table of generator-side
+    literals (input-data math, never engine output) the driver compares
+    hash-exact against the engine's decode-derived results."""
+
+    def lit(v):
+        # explicit casts so DuckDB types every column like the engine
+        # (bare small-int literals would come out INTEGER, not BIGINT)
+        return f"'{v}'" if isinstance(v, str) else f"CAST({v!r} AS BIGINT)"
+
+    cols = t.column_names
+    rows = ",\n      ".join(
+        "(" + ", ".join(lit(t[c][i].as_py()) for c in cols) + ")"
+        for i in range(t.num_rows)
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {rows}
+    ) AS expected({", ".join(cols)})
+"""
 
 
 def _region_polys_table() -> pa.Table:
@@ -1843,9 +1869,11 @@ Q_POLY_CLIP_QUADS_SQL = _build_poly_clip_quads_sql()
 
 def q_video_frames(sf_dir: str):
     """Video frame sampling: every 2nd frame of each synthetic clip →
-    (video_id, frame_idx, frame_phash) rows.  Raw and PNG-compressed
-    frame payloads both decode for real — rows-only (codec output is
-    not SQL-expressible)."""
+    (video_id, frame_idx, frame_phash, frame_checksum) rows.  Raw and
+    PNG-compressed frame payloads both decode for real.  Value-exact:
+    expected-values oracle from the generator's frame pixel math (see
+    q_image_features) — equality pins the length-prefixed PNG frame
+    codec on every sampled frame."""
     from ..sources.videos import read_synth_videos
     from ..stages.video_ops import FrameSample
 
@@ -1857,12 +1885,15 @@ def q_video_frames(sf_dir: str):
         batch_size=64,
         concurrency=2,
     )
-    return out.select_columns(["video_id", "frame_idx", "frame_phash"])
+    return out.select_columns(
+        ["video_id", "frame_idx", "frame_phash", "frame_checksum"]
+    )
 
 
 def q_audio_features(sf_dir: str):
     """PCM16 audio decode → integer-exact clip features (peak,
-    absolute sum, zero crossings) — rows-only."""
+    absolute sum, zero crossings).  Value-exact: expected-values
+    oracle from the generator's wave math (see q_image_features)."""
     from ..sources.videos import read_synth_audio
     from ..stages.video_ops import AudioFeatures
 
@@ -2549,7 +2580,25 @@ def build_queries():
 
 
 def build_oracle_sql():
+    # Expected-values oracles for the codec queries are built lazily
+    # HERE (not at module import): the literals come from generator
+    # math (a Python loop over 3,500 rows) that only the driver's
+    # oracle comparison needs — workers importing this module for
+    # map_batches closures must not pay for it.
+    from ..sources.images import expected_decode_features
+    from ..sources.videos import expected_audio_features, expected_frame_features
+
+    image_features_sql = _values_oracle_sql(
+        expected_decode_features(2000).rename_columns(
+            ["image_id", "phash", "pix_checksum"]
+        )
+    )
+    video_frames_sql = _values_oracle_sql(expected_frame_features(500, stride=2))
+    audio_features_sql = _values_oracle_sql(expected_audio_features(1000))
     return {
+        "image_features": image_features_sql,
+        "video_frames": video_frames_sql,
+        "audio_features": audio_features_sql,
         "clip_area": Q_CLIP_AREA_SQL,
         "tile_assign": Q_TILE_ASSIGN_SQL,
         "pip_join": Q_PIP_JOIN_SQL,

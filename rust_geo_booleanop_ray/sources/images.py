@@ -154,3 +154,35 @@ def write_synth_images(path: str, n_images: int, seed: int = 42, rows_per_file: 
     read_synth_images(n_images, seed=seed).write_parquet(
         path, min_rows_per_file=min(rows_per_file, n_images)
     )
+
+
+def pix_checksum(pixels: np.ndarray) -> np.int64:
+    """Position-weighted integer checksum over every pixel byte:
+    Σ byte[k]·(k+1) — order-sensitive (catches swapped/shifted bytes a
+    plain sum would miss), exact in int64 for any sane image size."""
+    flat = pixels.ravel().astype(np.int64)
+    return np.int64((flat * (np.arange(len(flat), dtype=np.int64) + 1)).sum())
+
+
+def expected_decode_features(n_images: int, seed: int = 42) -> pa.Table:
+    """Generator-side expected (image_id, phash, pix_checksum) for the
+    first ``n_images`` rows — computed from the GENERATOR's pixel math
+    directly, never through the codec.  Inlined as oracle literals: the
+    engine recomputes the same features through the encode→PNG-decode
+    round trip, so driver equality pins the codec bit-for-bit."""
+    ids, phashes, checks = [], [], []
+    for i in range(n_images):
+        rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
+        w = int(_SIZES[i % len(_SIZES)])
+        h = int(_SIZES[(i // 3) % len(_SIZES)])
+        pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        ids.append(f"img-{i:08d}")
+        phashes.append(_phash64(pixels))
+        checks.append(pix_checksum(pixels))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+            "pix_checksum": pa.array(checks, pa.int64()),
+        }
+    )

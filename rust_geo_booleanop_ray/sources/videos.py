@@ -130,3 +130,64 @@ def read_synth_audio(n_clips: int, seed: int = 42):
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def expected_frame_features(n_videos: int, stride: int = 2) -> pa.Table:
+    """Generator-side expected (video_id, frame_idx, frame_phash,
+    frame_checksum) for every ``stride``-sampled frame — from
+    _video_pixels directly, never through the frame codec (see
+    images.expected_decode_features for the oracle pattern)."""
+    from .images import _phash64, pix_checksum
+
+    vids, fidx, phashes, checks = [], [], [], []
+    for i in range(n_videos):
+        w = int(_VID_SIZES[i % 3])
+        h = int(_VID_SIZES[(i // 3) % 3])
+        n_frames = 4 + (i % 5)
+        frames = _video_pixels(i, w, h, n_frames)
+        for f in range(0, n_frames, stride):
+            vids.append(f"vid-{i:08d}")
+            fidx.append(f)
+            phashes.append(_phash64(frames[f]))
+            checks.append(pix_checksum(frames[f]))
+    return pa.table(
+        {
+            "video_id": pa.array(vids, pa.string()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "frame_phash": pa.array(phashes, pa.int64()),
+            "frame_checksum": pa.array(checks, pa.int64()),
+        }
+    )
+
+
+def expected_audio_features(n_clips: int, seed: int = 42) -> pa.Table:
+    """Generator-side expected (audio_id, peak, abs_sum, zero_crossings)
+    — the PCM wave recomputed from the generator math, features applied
+    with the same integer formulas as stages.video_ops.AudioFeatures."""
+    ids, peaks, sums, zcs = [], [], [], []
+    for i in range(n_clips):
+        sr = 8000
+        n = 2048 + 512 * (i % 3)
+        t = np.arange(n, dtype=np.float64) / sr
+        f1 = 200.0 + (i % 17) * 50.0
+        f2 = 800.0 + (i % 11) * 90.0
+        rng = np.random.Generator(np.random.PCG64(seed * 7919 + i))
+        wave = (
+            0.5 * np.sin(2 * np.pi * f1 * t)
+            + 0.3 * np.sin(2 * np.pi * f2 * t)
+            + 0.05 * rng.standard_normal(n)
+        )
+        pcm = np.clip(wave * 32767.0, -32768, 32767).astype("<i2").astype(np.int64)
+        ids.append(f"aud-{i:08d}")
+        peaks.append(int(np.abs(pcm).max()) if len(pcm) else 0)
+        sums.append(int(np.abs(pcm).sum()))
+        s = np.sign(pcm)
+        zcs.append(int((s[1:] * s[:-1] < 0).sum()))
+    return pa.table(
+        {
+            "audio_id": pa.array(ids, pa.string()),
+            "peak": pa.array(peaks, pa.int64()),
+            "abs_sum": pa.array(sums, pa.int64()),
+            "zero_crossings": pa.array(zcs, pa.int64()),
+        }
+    )

@@ -92,17 +92,21 @@ class DecodeFeatures:
         hs = batch["h"].to_numpy()
         fmts = batch["fmt"].to_pylist()
 
+        from ..sources.images import pix_checksum
+
         mean_r = np.empty(len(payloads))
         mean_g = np.empty(len(payloads))
         mean_b = np.empty(len(payloads))
         luma_std = np.empty(len(payloads))
         phash = np.empty(len(payloads), dtype=np.int64)
+        checks = np.empty(len(payloads), dtype=np.int64)
         thumbs = []
         for i, payload in enumerate(payloads):
             px = decode_image(payload, int(ws[i]), int(hs[i]), fmts[i], self.strict)
             mean_r[i], mean_g[i], mean_b[i] = px.reshape(-1, 3).mean(axis=0)
             luma_std[i] = px.astype(np.float64).mean(axis=2).std()
             phash[i] = self._phash64(px)
+            checks[i] = pix_checksum(px)
             thumbs.append(resize_nearest(px, self.thumb, self.thumb).tobytes())
 
         out = batch.select(["image_id", "caption", "phash"])
@@ -111,5 +115,6 @@ class DecodeFeatures:
         out = out.append_column("mean_b", pa.array(mean_b))
         out = out.append_column("luma_std", pa.array(luma_std))
         out = out.append_column("phash_decoded", pa.array(phash, pa.int64()))
+        out = out.append_column("pix_checksum", pa.array(checks, pa.int64()))
         out = out.append_column("thumb", pa.array(thumbs, pa.binary()))
         return out

@@ -59,7 +59,9 @@ class FrameSample:
         nfs = batch["n_frames"].to_numpy()
         fmts = batch["fmt"].to_pylist()
 
-        vids, fidx, phashes, thumbs = [], [], [], []
+        from ..sources.images import pix_checksum
+
+        vids, fidx, phashes, checks, thumbs = [], [], [], [], []
         for i, payload in enumerate(payloads):
             frames = decode_frames(
                 payload, int(ws[i]), int(hs[i]), int(nfs[i]), fmts[i]
@@ -69,6 +71,7 @@ class FrameSample:
                 vids.append(vid)
                 fidx.append(f)
                 phashes.append(_phash64(frames[f]))
+                checks.append(pix_checksum(frames[f]))
                 thumbs.append(
                     resize_nearest(frames[f], self.thumb, self.thumb).tobytes()
                 )
@@ -77,6 +80,7 @@ class FrameSample:
                 "video_id": pa.array(vids, pa.string()),
                 "frame_idx": pa.array(fidx, pa.int64()),
                 "frame_phash": pa.array(phashes, pa.int64()),
+                "frame_checksum": pa.array(checks, pa.int64()),
                 "thumb": pa.array(thumbs, pa.binary()),
             }
         )
