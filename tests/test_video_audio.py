@@ -63,3 +63,55 @@ def test_sources_deterministic():
     x = synth_audio_batch(np.arange(6))
     y = synth_audio_batch(np.arange(6))
     assert x.equals(y)
+
+
+def test_expected_values_oracles_match_stages_and_detect_corruption():
+    """The expected-values oracle helpers (generator-side math, no
+    codec) must equal the decode stages' output exactly — and the
+    position-weighted checksum must be SENSITIVE: corrupting one
+    payload byte or swapping two bytes (which a plain sum would miss)
+    changes it, so the oracle is not a tautology."""
+    from rust_geo_booleanop_ray.sources.images import (
+        expected_decode_features,
+        pix_checksum,
+        synth_image_batch,
+    )
+    from rust_geo_booleanop_ray.sources.videos import (
+        expected_audio_features,
+        expected_frame_features,
+    )
+    from rust_geo_booleanop_ray.stages.image_ops import DecodeFeatures
+
+    # image: stage (encode→decode path) == generator-side expectation
+    t = synth_image_batch(np.arange(24))
+    feats = DecodeFeatures()(t)
+    exp = expected_decode_features(24)
+    assert feats["image_id"].to_pylist() == exp["image_id"].to_pylist()
+    assert feats["phash_decoded"].to_pylist() == exp["phash"].to_pylist()
+    assert feats["pix_checksum"].to_pylist() == exp["pix_checksum"].to_pylist()
+
+    # video: sampled-frame expectation == FrameSample output
+    vt = synth_video_batch(np.arange(12))
+    vout = FrameSample(stride=2)(vt)
+    vexp = expected_frame_features(12, stride=2)
+    for col in ("video_id", "frame_idx", "frame_phash", "frame_checksum"):
+        assert vout[col].to_pylist() == vexp[col].to_pylist(), col
+
+    # audio: expectation == AudioFeatures output
+    at = synth_audio_batch(np.arange(9))
+    aout = AudioFeatures()(at)
+    aexp = expected_audio_features(9)
+    for col in ("audio_id", "peak", "abs_sum", "zero_crossings"):
+        assert aout[col].to_pylist() == aexp[col].to_pylist(), col
+
+    # sensitivity: single-byte corruption changes the checksum
+    px = np.frombuffer(t["bytes"][1].as_py(), dtype=np.uint8).copy()
+    clean = pix_checksum(px.reshape(-1, 1, 1))
+    px[7] ^= 0xFF
+    assert pix_checksum(px.reshape(-1, 1, 1)) != clean
+    # sensitivity: swapping two unequal bytes (plain sum is blind to it)
+    px = np.frombuffer(t["bytes"][1].as_py(), dtype=np.uint8).copy()
+    i, j = 3, 11
+    assert px[i] != px[j]
+    px[i], px[j] = px[j], px[i]
+    assert pix_checksum(px.reshape(-1, 1, 1)) != clean
