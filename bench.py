@@ -67,6 +67,7 @@ def bench_list():
         "minhash_near_dup",
         "simhash_pairs",
         "image_features",
+        "image_near_dup",
         "revenue_by_nation",
         "order_priority",
         "quality_filter",

@@ -1618,6 +1618,91 @@ def q_image_features(sf_dir: str):
     return feats.map_batches(check, batch_format="pyarrow")
 
 
+IMAGE_NEARDUP_N = 2000
+IMAGE_NEARDUP_MAX_HAMMING = 6
+
+
+def _phash_band_explode(batch: pa.Table) -> pa.Table:
+    from ..stages.dedup import band_explode
+
+    return band_explode(batch, "img_idx", "phash", bands=4)
+
+
+def q_image_near_dup(sf_dir: str):
+    """Perceptual-hash near-duplicate IMAGE pairs over a corpus with
+    planted variants: real decode (PNG rows inflate through the codec)
+    → in-engine 64-bit average-hash → 4×16-bit band blocking (pigeonhole:
+    hamming<4 guarantees a shared band; wider-hamming variants are
+    caught because the perturbation touches whole hash-grid cells, so
+    flipped bits cluster) → exact popcount verify within buckets.
+
+    Scale shape is identical to the SimHash text path: after the lean
+    DecodePhash stage every row is 16 bytes, the explode is 4×, and the
+    only shuffle is the bucketed groupby — never an all-pairs scan over
+    the image table.  Value-exact: the oracle inlines GENERATOR-side
+    phashes (pixel math, never the codec) and mirrors the banding +
+    bit_count(xor) verify in SQL, so driver equality pins the decode
+    path AND the pairing pipeline."""
+    from ray.data.aggregate import Min
+
+    from ..sources.images import read_synth_neardup_images
+    from ..stages.dedup import SimhashPairs
+    from ..stages.image_ops import DecodePhash
+
+    ds = read_synth_neardup_images(IMAGE_NEARDUP_N)
+    hashed = ds.map_batches(
+        DecodePhash(), batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    exploded = hashed.map_batches(_phash_band_explode, batch_format="pyarrow")
+    pairs = exploded.groupby(["band_id", "band_val"]).map_groups(
+        SimhashPairs(
+            max_hamming=IMAGE_NEARDUP_MAX_HAMMING,
+            key_col="img_idx",
+            sig_col="phash",
+            out_cols=("img_a", "img_b"),
+        ),
+        batch_format="pyarrow",
+    )
+    return pairs.groupby(["img_a", "img_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+def _build_image_near_dup_sql() -> str:
+    """SQL mirror of the pHash near-dup pipeline over generator-side
+    phash literals: unsigned reinterpretation, 4×16-bit band extraction,
+    band-equality self-join, bit_count(xor) hamming, min per pair."""
+    from ..sources.images import expected_neardup_phashes
+
+    values = _values_oracle_sql(expected_neardup_phashes(IMAGE_NEARDUP_N))
+    bandpw = ", ".join(f"{1 << (16 * k)}::HUGEINT" for k in range(4))
+    return f"""
+    WITH ph AS ({values}),
+    u AS (
+      SELECT img_idx, phash,
+             CASE WHEN phash < 0
+                  THEN phash + 18446744073709551616::HUGEINT
+                  ELSE phash::HUGEINT END AS phu
+      FROM ph
+    ),
+    bands AS (
+      SELECT img_idx, phash, p.band AS band_id,
+             (phu // p.bpw) % 65536::HUGEINT AS band_val
+      FROM u, (SELECT unnest(range(4)) AS band, unnest([{bandpw}]) AS bpw) p
+    ),
+    pairs AS (
+      SELECT a.img_idx AS img_a, b.img_idx AS img_b,
+             bit_count(xor(a.phash, b.phash)) AS ham
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.img_idx < b.img_idx
+    )
+    SELECT img_a, img_b, CAST(MIN(ham) AS BIGINT) AS hamming
+    FROM pairs WHERE ham <= {IMAGE_NEARDUP_MAX_HAMMING}
+    GROUP BY img_a, img_b
+"""
+
+
 def _values_oracle_sql(t: pa.Table) -> str:
     """Expected-values oracle: a VALUES table of generator-side
     literals (input-data math, never engine output) the driver compares
@@ -2565,6 +2650,7 @@ def build_queries():
         "embedding_near_dup": q_embedding_near_dup,
         "martinez_fixtures": q_martinez_fixtures,
         "image_features": q_image_features,
+        "image_near_dup": q_image_near_dup,
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "tile_coverage": q_tile_coverage,
@@ -2633,4 +2719,5 @@ def build_oracle_sql():
         "embedding_near_dup": Q_EMBEDDING_NEAR_DUP_SQL,
         "minhash_near_dup": Q_MINHASH_SQL,
         "ngram_dedup": Q_NGRAM_DEDUP_SQL,
+        "image_near_dup": _build_image_near_dup_sql(),
     }

@@ -66,6 +66,14 @@ def _phash64(pixels: np.ndarray) -> np.int64:
     return np.int64(val.astype(np.int64))
 
 
+def _base_pixels(i: int, seed: int = 42) -> np.ndarray:
+    """The generator's pixel math for global index ``i`` (pure)."""
+    w = int(_SIZES[i % len(_SIZES)])
+    h = int(_SIZES[(i // 3) % len(_SIZES)])
+    rng = np.random.Generator(np.random.PCG64(seed * 1_000_003 + i))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
 def synth_image_batch(indices: np.ndarray, seed: int = 42) -> pa.Table:
     """Generate rows for the given global indices (pure function)."""
     indices = np.asarray(indices, dtype=np.int64)
@@ -162,6 +170,118 @@ def pix_checksum(pixels: np.ndarray) -> np.int64:
     plain sum would miss), exact in int64 for any sane image size."""
     flat = pixels.ravel().astype(np.int64)
     return np.int64((flat * (np.arange(len(flat), dtype=np.int64) + 1)).sum())
+
+
+# ------------------------------------------------------- near-dup corpus
+#
+# A corpus WITH near-duplicates by construction: every 7th row
+# (idx % 7 == 6) is a VARIANT of an earlier base row — the base's
+# pixels with 1–3 of the 8×8 average-hash grid cells brightened, so
+# the variant's phash lands within a small hamming distance of the
+# base's.  Everything is a pure function of the row index (seeded),
+# exactly like the primary table, so the same rows generate
+# identically inside any map_batches task.
+
+_VAR_MOD = 7  # idx % 7 == 6 → variant row
+_VAR_DELTA = 48  # per-cell brightness nudge (clipped add)
+
+
+def _variant_base(i: int) -> int:
+    """Base index for variant row ``i`` — always a non-variant row
+    (offsets 1..5 never cross a mod-7 boundary onto another variant)."""
+    return i - 1 - (i // _VAR_MOD) % 5
+
+
+def _variant_pixels(i: int, seed: int = 42) -> np.ndarray:
+    """Variant row pixels: base pixels with k = 1 + (i//7) % 3 sampled
+    hash-grid cells nudged by +48 (clipped) on all channels."""
+    px = _base_pixels(_variant_base(i), seed).copy()
+    h, w = px.shape[:2]
+    ys = (np.arange(8) * h // 8).astype(np.int64)
+    xs = (np.arange(8) * w // 8).astype(np.int64)
+    k = 1 + (i // _VAR_MOD) % 3
+    for t in range(k):
+        r = (i // _VAR_MOD + t) % 8
+        c = (i * 3 + t) % 8
+        cell = px[ys[r], xs[c]].astype(np.int16) + _VAR_DELTA
+        px[ys[r], xs[c]] = np.clip(cell, 0, 255).astype(np.uint8)
+    return px
+
+
+def _neardup_pixels(i: int, seed: int = 42) -> np.ndarray:
+    if i % _VAR_MOD == _VAR_MOD - 1 and i >= _VAR_MOD - 1:
+        return _variant_pixels(i, seed)
+    return _base_pixels(i, seed)
+
+
+def synth_neardup_batch(indices: np.ndarray, seed: int = 42) -> pa.Table:
+    """Near-dup corpus rows for the given global indices (pure).
+
+    Schema: (img_idx int64, image_id string, bytes binary, w int32,
+    h int32, fmt string, phash int64) — ``phash`` is the generator-side
+    hash of the (possibly perturbed) pixels; the engine recomputes it
+    through the decode path.
+    """
+    from ..functions.png import encode_png
+
+    indices = np.asarray(indices, dtype=np.int64)
+    ids, payloads, ws, hs, fmts, phashes = [], [], [], [], [], []
+    for i in indices:
+        i = int(i)
+        px = _neardup_pixels(i, seed)
+        fmt = "png" if i % 11 == 0 else "raw"
+        ids.append(f"img-{i:08d}")
+        payloads.append(encode_png(px) if fmt == "png" else px.tobytes())
+        hs.append(px.shape[0])
+        ws.append(px.shape[1])
+        fmts.append(fmt)
+        phashes.append(_phash64(px))
+    return pa.table(
+        {
+            "img_idx": pa.array(indices, pa.int64()),
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+        }
+    )
+
+
+def read_synth_neardup_images(
+    n_images: int, seed: int = 42, override_num_blocks: int | None = None
+):
+    """Streaming near-dup corpus source (same shape as
+    ``read_synth_images``: generation happens inside map_batches
+    tasks under backpressure, never on the driver)."""
+    import ray.data as rd
+
+    if override_num_blocks is None:
+        override_num_blocks = max(8, min(256, n_images // 4096))
+    ds = rd.range(n_images, override_num_blocks=override_num_blocks)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return synth_neardup_batch(batch["id"].to_numpy(), seed=seed)
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
+
+
+def expected_neardup_phashes(n_images: int, seed: int = 42) -> pa.Table:
+    """Generator-side (img_idx, phash) for the near-dup corpus —
+    computed from the pixel math directly, never through the codec.
+    Inlined as oracle literals: the engine recomputes phash through
+    the decode path (PNG rows inflate through functions/png.py), so
+    driver equality re-pins the codec AND the pairing pipeline."""
+    idxs = list(range(n_images))
+    return pa.table(
+        {
+            "img_idx": pa.array(idxs, pa.int64()),
+            "phash": pa.array(
+                [_phash64(_neardup_pixels(i, seed)) for i in idxs], pa.int64()
+            ),
+        }
+    )
 
 
 def expected_decode_features(n_images: int, seed: int = 42) -> pa.Table:

@@ -344,10 +344,16 @@ class SimHasher:
         )
 
 
-def simhash_band_explode(batch: pa.Table, bands: int = 4) -> pa.Table:
-    """(doc_id, simhash) → one row per 16-bit band (hamming≤3 blocking:
-    two docs within hamming 3 of a 64-bit hash share ≥1 exact band)."""
-    sh = batch["simhash"].to_numpy().view(np.uint64)
+def band_explode(
+    batch: pa.Table, key_col: str, sig_col: str, bands: int = 4
+) -> pa.Table:
+    """(key, 64-bit signature) → one row per (64/bands)-bit band.
+
+    Pigeonhole blocking: two signatures within hamming < bands of each
+    other agree exactly on ≥ 1 band, so a groupby on (band_id,
+    band_val) surfaces every such pair without an all-pairs scan.
+    Shared by the SimHash text path and the pHash image path."""
+    sh = batch[sig_col].to_numpy().view(np.uint64)
     n = len(sh)
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
@@ -359,10 +365,16 @@ def simhash_band_explode(batch: pa.Table, bands: int = 4) -> pa.Table:
         {
             "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int64), n), pa.int64()),
             "band_val": pa.array(band_vals.ravel(), pa.int64()),
-            "doc_id": batch["doc_id"].take(take),
-            "simhash": batch["simhash"].take(take),
+            key_col: batch[key_col].take(take),
+            sig_col: batch[sig_col].take(take),
         }
     )
+
+
+def simhash_band_explode(batch: pa.Table, bands: int = 4) -> pa.Table:
+    """(doc_id, simhash) → one row per 16-bit band (hamming≤3 blocking:
+    two docs within hamming 3 of a 64-bit hash share ≥1 exact band)."""
+    return band_explode(batch, "doc_id", "simhash", bands=bands)
 
 
 class SimhashPairs:
@@ -376,21 +388,32 @@ class SimhashPairs:
     inherent to band blocking; chunking bounds the memory, not the
     work."""
 
-    def __init__(self, max_hamming: int = 3, max_matrix: int = 1 << 22):
+    def __init__(
+        self,
+        max_hamming: int = 3,
+        max_matrix: int = 1 << 22,
+        key_col: str = "doc_id",
+        sig_col: str = "simhash",
+        out_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    ):
         self.max_hamming = max_hamming
         self.max_matrix = max_matrix
+        self.key_col = key_col
+        self.sig_col = sig_col
+        self.out_cols = out_cols
         self.__name__ = type(self).__name__
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
-        sh = group["simhash"].to_numpy().view(np.uint64)
+        ids = group[self.key_col].to_numpy()
+        sh = group[self.sig_col].to_numpy().view(np.uint64)
         uniq, pos = np.unique(ids, return_index=True)
         sh = sh[pos]
         n = len(uniq)
+        col_a, col_b = self.out_cols
         empty = pa.schema(
             [
-                pa.field("doc_a", pa.int64()),
-                pa.field("doc_b", pa.int64()),
+                pa.field(col_a, pa.int64()),
+                pa.field(col_b, pa.int64()),
                 pa.field("hamming", pa.int64()),
             ]
         ).empty_table()
@@ -416,8 +439,8 @@ class SimhashPairs:
             return empty
         return pa.table(
             {
-                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
-                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                col_a: pa.array(np.concatenate(out_a), pa.int64()),
+                col_b: pa.array(np.concatenate(out_b), pa.int64()),
                 "hamming": pa.array(np.concatenate(out_h), pa.int64()),
             }
         )

@@ -69,6 +69,37 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0 * 255.0 / mse)
 
 
+class DecodePhash:
+    """Actor-pool stage: decode payload → 64-bit perceptual hash only.
+
+    The lean front half of the image near-dup pipeline — no thumbs,
+    checksums or channel stats, so a dedup pass over a petabyte image
+    table pays for exactly one decode + one 8×8 downsample per row.
+    Emits (img_idx, phash) — everything downstream (band blocking,
+    hamming verify) runs on 16 bytes/row."""
+
+    def __init__(self):
+        from ..sources.images import _phash64
+
+        self._phash64 = _phash64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        phash = np.empty(len(payloads), dtype=np.int64)
+        for i, payload in enumerate(payloads):
+            px = decode_image(payload, int(ws[i]), int(hs[i]), fmts[i])
+            phash[i] = self._phash64(px)
+        return pa.table(
+            {
+                "img_idx": batch["img_idx"],
+                "phash": pa.array(phash, pa.int64()),
+            }
+        )
+
+
 class DecodeFeatures:
     """Actor-pool stage: decode payload → per-image features.
 
