@@ -68,6 +68,7 @@ def bench_list():
         "simhash_pairs",
         "image_features",
         "image_near_dup",
+        "image_sim_topk",
         "revenue_by_nation",
         "order_priority",
         "quality_filter",

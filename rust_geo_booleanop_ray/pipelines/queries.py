@@ -1668,6 +1668,80 @@ def q_image_near_dup(sf_dir: str):
     )
 
 
+IMAGE_SIM_N = 1500
+IMAGE_SIM_K = 5
+IMAGE_SIM_QUERIES = (0, 251, 502, 753, 1004, 1255)
+
+
+def q_image_sim(sf_dir: str):
+    """Similarity search over the IMAGE table: decode → 16-d integer
+    thumbnail vector → exact squared-L2 top-k against a broadcast
+    query matrix (ray.put once, read in every actor's __init__), fused
+    into a single actor stage that emits only Q×k candidate rows per
+    batch — the merge groupby moves kilobytes regardless of corpus
+    size.  Integer features keep every distance exact, so the oracle
+    (generator-side feature literals + a windowed ROW_NUMBER top-k)
+    is value-exact and driver equality pins the decode path, the
+    feature math and the distributed top-k merge."""
+    import ray
+
+    from ..sources.images import expected_thumb_features, read_synth_images
+    from ..stages.image_ops import ImageSimMerge, ImageSimPartial
+
+    feats = expected_thumb_features(IMAGE_SIM_N)
+    qpos = list(IMAGE_SIM_QUERIES)
+    qmat = np.stack(
+        [
+            np.array([feats[f"f{d}"][i].as_py() for d in range(16)], dtype=np.int64)
+            for i in qpos
+        ]
+    )
+    queries_ref = ray.put((np.array(qpos, dtype=np.int64), qmat))
+
+    ds = read_synth_images(IMAGE_SIM_N)
+    cands = ds.map_batches(
+        ImageSimPartial(queries_ref, IMAGE_SIM_K),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+    return cands.groupby("query_idx").map_groups(
+        ImageSimMerge(IMAGE_SIM_K), batch_format="pyarrow"
+    )
+
+
+def _build_image_sim_sql() -> str:
+    """SQL mirror: feature literals (generator pixel math), integer
+    squared-L2 cross join against the query rows, ROW_NUMBER top-k
+    with the same (dist, img_idx) tie-break."""
+    from ..sources.images import expected_thumb_features
+
+    values = _values_oracle_sql(expected_thumb_features(IMAGE_SIM_N))
+    qlist = ", ".join(str(i) for i in IMAGE_SIM_QUERIES)
+    dist = " + ".join(
+        f"(q.f{d} - f.f{d}) * (q.f{d} - f.f{d})" for d in range(16)
+    )
+    return f"""
+    WITH f AS ({values}),
+    q AS (SELECT * FROM f WHERE img_idx IN ({qlist})),
+    d AS (
+      SELECT q.img_idx AS query_idx, f.img_idx AS img_idx,
+             {dist} AS dist
+      FROM q CROSS JOIN f
+    ),
+    r AS (
+      SELECT query_idx, img_idx, dist,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_idx ORDER BY dist, img_idx
+             ) AS rnk
+      FROM d
+    )
+    SELECT query_idx, img_idx, CAST(dist AS BIGINT) AS dist,
+           CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= {IMAGE_SIM_K}
+"""
+
+
 def _build_image_near_dup_sql() -> str:
     """SQL mirror of the pHash near-dup pipeline over generator-side
     phash literals: unsigned reinterpretation, 4×16-bit band extraction,
@@ -2651,6 +2725,7 @@ def build_queries():
         "martinez_fixtures": q_martinez_fixtures,
         "image_features": q_image_features,
         "image_near_dup": q_image_near_dup,
+        "image_sim_topk": q_image_sim,
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "tile_coverage": q_tile_coverage,
@@ -2720,4 +2795,5 @@ def build_oracle_sql():
         "minhash_near_dup": Q_MINHASH_SQL,
         "ngram_dedup": Q_NGRAM_DEDUP_SQL,
         "image_near_dup": _build_image_near_dup_sql(),
+        "image_sim_topk": _build_image_sim_sql(),
     }

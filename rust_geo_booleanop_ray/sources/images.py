@@ -284,6 +284,32 @@ def expected_neardup_phashes(n_images: int, seed: int = 42) -> pa.Table:
     )
 
 
+# --------------------------------------------------- similarity features
+
+_THUMB_GRID = 4  # 4×4 sampled cells → 16-d integer vector
+
+
+def thumb_features(pixels: np.ndarray) -> np.ndarray:
+    """16-d integer feature vector: channel-SUM (not mean — stays
+    integer-exact) at a 4×4 sampled grid.  Range [0, 765] per cell, so
+    squared-L2 distances fit comfortably in int64 and the DuckDB
+    oracle reproduces them exactly."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(_THUMB_GRID) * h // _THUMB_GRID).astype(np.int64)
+    xs = (np.arange(_THUMB_GRID) * w // _THUMB_GRID).astype(np.int64)
+    return pixels[np.ix_(ys, xs)].astype(np.int64).sum(axis=2).ravel()
+
+
+def expected_thumb_features(n_images: int, seed: int = 42) -> pa.Table:
+    """Generator-side (img_idx, f0..f15) for the primary image table —
+    pixel math directly, never through the codec (oracle literals)."""
+    feats = np.stack([thumb_features(_base_pixels(i, seed)) for i in range(n_images)])
+    cols = {"img_idx": pa.array(np.arange(n_images, dtype=np.int64), pa.int64())}
+    for d in range(feats.shape[1]):
+        cols[f"f{d}"] = pa.array(feats[:, d], pa.int64())
+    return pa.table(cols)
+
+
 def expected_decode_features(n_images: int, seed: int = 42) -> pa.Table:
     """Generator-side expected (image_id, phash, pix_checksum) for the
     first ``n_images`` rows — computed from the GENERATOR's pixel math

@@ -100,6 +100,84 @@ class DecodePhash:
         )
 
 
+class ImageSimPartial:
+    """Fused actor stage for image similarity search: decode → 16-d
+    integer thumb vector → squared-L2 distances against the BROADCAST
+    query matrix → per-batch partial top-k.
+
+    ``queries`` is a ray.ObjectRef to (query_idxs: int64[Q],
+    matrix: int64[Q, 16]) — ray.put once on the driver, fetched once
+    per actor in __init__ (never re-shipped per batch).  Emitting only
+    Q×k candidate rows per batch means the merge groupby moves
+    kilobytes regardless of corpus size — the brute-force-baseline
+    scale shape from stages/ann.py applied to the image axis."""
+
+    def __init__(self, queries, k: int):
+        try:
+            import ray
+
+            if isinstance(queries, ray.ObjectRef):
+                queries = ray.get(queries)
+        except ImportError:
+            pass
+        self.query_idxs, self.qmat = queries
+        self.qmat = np.asarray(self.qmat, dtype=np.int64)
+        self.k = k
+        from ..sources.images import thumb_features
+
+        self._thumb = thumb_features
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        feats = np.empty((len(payloads), self.qmat.shape[1]), dtype=np.int64)
+        for i, payload in enumerate(payloads):
+            px = decode_image(payload, int(ws[i]), int(hs[i]), fmts[i])
+            feats[i] = self._thumb(px)
+        ids = pc_.cast(
+            pc_.utf8_slice_codeunits(batch["image_id"], 4, 12), pa.int64()
+        ).to_numpy()
+        # (Q, n) integer squared-L2 — exact, mirrored by the oracle
+        diff = self.qmat[:, None, :] - feats[None, :, :]
+        dists = (diff * diff).sum(axis=2)
+        k = min(self.k, dists.shape[1])
+        out_q, out_i, out_d = [], [], []
+        for r in range(dists.shape[0]):
+            part = np.lexsort((ids, dists[r]))[:k]  # tie-break (dist, idx)
+            out_q.append(np.full(k, self.query_idxs[r], dtype=np.int64))
+            out_i.append(ids[part])
+            out_d.append(dists[r, part])
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q), pa.int64()),
+                "img_idx": pa.array(np.concatenate(out_i), pa.int64()),
+                "dist": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+
+class ImageSimMerge:
+    """map_groups on query_idx: merge partial candidates → global
+    top-k with rank.  Deterministic tie-break (dist, img_idx)."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.__name__ = type(self).__name__
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        idx = group["img_idx"].to_numpy()
+        dist = group["dist"].to_numpy()
+        order = np.lexsort((idx, dist))[: self.k]
+        out = group.take(pa.array(order.astype(np.int64)))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
+
+
 class DecodeFeatures:
     """Actor-pool stage: decode payload → per-image features.
 

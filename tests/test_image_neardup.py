@@ -136,6 +136,83 @@ def test_pipeline_matches_brute_force(ray_session):
     assert len(want) > 10  # planted variants make the check non-vacuous
 
 
+def test_thumb_features_match_decode_path():
+    """Generator-side feature helper == decode-path recompute on every
+    row (incl. the PNG slice), and features are within the documented
+    integer range."""
+    from rust_geo_booleanop_ray.sources.images import (
+        expected_thumb_features,
+        synth_image_batch,
+        thumb_features,
+    )
+
+    t = synth_image_batch(np.arange(80))
+    expected = expected_thumb_features(80)
+    for j in range(t.num_rows):
+        px = decode_image(
+            t["bytes"][j].as_py(),
+            t["w"][j].as_py(),
+            t["h"][j].as_py(),
+            t["fmt"][j].as_py(),
+        )
+        f = thumb_features(px)
+        want = [expected[f"f{d}"][j].as_py() for d in range(16)]
+        assert f.tolist() == want
+        assert f.min() >= 0 and f.max() <= 765
+
+
+def test_image_sim_matches_brute_force(ray_session):
+    """Engine top-k == a scalar numpy reference over the full corpus
+    (exact integer distances, (dist, img_idx) tie-break)."""
+    import ray
+
+    from rust_geo_booleanop_ray.sources.images import (
+        expected_thumb_features,
+        read_synth_images,
+    )
+    from rust_geo_booleanop_ray.stages.image_ops import (
+        ImageSimMerge,
+        ImageSimPartial,
+    )
+
+    N, K = 400, 4
+    qpos = [0, 97, 222]
+    feats_t = expected_thumb_features(N)
+    feats = np.stack(
+        [feats_t[f"f{d}"].to_numpy() for d in range(16)], axis=1
+    )
+    qmat = feats[qpos]
+    ref = {}
+    for qi, q in zip(qpos, qmat):
+        d = ((feats - q) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(N), d))[:K]
+        ref.update(
+            {
+                (qi, int(i)): (int(d[i]), r + 1)
+                for r, i in enumerate(order)
+            }
+        )
+
+    queries_ref = ray.put((np.array(qpos, dtype=np.int64), qmat))
+    out = (
+        read_synth_images(N)
+        .map_batches(
+            ImageSimPartial(queries_ref, K),
+            batch_format="pyarrow",
+            batch_size=64,
+        )
+        .groupby("query_idx")
+        .map_groups(ImageSimMerge(K), batch_format="pyarrow")
+    )
+    got = {
+        (r["query_idx"], r["img_idx"]): (r["dist"], r["rank"])
+        for r in out.take_all()
+    }
+    assert got == ref
+    for qi in qpos:  # self-match at distance 0, rank 1
+        assert got[(qi, qi)] == (0, 1)
+
+
 def test_band_blocking_complete_under_pigeonhole():
     """Every hamming<=3 pair MUST share a band (4 bands, pigeonhole) —
     the blocking loses nothing inside its guarantee radius."""
