@@ -203,18 +203,22 @@ class LshCandidatePairs:
         self.threshold = threshold
         self.max_matrix = max_matrix
         self.__name__ = type(self).__name__
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
-        uniq, first_pos = np.unique(ids, return_index=True)
-        n = len(uniq)
-        empty = pa.schema(
+        # singleton buckets dominate — cached empty result, cheap exit
+        self._empty = pa.schema(
             [
                 pa.field("doc_a", pa.int64()),
                 pa.field("doc_b", pa.int64()),
                 pa.field("est_jaccard", pa.float64()),
             ]
         ).empty_table()
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        empty = self._empty
+        if group.num_rows < 2:
+            return empty
+        ids = group["doc_id"].to_numpy()
+        uniq, first_pos = np.unique(ids, return_index=True)
+        n = len(uniq)
         if n < 2:
             return empty
         sigs = _list_matrix(group["sig"], len(ids))[first_pos]
@@ -402,21 +406,27 @@ class SimhashPairs:
         self.sig_col = sig_col
         self.out_cols = out_cols
         self.__name__ = type(self).__name__
+        # Most band buckets are singletons (band values spread over
+        # 2^16); the per-group cost must be nanoseconds, not a fresh
+        # Arrow schema build — cache the empty result once.
+        self._empty = pa.schema(
+            [
+                pa.field(out_cols[0], pa.int64()),
+                pa.field(out_cols[1], pa.int64()),
+                pa.field("hamming", pa.int64()),
+            ]
+        ).empty_table()
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        empty = self._empty
+        if group.num_rows < 2:
+            return empty
         ids = group[self.key_col].to_numpy()
         sh = group[self.sig_col].to_numpy().view(np.uint64)
         uniq, pos = np.unique(ids, return_index=True)
         sh = sh[pos]
         n = len(uniq)
         col_a, col_b = self.out_cols
-        empty = pa.schema(
-            [
-                pa.field(col_a, pa.int64()),
-                pa.field(col_b, pa.int64()),
-                pa.field("hamming", pa.int64()),
-            ]
-        ).empty_table()
         if n < 2:
             return empty
         chunk = max(1, self.max_matrix // n)
@@ -506,20 +516,24 @@ class EmbeddingNearDupPairs:
         self.threshold = threshold
         self.max_matrix = max_matrix
         self.__name__ = type(self).__name__
-
-    def __call__(self, group: pa.Table) -> pa.Table:
-        ids = group["vec_id"].to_numpy()
-        vecs = _list_matrix(group["embedding"], len(ids))
-        uniq, pos = np.unique(ids, return_index=True)
-        vecs = vecs[pos]
-        n = len(uniq)
-        empty = pa.schema(
+        # singleton buckets dominate — cached empty result, cheap exit
+        self._empty = pa.schema(
             [
                 pa.field("vec_a", pa.int64()),
                 pa.field("vec_b", pa.int64()),
                 pa.field("cosine", pa.float64()),
             ]
         ).empty_table()
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        empty = self._empty
+        if group.num_rows < 2:
+            return empty
+        ids = group["vec_id"].to_numpy()
+        vecs = _list_matrix(group["embedding"], len(ids))
+        uniq, pos = np.unique(ids, return_index=True)
+        vecs = vecs[pos]
+        n = len(uniq)
         if n < 2:
             return empty
         unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
