@@ -2692,6 +2692,68 @@ Q_POLY_JOIN_BIG_SQL = f"""
 """
 
 
+def q_dissolve(sf_dir: str):
+    """Dissolve (cascaded union per group): union all part rects of a
+    brand into one multipolygon, report its exact area and perimeter.
+
+    Union is an associative monoid, so it pre-aggregates like a sum:
+    each batch tree-reduces its own rows per brand first
+    (stages/dissolve.py::dissolve_partial — rounds of whole-batch
+    native Martinez unions), then ONE groupby shuffle moves a single
+    partial multipolygon per (batch, brand) and map_groups unions the
+    partials.  Integer rect coordinates make every intermediate vertex
+    exact, so area/perimeter are integer-exact and union-order-
+    independent; the oracle enumerates unit cells (area = covered
+    cells, perimeter = covered/uncovered boundary edges = 4N − 2·
+    adjacent pairs).  Engine lift of the one-pair-per-call reference
+    driver (/root/reference/lib/src/boolean/mod.rs:88) to union-of-many.
+    """
+    from ..stages.dissolve import dissolve_partial, dissolve_stats_group
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = _part_rect_batch(batch)
+        return dissolve_partial(batch, "p_brand", "footprint")
+
+    def final(group: pa.Table) -> pa.Table:
+        return dissolve_stats_group(group, "p_brand", "footprint")
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+Q_DISSOLVE_SQL = f"""
+    WITH d AS ({PART_RECT_SQL}),
+    wx AS (
+      SELECT p_brand,
+             CAST(miny AS BIGINT) AS miny, CAST(maxy AS BIGINT) AS maxy,
+             unnest(generate_series(CAST(minx AS BIGINT), CAST(maxx AS BIGINT) - 1)) AS x
+      FROM d
+    ),
+    cells AS (
+      SELECT DISTINCT p_brand, x,
+             unnest(generate_series(miny, maxy - 1)) AS y
+      FROM wx
+    ),
+    n AS (SELECT p_brand, COUNT(*) AS area FROM cells GROUP BY p_brand),
+    adj AS (
+      SELECT c1.p_brand, COUNT(*) AS pairs
+      FROM cells c1 JOIN cells c2
+        ON c1.p_brand = c2.p_brand
+       AND ((c2.x = c1.x + 1 AND c2.y = c1.y) OR
+            (c2.x = c1.x AND c2.y = c1.y + 1))
+      GROUP BY c1.p_brand
+    )
+    SELECT n.p_brand,
+           CAST(n.area AS BIGINT) AS union_area,
+           CAST(4 * n.area - 2 * COALESCE(adj.pairs, 0) AS BIGINT) AS union_perim
+    FROM n LEFT JOIN adj ON n.p_brand = adj.p_brand
+"""
+
+
 # ------------------------------------------------------------------ catalog
 
 
@@ -2703,6 +2765,7 @@ def build_queries():
         "pip_join_skew": q_pip_join_skew,
         "pip_join_rtree": q_pip_join_rtree,
         "poly_join_big": q_poly_join_big,
+        "dissolve": q_dissolve,
         "spatial_knn": q_spatial_knn,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -2766,6 +2829,7 @@ def build_oracle_sql():
         "pip_join_skew": Q_PIP_JOIN_SQL,
         "pip_join_rtree": Q_PIP_JOIN_SQL,
         "poly_join_big": Q_POLY_JOIN_BIG_SQL,
+        "dissolve": Q_DISSOLVE_SQL,
         "spatial_knn": Q_SPATIAL_KNN_SQL,
         "pricing_summary": Q_PRICING_SQL,
         "top_customers": Q_TOP_CUSTOMERS_SQL,
