@@ -82,6 +82,10 @@ def bench_list():
         "audio_features",
         "regex_tokens",
         "range_join",
+        "dissolve",
+        "fingerprints",
+        "embedding_near_dup",
+        "dedup_components",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))
