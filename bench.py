@@ -86,6 +86,12 @@ def bench_list():
         "fingerprints",
         "embedding_near_dup",
         "dedup_components",
+        "grouped_topk",
+        "running_total",
+        "hll_distinct",
+        "spatial_antijoin",
+        "vocab_topk",
+        "group_quantiles",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

@@ -2754,6 +2754,399 @@ Q_DISSOLVE_SQL = f"""
 """
 
 
+def q_grouped_topk(sf_dir: str):
+    """Top-3 orders per priority class by price: per-batch top-k
+    combiner (stages/topk.py — at most k rows per group per batch enter
+    the shuffle), groupby(group) re-rank finalizer.  Deterministic via
+    the unique o_orderkey tie-break."""
+    from ..stages.topk import grouped_topk_batch
+
+    K = 3
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch["o_totalprice"].to_numpy())
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "o_orderkey": batch["o_orderkey"],
+                "price_c": pa.array(price_c),
+            }
+        )
+        kept, _ = grouped_topk_batch(
+            t, "o_orderpriority", price_c, batch["o_orderkey"].to_numpy(), K
+        )
+        return kept
+
+    def final(group: pa.Table) -> pa.Table:
+        kept, rank = grouped_topk_batch(
+            group,
+            "o_orderpriority",
+            group["price_c"].to_numpy(),
+            group["o_orderkey"].to_numpy(),
+            K,
+        )
+        return kept.append_column("rank", pa.array(rank))
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+Q_GROUPED_TOPK_SQL = """
+    WITH o AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM orders
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY price_c DESC, o_orderkey) AS rank
+      FROM o
+    )
+    SELECT o_orderpriority, o_orderkey, price_c, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+"""
+
+
+def q_running_total(sf_dir: str):
+    """Cumulative per-key window: running spend per user ordered by
+    (ts, event_id).  groupby(user_id) co-locates each key's rows; the
+    per-group kernel is one lexsort + cumsum — the classic ordered
+    window op (SUM OVER ROWS UNBOUNDED PRECEDING) the reference lacks.
+    user_id is the partition key at scale; per-user history is small."""
+
+    def running(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy()
+        val_c = _cents(group["value"].to_numpy())
+        order = np.lexsort((eid, ts))
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(len(eid), group["user_id"][0].as_py(), dtype=np.int64)
+                ),
+                "event_id": pa.array(eid[order]),
+                "running_c": pa.array(np.cumsum(val_c[order])),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return ds.groupby("user_id").map_groups(running, batch_format="pyarrow")
+
+
+Q_RUNNING_TOTAL_SQL = """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c
+    FROM events
+"""
+
+
+def q_hll_distinct(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) per event_type via the
+    mergeable 64-register sketch (stages/sketch.py).  The shuffle moves
+    one 64-byte register vector per (batch, group); partials merge by
+    elementwise max.  All reported quantities are exact integers, so
+    the oracle mirrors the sketch itself — not the true count."""
+    from ..stages.sketch import hll_finalize_group, hll_partial
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return (
+        ds.map_batches(
+            lambda b: hll_partial(b, "user_id", "event_type"),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .map_groups(
+            lambda g: hll_finalize_group(g, "event_type"), batch_format="pyarrow"
+        )
+    )
+
+
+def _build_hll_sql() -> str:
+    """SQL mirror of the sketch: splitmix64 in HUGEINT (mod-2^64 steps,
+    >> as //), trailing-zero rho via the (w & -w) bit trick, register
+    max per (group, bucket), zero-filled 64-bucket grid, then the exact
+    integer estimate with alpha = 709/1000 and 2^59 scaling.
+
+    The 64x64-bit multiplies would overflow INT128, so each constant is
+    split into 32-bit halves: x*C mod 2^64 = (x*c0 + ((x*c1 mod 2^32)
+    << 32)) mod 2^64 — every intermediate stays under 2^97."""
+    H = "18446744073709551616::HUGEINT"
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mulmod(x: str, c: int) -> str:
+        c0, c1 = c & 0xFFFFFFFF, c >> 32
+        return (
+            f"(({x}) * {c0}::HUGEINT"
+            f" + ((({x}) * {c1}::HUGEINT) % 4294967296) * 4294967296) % {H}"
+        )
+
+    return f"""
+    WITH x1 AS (
+      SELECT event_type, (user_id::HUGEINT + {C1}) % {H} AS x FROM events
+    ),
+    z1 AS (SELECT event_type, {mulmod("xor(x, x // 1073741824)", C2)} AS z FROM x1),
+    z2 AS (SELECT event_type, {mulmod("xor(z, z // 134217728)", C3)} AS z FROM z1),
+    hsh AS (SELECT event_type, xor(z, z // 2147483648) AS h FROM z2),
+    br AS (
+      SELECT event_type,
+             CAST(h % 64 AS BIGINT) AS bucket,
+             CAST(h // 64 AS BIGINT) AS w
+      FROM hsh
+    ),
+    rho AS (
+      SELECT event_type, bucket,
+             CASE WHEN w = 0 THEN 59
+                  ELSE bit_count((w & -w) - 1) + 1 END AS rho
+      FROM br
+    ),
+    regs AS (
+      SELECT event_type, bucket, MAX(rho) AS r
+      FROM rho GROUP BY event_type, bucket
+    ),
+    grid AS (
+      SELECT g.event_type, b.bucket
+      FROM (SELECT DISTINCT event_type FROM events) g,
+           (SELECT unnest(range(64)) AS bucket) b
+    ),
+    filled AS (
+      SELECT grid.event_type, COALESCE(regs.r, 0) AS r
+      FROM grid LEFT JOIN regs
+        ON grid.event_type = regs.event_type AND grid.bucket = regs.bucket
+    ),
+    agg AS (
+      SELECT event_type,
+             SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS n_zero,
+             SUM(r) AS reg_sum,
+             SUM(((CAST(1 AS BIGINT) << (59 - r)))::HUGEINT) AS d
+      FROM filled GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_zero AS BIGINT) AS n_zero,
+           CAST(reg_sum AS BIGINT) AS reg_sum,
+           CAST(LEAST((709::HUGEINT * 4096 * 576460752303423488)
+                        // (1000::HUGEINT * d),
+                      4611686018427387904::HUGEINT) AS BIGINT) AS est_distinct
+    FROM agg
+"""
+
+
+Q_HLL_DISTINCT_SQL = _build_hll_sql()
+
+
+def q_spatial_antijoin(sf_dir: str):
+    """Spatial ANTI-join: customer points contained in NO part rect.
+    Same one-shuffle PBSM layout as pip_join (points to their single
+    home cell, rects replicated to covering cells), but the per-cell
+    kernel emits the points with zero containing rects — each point is
+    decided entirely within its home cell, so no second pass and no
+    dedup.  The rect side is a keyed subset (p_partkey % 11 == 0) so
+    the anti-set is non-trivial — full coverage would make the query
+    vacuous."""
+    from ..stages.cells import cell_encode, explode_to_cells
+
+    def point_rows(batch: pa.Table) -> pa.Table:
+        batch = _customer_point_batch(batch)
+        cells = cell_encode(batch["px"].to_numpy(), batch["py"].to_numpy(), KNN_RES)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "cell": pa.array(cells.view(np.int64), pa.int64()),
+                "c_custkey": batch["c_custkey"],
+                "px": batch["px"],
+                "py": batch["py"],
+                "minx": pa.array(np.zeros(n)),
+                "miny": pa.array(np.zeros(n)),
+                "maxx": pa.array(np.zeros(n)),
+                "maxy": pa.array(np.zeros(n)),
+                "side": pa.array(["point"] * n),
+            }
+        )
+
+    def rect_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pa.array(batch["p_partkey"].to_numpy() % 11 == 0))
+        batch = _part_rect_batch(batch)
+        exploded = explode_to_cells(batch, KNN_RES)
+        n = exploded.num_rows
+        return pa.table(
+            {
+                "cell": exploded["cell"],
+                "c_custkey": pa.array(np.zeros(n, dtype=np.int64)),
+                "px": pa.array(np.zeros(n)),
+                "py": pa.array(np.zeros(n)),
+                "minx": exploded["minx"],
+                "miny": exploded["miny"],
+                "maxx": exploded["maxx"],
+                "maxy": exploded["maxy"],
+                "side": pa.array(["rect"] * n),
+            }
+        )
+
+    def anti_group(group: pa.Table) -> pa.Table:
+        is_pt = pc.equal(group["side"], "point")
+        pts = group.filter(is_pt)
+        if pts.num_rows == 0:
+            return pa.schema([pa.field("c_custkey", pa.int64())]).empty_table()
+        rects = group.filter(pc.invert(is_pt))
+        px = pts["px"].to_numpy()
+        py = pts["py"].to_numpy()
+        matched = np.zeros(len(px), dtype=bool)
+        rminx = rects["minx"].to_numpy()
+        rminy = rects["miny"].to_numpy()
+        rmaxx = rects["maxx"].to_numpy()
+        rmaxy = rects["maxy"].to_numpy()
+        chunk = max(1, MAX_CONTAIN_MATRIX // max(1, len(px)))
+        for lo in range(0, len(rminx), chunk):
+            hi = min(lo + chunk, len(rminx))
+            inside = (
+                (px[None, :] >= rminx[lo:hi, None])
+                & (px[None, :] <= rmaxx[lo:hi, None])
+                & (py[None, :] >= rminy[lo:hi, None])
+                & (py[None, :] <= rmaxy[lo:hi, None])
+            )
+            matched |= inside.any(axis=0)
+        return pa.table({"c_custkey": pts["c_custkey"].filter(pa.array(~matched))})
+
+    points = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        point_rows, batch_format="pyarrow"
+    )
+    rects = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        rect_rows, batch_format="pyarrow"
+    )
+    return points.union(rects).groupby("cell").map_groups(
+        anti_group, batch_format="pyarrow"
+    )
+
+
+Q_SPATIAL_ANTIJOIN_SQL = f"""
+    WITH r AS (
+      SELECT * FROM ({PART_RECT_SQL}) WHERE p_partkey % 11 = 0
+    ), p AS ({CUSTOMER_POINT_SQL})
+    SELECT p.c_custkey FROM p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM r
+      WHERE p.px >= r.minx AND p.px <= r.maxx
+        AND p.py >= r.miny AND p.py <= r.maxy)
+"""
+
+
+def q_vocab_topk(sf_dir: str):
+    """Vocabulary building: top-50 corpus terms by total occurrences —
+    the canonical map-reduce word count.  One vectorized RE2 pass per
+    batch (lower → split), per-batch value_counts combiner, ONE
+    groupby(term) shuffle of (term, n) partials, then the small global
+    top-k sort.  Ties broken by term so the cut at rank 50 is
+    deterministic."""
+    from ray.data.aggregate import Sum
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), "[^a-z]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {"term": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    ds = _read(sf_dir, "documents", ["text"])
+    counts = (
+        ds.map_batches(term_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return counts.sort(["n", "term"], descending=[True, False]).limit(50)
+
+
+Q_VOCAB_TOPK_SQL = """
+    WITH t AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+    FROM t WHERE term <> ''
+    GROUP BY term ORDER BY n DESC, term LIMIT 50
+"""
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact distributed quantiles (p50/p90 of l_quantity per return
+    flag) via value-histogram compression: each batch emits (group,
+    value, count) partials — the exchange carries at most (batches ×
+    groups × distinct-values) rows, independent of row count — and the
+    per-group finalizer merges histograms and reads the quantile off
+    the cumulative counts.  Rank semantics are explicit integers
+    (ceil(q·n) = (q_num·n + q_den − 1) // q_den) so the SQL mirror is
+    arithmetic, not a builtin."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = np.floor(batch["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        t = pa.table({"l_returnflag": batch["l_returnflag"], "qty": pa.array(qty)})
+        agg = pa.TableGroupBy(t, ["l_returnflag", "qty"]).aggregate([("qty", "count")])
+        return pa.table(
+            {
+                "l_returnflag": agg["l_returnflag"],
+                "qty": agg["qty"],
+                "n": agg["qty_count"].cast(pa.int64()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        qty = group["qty"].to_numpy()
+        n = group["n"].to_numpy()
+        order = np.argsort(qty, kind="stable")
+        qty, n = qty[order], n[order]
+        # collapse duplicate values across partials
+        uq, inv = np.unique(qty, return_inverse=True)
+        counts = np.zeros(len(uq), dtype=np.int64)
+        np.add.at(counts, inv, n)
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        r50 = (total + 1) // 2
+        r90 = (9 * total + 9) // 10
+        p50 = int(uq[np.searchsorted(cum, r50)])
+        p90 = int(uq[np.searchsorted(cum, r90)])
+        return pa.table(
+            {
+                "l_returnflag": group["l_returnflag"][:1],
+                "n": pa.array([total], pa.int64()),
+                "p50_qty": pa.array([p50], pa.int64()),
+                "p90_qty": pa.array([p90], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+Q_GROUP_QUANTILES_SQL = """
+    WITH v AS (
+      SELECT l_returnflag, CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, q,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY q) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM v
+    )
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN q END) AS BIGINT) AS p50_qty,
+           CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN q END) AS BIGINT) AS p90_qty
+    FROM r GROUP BY l_returnflag
+"""
+
+
 # ------------------------------------------------------------------ catalog
 
 
@@ -2800,6 +3193,12 @@ def build_queries():
         "quality_filter": q_quality_filter,
         "lang_id": q_lang_id,
         "ngram_dedup": q_ngram_dedup,
+        "grouped_topk": q_grouped_topk,
+        "running_total": q_running_total,
+        "hll_distinct": q_hll_distinct,
+        "spatial_antijoin": q_spatial_antijoin,
+        "vocab_topk": q_vocab_topk,
+        "group_quantiles": q_group_quantiles,
     }
 
 
@@ -2858,6 +3257,12 @@ def build_oracle_sql():
         "embedding_near_dup": Q_EMBEDDING_NEAR_DUP_SQL,
         "minhash_near_dup": Q_MINHASH_SQL,
         "ngram_dedup": Q_NGRAM_DEDUP_SQL,
+        "grouped_topk": Q_GROUPED_TOPK_SQL,
+        "running_total": Q_RUNNING_TOTAL_SQL,
+        "hll_distinct": Q_HLL_DISTINCT_SQL,
+        "spatial_antijoin": Q_SPATIAL_ANTIJOIN_SQL,
+        "vocab_topk": Q_VOCAB_TOPK_SQL,
+        "group_quantiles": Q_GROUP_QUANTILES_SQL,
         "image_near_dup": _build_image_near_dup_sql(),
         "image_sim_topk": _build_image_sim_sql(),
     }

@@ -1,0 +1,104 @@
+"""Mergeable distinct-count sketch (HyperLogLog-style, 64 registers).
+
+The engine addition the reference has no analogue for (its only
+aggregate is a per-call bbox accumulation, /root/reference/lib/src/
+boolean/fill_queue.rs:77-80): an approximate COUNT DISTINCT whose
+per-batch state is a FIXED-SIZE register vector, so the groupby
+exchange moves 64 bytes per (batch, group) regardless of row count —
+the canonical mergeable-sketch scale shape for 100-TB inputs.
+
+Sketch definition (deterministic, so the DuckDB oracle can mirror it
+bit-for-bit):
+
+  h      = splitmix64(key)            (the repo-wide stable hash)
+  bucket = h mod 64                   (p = 6, m = 64 registers)
+  w      = h >> 6                     (58 value bits)
+  rho(w) = trailing_zeros(w) + 1, or 59 when w == 0
+  register[bucket] = max(rho) over the group's keys
+
+Merging partials is an elementwise max — associative and commutative,
+so per-batch pre-aggregation is exact, like a sum.  The reported
+estimate uses the HLL raw formula with alpha fixed as the rational
+709/1000 and the indicator sum scaled by 2^59 so every quantity is an
+exact integer:
+
+  D   = sum_j 2^(59 - register[j])          (integer, <= 64 * 2^59)
+  est = floor(709 * m^2 * 2^59 / (1000 * D)), capped at 2^62
+
+Python bigints on the engine side, HUGEINT on the SQL side — the same
+integers, hence hash-exact CORRECTNESS.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _POPCOUNT8
+from .footprint import _splitmix64
+
+HLL_M = 64  # registers (p = 6)
+HLL_RHO_MAX = 59  # 58 value bits -> rho in 1..59
+_EST_CAP = 1 << 62
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POPCOUNT8[x.view(np.uint8).reshape(x.shape + (8,))].sum(
+        axis=-1, dtype=np.int64
+    )
+
+
+def hll_rho(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, rho) per hash — vectorized trailing-zero count."""
+    bucket = (h & np.uint64(HLL_M - 1)).astype(np.int64)
+    w = h >> np.uint64(6)
+    low = w & (~w + np.uint64(1))  # lowest set bit (w & -w)
+    tz = _popcount64(low - np.uint64(1))  # valid when w != 0
+    rho = np.where(w == np.uint64(0), HLL_RHO_MAX, tz + 1).astype(np.int64)
+    return bucket, rho
+
+
+def hll_partial(
+    batch: pa.Table, key_col: str, group_col: str
+) -> pa.Table:
+    """Per-batch combiner: one (group, registers[64]) row per distinct
+    group in the batch.  Registers ride as fixed_size_list<uint8, 64>."""
+    keys = batch[key_col].to_numpy().astype(np.uint64)
+    bucket, rho = hll_rho(_splitmix64(keys))
+    gcol = batch[group_col]
+    if isinstance(gcol, pa.ChunkedArray):
+        gcol = gcol.combine_chunks()
+    dict_arr = gcol.dictionary_encode()
+    gidx = np.asarray(dict_arr.indices)
+    n_groups = len(dict_arr.dictionary)
+    regs = np.zeros((n_groups, HLL_M), dtype=np.uint8)
+    np.maximum.at(regs, (gidx, bucket), rho.astype(np.uint8))
+    return pa.table(
+        {
+            group_col: dict_arr.dictionary,
+            "hll_regs": pa.FixedSizeListArray.from_arrays(
+                pa.array(regs.reshape(-1), pa.uint8()), HLL_M
+            ),
+        }
+    )
+
+
+def hll_finalize_group(group: pa.Table, group_col: str) -> pa.Table:
+    """Final reducer for one group: elementwise-max the partial register
+    vectors, emit integer-exact (n_zero, reg_sum, est_distinct)."""
+    col = group["hll_regs"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    regs = np.asarray(col.flatten()).reshape(-1, HLL_M).max(axis=0)
+    n_zero = int((regs == 0).sum())
+    reg_sum = int(regs.sum())
+    d = sum(1 << (HLL_RHO_MAX - int(r)) for r in regs)  # exact bigint
+    est = min((709 * HLL_M * HLL_M << HLL_RHO_MAX) // (1000 * d), _EST_CAP)
+    return pa.table(
+        {
+            group_col: group[group_col][:1],
+            "n_zero": pa.array([n_zero], pa.int64()),
+            "reg_sum": pa.array([reg_sum], pa.int64()),
+            "est_distinct": pa.array([est], pa.int64()),
+        }
+    )
