@@ -2946,9 +2946,9 @@ def q_spatial_antijoin(sf_dir: str):
     home cell, rects replicated to covering cells), but the per-cell
     kernel emits the points with zero containing rects — each point is
     decided entirely within its home cell, so no second pass and no
-    dedup.  The rect side is a keyed subset (p_partkey % 11 == 0) so
-    the anti-set is non-trivial — full coverage would make the query
-    vacuous."""
+    dedup.  The rect side is a keyed subset (p_partkey % 29 == 0) so
+    the anti-set is non-trivial at every tested scale — full coverage
+    would make the query vacuous."""
     from ..stages.cells import cell_encode, explode_to_cells
 
     def point_rows(batch: pa.Table) -> pa.Table:
@@ -2970,7 +2970,7 @@ def q_spatial_antijoin(sf_dir: str):
         )
 
     def rect_rows(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pa.array(batch["p_partkey"].to_numpy() % 11 == 0))
+        batch = batch.filter(pa.array(batch["p_partkey"].to_numpy() % 29 == 0))
         batch = _part_rect_batch(batch)
         exploded = explode_to_cells(batch, KNN_RES)
         n = exploded.num_rows
@@ -3026,7 +3026,7 @@ def q_spatial_antijoin(sf_dir: str):
 
 Q_SPATIAL_ANTIJOIN_SQL = f"""
     WITH r AS (
-      SELECT * FROM ({PART_RECT_SQL}) WHERE p_partkey % 11 = 0
+      SELECT * FROM ({PART_RECT_SQL}) WHERE p_partkey % 29 = 0
     ), p AS ({CUSTOMER_POINT_SQL})
     SELECT p.c_custkey FROM p
     WHERE NOT EXISTS (
