@@ -85,13 +85,18 @@ def bench_list():
         "dissolve",
         "fingerprints",
         "embedding_near_dup",
-        "dedup_components",
+        # dedup_components stays out of the headline: its label-
+        # propagation fixpoint is round-dominated at toy scale
+        # (fixed per-execution scheduling cost × ~8 rounds, not data
+        # volume — see BASELINE.md r2 notes)
         "grouped_topk",
         "running_total",
         "hll_distinct",
         "spatial_antijoin",
         "vocab_topk",
         "group_quantiles",
+        "zonal_stats",
+        "buffer_dissolve",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

@@ -3128,6 +3128,205 @@ def q_group_quantiles(sf_dir: str):
     )
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics: per-rect (zone) count and sum of a customer
+    point metric — the spatial-aggregate pattern (join + aggregate in
+    one pass).  The per-cell group kernel pre-aggregates matches per
+    zone BEFORE the final groupby, so the second shuffle moves one
+    partial row per (cell, zone), never the raw pairs; a point
+    belongs to one home cell, so partials are disjoint and sum
+    exactly.  Metric = c_custkey % 1000 (integer-exact)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.cells import cell_encode, explode_to_cells
+
+    def point_rows(batch: pa.Table) -> pa.Table:
+        batch = _customer_point_batch(batch)
+        cells = cell_encode(batch["px"].to_numpy(), batch["py"].to_numpy(), KNN_RES)
+        n = batch.num_rows
+        metric = (batch["c_custkey"].to_numpy() % 1000).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(cells.view(np.int64), pa.int64()),
+                "metric": pa.array(metric),
+                "px": batch["px"],
+                "py": batch["py"],
+                "p_partkey": pa.array(np.zeros(n, dtype=np.int64)),
+                "minx": pa.array(np.zeros(n)),
+                "miny": pa.array(np.zeros(n)),
+                "maxx": pa.array(np.zeros(n)),
+                "maxy": pa.array(np.zeros(n)),
+                "side": pa.array(["point"] * n),
+            }
+        )
+
+    def rect_rows(batch: pa.Table) -> pa.Table:
+        batch = _part_rect_batch(batch)
+        exploded = explode_to_cells(batch, KNN_RES)
+        n = exploded.num_rows
+        return pa.table(
+            {
+                "cell": exploded["cell"],
+                "metric": pa.array(np.zeros(n, dtype=np.int64)),
+                "px": pa.array(np.zeros(n)),
+                "py": pa.array(np.zeros(n)),
+                "p_partkey": exploded["p_partkey"],
+                "minx": exploded["minx"],
+                "miny": exploded["miny"],
+                "maxx": exploded["maxx"],
+                "maxy": exploded["maxy"],
+                "side": pa.array(["rect"] * n),
+            }
+        )
+
+    def zonal_group(group: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                pa.field("p_partkey", pa.int64()),
+                pa.field("n_points", pa.int64()),
+                pa.field("sum_metric", pa.int64()),
+            ]
+        ).empty_table()
+        is_pt = pc.equal(group["side"], "point")
+        pts = group.filter(is_pt)
+        rects = group.filter(pc.invert(is_pt))
+        if pts.num_rows == 0 or rects.num_rows == 0:
+            return empty
+        px = pts["px"].to_numpy()
+        py = pts["py"].to_numpy()
+        metric = pts["metric"].to_numpy()
+        rminx = rects["minx"].to_numpy()
+        rminy = rects["miny"].to_numpy()
+        rmaxx = rects["maxx"].to_numpy()
+        rmaxy = rects["maxy"].to_numpy()
+        n_r = len(rminx)
+        counts = np.zeros(n_r, dtype=np.int64)
+        sums = np.zeros(n_r, dtype=np.int64)
+        chunk = max(1, MAX_CONTAIN_MATRIX // max(1, len(px)))
+        for lo in range(0, n_r, chunk):
+            hi = min(lo + chunk, n_r)
+            inside = (
+                (px[None, :] >= rminx[lo:hi, None])
+                & (px[None, :] <= rmaxx[lo:hi, None])
+                & (py[None, :] >= rminy[lo:hi, None])
+                & (py[None, :] <= rmaxy[lo:hi, None])
+            )
+            counts[lo:hi] = inside.sum(axis=1)
+            sums[lo:hi] = inside @ metric
+        keep = counts > 0
+        return pa.table(
+            {
+                "p_partkey": rects["p_partkey"].filter(pa.array(keep)),
+                "n_points": pa.array(counts[keep]),
+                "sum_metric": pa.array(sums[keep]),
+            }
+        )
+
+    points = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        point_rows, batch_format="pyarrow"
+    )
+    rects = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        rect_rows, batch_format="pyarrow"
+    )
+    partials = points.union(rects).groupby("cell").map_groups(
+        zonal_group, batch_format="pyarrow"
+    )
+    return partials.groupby("p_partkey").aggregate(
+        Sum("n_points", alias_name="n_points"),
+        Sum("sum_metric", alias_name="sum_metric"),
+    )
+
+
+Q_ZONAL_STATS_SQL = f"""
+    WITH r AS ({PART_RECT_SQL}),
+    p AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 97 AS DOUBLE) AS px,
+             CAST((c_custkey * 13) % 89 AS DOUBLE) AS py,
+             c_custkey % 1000 AS metric
+      FROM customer
+    )
+    SELECT r.p_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(p.metric) AS BIGINT) AS sum_metric
+    FROM r JOIN p
+      ON p.px >= r.minx AND p.px <= r.maxx
+     AND p.py >= r.miny AND p.py <= r.maxy
+    GROUP BY r.p_partkey
+"""
+
+
+def q_buffer_dissolve(sf_dir: str):
+    """Buffer-then-dissolve: inflate every part rect by an integer,
+    size-dependent radius (a rectilinear Minkowski sum with a square —
+    the GIS buffer op, exact for axis-aligned inputs), then cascaded-
+    union per brand.  Same tree-reduce combiner scale shape as
+    `dissolve`; the buffer itself is a pure vectorized column map."""
+    from ..stages.dissolve import dissolve_partial, dissolve_stats_group
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = _part_rect_batch(batch)
+        r = (batch["p_partkey"].to_numpy() % 3 + 1).astype(np.float64)
+        minx = batch["minx"].to_numpy() - r
+        miny = batch["miny"].to_numpy() - r
+        maxx = batch["maxx"].to_numpy() + r
+        maxy = batch["maxy"].to_numpy() + r
+        buffered = pa.table(
+            {
+                "p_brand": batch["p_brand"],
+                "footprint": _rect_mp_array(minx, miny, maxx, maxy),
+            }
+        )
+        return dissolve_partial(buffered, "p_brand", "footprint")
+
+    def final(group: pa.Table) -> pa.Table:
+        return dissolve_stats_group(group, "p_brand", "footprint")
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+Q_BUFFER_DISSOLVE_SQL = f"""
+    WITH d0 AS ({PART_RECT_SQL}),
+    d AS (
+      SELECT p_brand,
+             minx - CAST(p_partkey % 3 + 1 AS DOUBLE) AS minx,
+             miny - CAST(p_partkey % 3 + 1 AS DOUBLE) AS miny,
+             maxx + CAST(p_partkey % 3 + 1 AS DOUBLE) AS maxx,
+             maxy + CAST(p_partkey % 3 + 1 AS DOUBLE) AS maxy
+      FROM d0
+    ),
+    wx AS (
+      SELECT p_brand,
+             CAST(miny AS BIGINT) AS miny, CAST(maxy AS BIGINT) AS maxy,
+             unnest(generate_series(CAST(minx AS BIGINT), CAST(maxx AS BIGINT) - 1)) AS x
+      FROM d
+    ),
+    cells AS (
+      SELECT DISTINCT p_brand, x,
+             unnest(generate_series(miny, maxy - 1)) AS y
+      FROM wx
+    ),
+    n AS (SELECT p_brand, COUNT(*) AS area FROM cells GROUP BY p_brand),
+    adj AS (
+      SELECT c1.p_brand, COUNT(*) AS pairs
+      FROM cells c1 JOIN cells c2
+        ON c1.p_brand = c2.p_brand
+       AND ((c2.x = c1.x + 1 AND c2.y = c1.y) OR
+            (c2.x = c1.x AND c2.y = c1.y + 1))
+      GROUP BY c1.p_brand
+    )
+    SELECT n.p_brand,
+           CAST(n.area AS BIGINT) AS union_area,
+           CAST(4 * n.area - 2 * COALESCE(adj.pairs, 0) AS BIGINT) AS union_perim
+    FROM n LEFT JOIN adj ON n.p_brand = adj.p_brand
+"""
+
+
 Q_GROUP_QUANTILES_SQL = """
     WITH v AS (
       SELECT l_returnflag, CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
@@ -3199,6 +3398,8 @@ def build_queries():
         "spatial_antijoin": q_spatial_antijoin,
         "vocab_topk": q_vocab_topk,
         "group_quantiles": q_group_quantiles,
+        "zonal_stats": q_zonal_stats,
+        "buffer_dissolve": q_buffer_dissolve,
     }
 
 
@@ -3263,6 +3464,8 @@ def build_oracle_sql():
         "spatial_antijoin": Q_SPATIAL_ANTIJOIN_SQL,
         "vocab_topk": Q_VOCAB_TOPK_SQL,
         "group_quantiles": Q_GROUP_QUANTILES_SQL,
+        "zonal_stats": Q_ZONAL_STATS_SQL,
+        "buffer_dissolve": Q_BUFFER_DISSOLVE_SQL,
         "image_near_dup": _build_image_near_dup_sql(),
         "image_sim_topk": _build_image_sim_sql(),
     }
