@@ -97,6 +97,7 @@ def bench_list():
         "group_quantiles",
         "zonal_stats",
         "buffer_dissolve",
+        "anti_join",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

@@ -3128,6 +3128,46 @@ def q_group_quantiles(sf_dir: str):
     )
 
 
+def q_anti_join(sf_dir: str):
+    """Equi ANTI-join: customers with no URGENT order (the relational
+    cousin of the spatial anti-join).  Same one-shuffle bucketed plan
+    as the inner shuffle_hash_join — all rows of a key land in one
+    bucket, so the bucket-local Acero left-anti verdict is the global
+    verdict; the build side is filtered at the read and ships only its
+    key column into the exchange."""
+    from ..stages.join import shuffle_hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def urgent_keys(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["o_orderpriority"], "1-URGENT")
+        return pa.table({"c_custkey": b.filter(keep)["o_custkey"]})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        urgent_keys, batch_format="pyarrow"
+    )
+    return shuffle_hash_join(
+        cust,
+        orders,
+        "c_custkey",
+        ["c_name"],
+        [],
+        how="anti",
+        left_schema=pa.schema(
+            [pa.field("c_custkey", pa.int64()), pa.field("c_name", pa.string())]
+        ),
+        right_schema=pa.schema([pa.field("c_custkey", pa.int64())]),
+    )
+
+
+Q_ANTI_JOIN_SQL = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+
 def q_zonal_stats(sf_dir: str):
     """Zonal statistics: per-rect (zone) count and sum of a customer
     point metric — the spatial-aggregate pattern (join + aggregate in
@@ -3398,6 +3438,7 @@ def build_queries():
         "spatial_antijoin": q_spatial_antijoin,
         "vocab_topk": q_vocab_topk,
         "group_quantiles": q_group_quantiles,
+        "anti_join": q_anti_join,
         "zonal_stats": q_zonal_stats,
         "buffer_dissolve": q_buffer_dissolve,
     }
@@ -3464,6 +3505,7 @@ def build_oracle_sql():
         "spatial_antijoin": Q_SPATIAL_ANTIJOIN_SQL,
         "vocab_topk": Q_VOCAB_TOPK_SQL,
         "group_quantiles": Q_GROUP_QUANTILES_SQL,
+        "anti_join": Q_ANTI_JOIN_SQL,
         "zonal_stats": Q_ZONAL_STATS_SQL,
         "buffer_dissolve": Q_BUFFER_DISSOLVE_SQL,
         "image_near_dup": _build_image_near_dup_sql(),

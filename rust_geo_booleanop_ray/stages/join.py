@@ -152,8 +152,17 @@ def shuffle_hash_join(
     distinct: str | None = None,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    how: str = "inner",
 ):
-    """Inner equi-join of two Datasets on ``key``.
+    """Equi-join of two Datasets on ``key``.
+
+    ``how='inner'`` (default) emits the matched product;
+    ``how='semi'`` / ``how='anti'`` emit the LEFT rows with ≥1 / no
+    right-side match (projected to ``[key] + left_cols`` — the filter
+    joins a pipeline needs for "has orders" / "not yet processed"
+    predicates).  Same single-shuffle physical plan for all three: all
+    rows of a key land in one bucket, so the bucket-local Acero
+    semi/anti verdict IS the global verdict.
 
     Physical plan: project each side to (key, side-tag, own columns ⊕
     typed-null columns of the other side) so the union is
@@ -174,7 +183,10 @@ def shuffle_hash_join(
     execute part of its plan (a whole aggregate for shuffle-rooted
     datasets), so callers in iterative loops should always pass these."""
 
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"how must be inner|semi|anti, got {how!r}")
     all_cols = list(left_cols) + list(right_cols)
+    out_cols = list(left_cols) if how in ("semi", "anti") else all_cols
 
     # The two tagged sides must be schema-aligned for union(), so the
     # null padding columns need each side's REAL arrow types, captured
@@ -220,7 +232,7 @@ def shuffle_hash_join(
     lt = left.map_batches(tag_typed(set(left_cols), 0), batch_format="pyarrow")
     rt = right.map_batches(tag_typed(set(right_cols), 1), batch_format="pyarrow")
 
-    empty_fields = [pa.field(key, key_type)] + [pa.field(c, types[c]) for c in all_cols]
+    empty_fields = [pa.field(key, key_type)] + [pa.field(c, types[c]) for c in out_cols]
 
     def _first_per_key(t: pa.Table) -> pa.Table:
         keys = t[key].to_numpy(zero_copy_only=False)
@@ -232,15 +244,22 @@ def shuffle_hash_join(
         lmask = side == 0
         l = group.filter(pa.array(lmask)).select([key] + list(left_cols))
         r = group.filter(pa.array(~lmask)).select([key] + list(right_cols))
-        if l.num_rows == 0 or r.num_rows == 0:
+        if l.num_rows == 0:
+            return pa.schema(empty_fields).empty_table()
+        if r.num_rows == 0:
+            # empty build side: anti keeps every left row, inner/semi none
+            if how == "anti":
+                return l.select([key] + out_cols)
             return pa.schema(empty_fields).empty_table()
         if distinct == "left":
             l = _first_per_key(l)
         elif distinct == "right":
             r = _first_per_key(r)
-        joined = l.join(r, keys=key, join_type="inner")
+        acero_type = {"inner": "inner", "semi": "left semi", "anti": "left anti"}[how]
+        joined = l.join(r.select([key]) if how != "inner" else r,
+                        keys=key, join_type=acero_type)
         # Acero may reorder columns; project to the declared layout
-        return joined.select([key] + all_cols)
+        return joined.select([key] + out_cols)
 
     return (
         lt.union(rt)

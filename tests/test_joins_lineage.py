@@ -141,3 +141,26 @@ def test_broadcast_interval_join_matches_bruteforce():
         if starts[i] <= ts[p] <= ends[i]
     )
     assert got == expect
+
+
+def test_shuffle_hash_join_semi_anti_match_bruteforce():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    lk = rng.randint(0, 40, 120).astype(np.int64)
+    rk = rng.randint(20, 60, 80).astype(np.int64)
+    tl = pa.table({"k": pa.array(lk), "lv": pa.array(np.arange(120, dtype=np.int64))})
+    tr = pa.table({"k": pa.array(rk), "rv": pa.array(np.arange(80, dtype=np.int64))})
+    rset = set(rk.tolist())
+    for how in ("semi", "anti"):
+        out = shuffle_hash_join(
+            rd.from_arrow(tl), rd.from_arrow(tr), "k", ["lv"], [], how=how
+        ).take_all()
+        got = sorted((r["k"], r["lv"]) for r in out)
+        if how == "semi":
+            want = sorted((int(k), int(v)) for k, v in zip(lk, range(120)) if k in rset)
+        else:
+            want = sorted(
+                (int(k), int(v)) for k, v in zip(lk, range(120)) if k not in rset
+            )
+        assert got == want, how
