@@ -98,6 +98,8 @@ def bench_list():
         "zonal_stats",
         "buffer_dissolve",
         "anti_join",
+        "stratified_sample",
+        "pivot_events",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

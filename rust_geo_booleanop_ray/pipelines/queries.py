@@ -2847,6 +2847,34 @@ Q_RUNNING_TOTAL_SQL = """
 """
 
 
+def _mulmod64_sql(x: str, c: int) -> str:
+    """(x * c) mod 2^64 in DuckDB HUGEINT without INT128 overflow: the
+    constant is split into 32-bit halves so every intermediate stays
+    under 2^97."""
+    c0, c1 = c & 0xFFFFFFFF, c >> 32
+    return (
+        f"(({x}) * {c0}::HUGEINT"
+        f" + ((({x}) * {c1}::HUGEINT) % 4294967296) * 4294967296)"
+        " % 18446744073709551616::HUGEINT"
+    )
+
+
+def _splitmix64_ctes(src: str, key_expr: str, carry_cols: str) -> str:
+    """CTE chain computing h = splitmix64(key_expr) over ``src`` —
+    mirrors stages/footprint.py::_splitmix64 step for step (>>k as
+    //2^k on non-negative HUGEINTs).  ``carry_cols``: comma-joined
+    columns to carry through.  The final CTE is named ``hsh`` with
+    columns (carry_cols..., h)."""
+    H = "18446744073709551616::HUGEINT"
+    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return f"""x1 AS (
+      SELECT {carry_cols}, (({key_expr})::HUGEINT + {C1}) % {H} AS x FROM {src}
+    ),
+    z1 AS (SELECT {carry_cols}, {_mulmod64_sql("xor(x, x // 1073741824)", C2)} AS z FROM x1),
+    z2 AS (SELECT {carry_cols}, {_mulmod64_sql("xor(z, z // 134217728)", C3)} AS z FROM z1),
+    hsh AS (SELECT {carry_cols}, xor(z, z // 2147483648) AS h FROM z2)"""
+
+
 def q_hll_distinct(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) per event_type via the
     mergeable 64-register sketch (stages/sketch.py).  The shuffle moves
@@ -2877,23 +2905,8 @@ def _build_hll_sql() -> str:
     The 64x64-bit multiplies would overflow INT128, so each constant is
     split into 32-bit halves: x*C mod 2^64 = (x*c0 + ((x*c1 mod 2^32)
     << 32)) mod 2^64 — every intermediate stays under 2^97."""
-    H = "18446744073709551616::HUGEINT"
-    C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
-
-    def mulmod(x: str, c: int) -> str:
-        c0, c1 = c & 0xFFFFFFFF, c >> 32
-        return (
-            f"(({x}) * {c0}::HUGEINT"
-            f" + ((({x}) * {c1}::HUGEINT) % 4294967296) * 4294967296) % {H}"
-        )
-
     return f"""
-    WITH x1 AS (
-      SELECT event_type, (user_id::HUGEINT + {C1}) % {H} AS x FROM events
-    ),
-    z1 AS (SELECT event_type, {mulmod("xor(x, x // 1073741824)", C2)} AS z FROM x1),
-    z2 AS (SELECT event_type, {mulmod("xor(z, z // 134217728)", C3)} AS z FROM z1),
-    hsh AS (SELECT event_type, xor(z, z // 2147483648) AS h FROM z2),
+    WITH {_splitmix64_ctes("events", "user_id", "event_type")},
     br AS (
       SELECT event_type,
              CAST(h % 64 AS BIGINT) AS bucket,
@@ -3386,6 +3399,124 @@ Q_GROUP_QUANTILES_SQL = """
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: the k rows with the SMALLEST
+    splitmix64(key) hash per stratum (bottom-k / KMV sampling).  Unlike
+    a percentage filter (hash_sample) this yields an EXACT per-group
+    sample size regardless of group skew, and the bottom-k set is a
+    monoid — the bottom-k of a union is the bottom-k of concatenated
+    per-part bottom-ks — so each batch ships at most k rows per stratum
+    into the shuffle and a billion-row stratum still costs k rows per
+    batch.  The hash rank also makes samples NESTED: the k'=10 sample
+    is a prefix of the k=20 sample, the property coordinated sampling
+    at 100 TB relies on."""
+    from ..stages.footprint import _splitmix64
+    from ..stages.topk import grouped_topk_batch
+
+    K = 20
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy()
+        h = _splitmix64(keys.astype(np.uint64))
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "o_orderkey": batch["o_orderkey"],
+                "price_c": pa.array(_cents(batch["o_totalprice"].to_numpy())),
+                "h": pa.array(h.view(np.int64)),
+            }
+        )
+        kept, _ = grouped_topk_batch(t, "o_orderpriority", h, keys, K, smallest=True)
+        return kept
+
+    def final(group: pa.Table) -> pa.Table:
+        h = group["h"].to_numpy().view(np.uint64)
+        kept, rank = grouped_topk_batch(
+            group, "o_orderpriority", h, group["o_orderkey"].to_numpy(), K,
+            smallest=True,
+        )
+        return kept.append_column("rank", pa.array(rank))
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def _build_stratified_sample_sql() -> str:
+    return f"""
+    WITH o AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM orders
+    ),
+    {_splitmix64_ctes("o", "o_orderkey", "o_orderpriority, o_orderkey, price_c")},
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority ORDER BY h, o_orderkey) AS rank
+      FROM hsh
+    )
+    SELECT o_orderpriority, o_orderkey, price_c,
+           CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+                    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                AS BIGINT) AS h,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 20
+"""
+
+
+Q_STRATIFIED_SAMPLE_SQL = _build_stratified_sample_sql()
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(sf_dir: str):
+    """Pivot the events log into a per-user wide feature matrix: one
+    row per user with count + value-cents columns per event type
+    (stages/pivot.py).  The classic user-feature table a training
+    pipeline materializes; lowers to conditional-column partial
+    aggregation — one vectorized pass per batch, one Sum-shuffle,
+    no per-group Python."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.pivot import make_pivot_partial, pivot_column_names
+
+    names = pivot_column_names(EVENT_TYPES)
+    partial = make_pivot_partial(
+        "user_id", "event_type", EVENT_TYPES,
+        lambda b: _cents(b["value"].to_numpy()),
+    )
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(n, alias_name=n) for n in names])
+    )
+
+
+def _build_pivot_events_sql() -> str:
+    cols = []
+    for c in EVENT_TYPES:
+        cols.append(
+            f"CAST(SUM(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_{c}"
+        )
+        cols.append(
+            f"CAST(SUM(CASE WHEN event_type = '{c}' THEN"
+            f" CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)"
+            f" AS BIGINT) AS v_{c}_c"
+        )
+    return (
+        "SELECT user_id, " + ", ".join(cols) + " FROM events GROUP BY user_id"
+    )
+
+
+Q_PIVOT_EVENTS_SQL = _build_pivot_events_sql()
+
+
 # ------------------------------------------------------------------ catalog
 
 
@@ -3441,6 +3572,8 @@ def build_queries():
         "anti_join": q_anti_join,
         "zonal_stats": q_zonal_stats,
         "buffer_dissolve": q_buffer_dissolve,
+        "stratified_sample": q_stratified_sample,
+        "pivot_events": q_pivot_events,
     }
 
 
@@ -3508,6 +3641,8 @@ def build_oracle_sql():
         "anti_join": Q_ANTI_JOIN_SQL,
         "zonal_stats": Q_ZONAL_STATS_SQL,
         "buffer_dissolve": Q_BUFFER_DISSOLVE_SQL,
+        "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,
+        "pivot_events": Q_PIVOT_EVENTS_SQL,
         "image_near_dup": _build_image_near_dup_sql(),
         "image_sim_topk": _build_image_sim_sql(),
     }

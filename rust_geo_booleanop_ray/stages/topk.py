@@ -34,16 +34,23 @@ def _run_positions(sorted_keys: np.ndarray) -> np.ndarray:
 
 
 def topk_select(
-    group_codes: np.ndarray, value: np.ndarray, tie: np.ndarray, k: int
+    group_codes: np.ndarray,
+    value: np.ndarray,
+    tie: np.ndarray,
+    k: int,
+    smallest: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized per-group top-k over parallel arrays.
 
     group_codes: any orderable dtype (dictionary indices are fine — the
     order of groups is irrelevant, only run adjacency matters).
-    value: int64, larger is better.  tie: int64, smaller wins.
+    value: larger is better (any orderable dtype when ``smallest``;
+    int64 otherwise — the descending pass negates).  tie: int64,
+    smaller wins.  ``smallest=True`` keeps the k SMALLEST values
+    instead, without negation — safe for uint64 hash ranks.
     Returns (row_indices, rank_1_based) for the kept rows.
     """
-    order = np.lexsort((tie, -value, group_codes))
+    order = np.lexsort((tie, value if smallest else -value, group_codes))
     pos = _run_positions(group_codes[order])
     sel = pos < k
     return order[sel], (pos[sel] + 1).astype(np.int64)
@@ -55,6 +62,7 @@ def grouped_topk_batch(
     value: np.ndarray,
     tie: np.ndarray,
     k: int,
+    smallest: bool = False,
 ) -> tuple[pa.Table, np.ndarray]:
     """Apply topk_select to an Arrow batch; returns the filtered batch
     (original columns) and the rank array, in rank order per group."""
@@ -62,5 +70,5 @@ def grouped_topk_batch(
     if isinstance(gcol, pa.ChunkedArray):
         gcol = gcol.combine_chunks()
     codes = np.asarray(gcol.dictionary_encode().indices)
-    keep, rank = topk_select(codes, value, tie, k)
+    keep, rank = topk_select(codes, value, tie, k, smallest=smallest)
     return batch.take(pa.array(keep)), rank

@@ -91,3 +91,91 @@ def test_hll_register_width():
     part = hll_partial(t, "k", "g")
     assert part["hll_regs"].type == pa.list_(pa.uint8(), HLL_M)
     assert part.num_rows == 1
+
+
+def test_topk_smallest_uint64_hash_ranks():
+    """smallest=True keeps the k smallest values without negation —
+    exercised with uint64 hashes above 2**63 where negation would be
+    undefined; brute-force per group."""
+    rng = np.random.RandomState(11)
+    g = rng.randint(0, 4, 300)
+    v = rng.randint(0, 2**63 - 1, 300, dtype=np.int64).view(np.uint64) + np.uint64(
+        2**63
+    )
+    tie = np.arange(300, dtype=np.int64)
+    idx, rank = topk_select(g, v, tie, 5, smallest=True)
+    for grp in range(4):
+        rows = [(int(v[i]), int(tie[i]), i) for i in np.flatnonzero(g == grp)]
+        rows.sort(key=lambda r: (r[0], r[1]))
+        want = [r[2] for r in rows[:5]]
+        got = [int(i) for i, gg in zip(idx, g[idx]) if gg == grp]
+        assert got == want
+
+
+def test_bottom_k_sample_is_nested_and_mergeable():
+    """The stratified-sample invariants: bottom-k of concatenated
+    per-part bottom-ks == global bottom-k (monoid), and the k'=3
+    sample is a prefix of the k=6 sample (nesting)."""
+    rng = np.random.RandomState(13)
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["x", "y"], 400).tolist()),
+            "key": pa.array(np.arange(400, dtype=np.int64)),
+        }
+    )
+    h = np.random.RandomState(14).permutation(400).astype(np.uint64) * np.uint64(
+        2**54
+    )
+    whole, _ = grouped_topk_batch(t, "g", h, t["key"].to_numpy(), 6, smallest=True)
+    parts = [(t.slice(0, 150), h[:150]), (t.slice(150), h[150:])]
+    partials = []
+    for p, hp in parts:
+        kept, _ = grouped_topk_batch(p, "g", hp, p["key"].to_numpy(), 6, smallest=True)
+        partials.append(kept)
+    merged = pa.concat_tables(partials)
+    hm = np.array(
+        [int(h[k]) for k in merged["key"].to_pylist()], dtype=np.uint64
+    )
+    re_kept, _ = grouped_topk_batch(
+        merged, "g", hm, merged["key"].to_numpy(), 6, smallest=True
+    )
+    key = lambda tbl: sorted(zip(tbl["g"].to_pylist(), tbl["key"].to_pylist()))
+    assert key(re_kept) == key(whole)
+    # nesting: k=3 selection is a prefix (subset) of the k=6 one
+    small, _ = grouped_topk_batch(t, "g", h, t["key"].to_numpy(), 3, smallest=True)
+    assert set(key(small)) <= set(key(whole))
+
+
+def test_pivot_partial_matches_long_aggregation():
+    """make_pivot_partial over split batches + a plain sum merge equals
+    the long-form groupby(g, cat) aggregation."""
+    from rust_geo_booleanop_ray.stages.pivot import (
+        make_pivot_partial,
+        pivot_column_names,
+    )
+
+    rng = np.random.RandomState(21)
+    cats = ("a", "b", "c")
+    g = rng.randint(0, 7, 500)
+    cat = rng.choice(cats, 500)
+    val = rng.randint(-50, 200, 500).astype(np.int64)
+    t = pa.table(
+        {
+            "grp": pa.array(g),
+            "cat": pa.array(cat.tolist()),
+            "val": pa.array(val),
+        }
+    )
+    partial = make_pivot_partial("grp", "cat", cats, lambda b: b["val"].to_numpy())
+    parts = [partial(t.slice(0, 170)), partial(t.slice(170, 200)), partial(t.slice(370))]
+    merged = pa.concat_tables(parts)
+    names = pivot_column_names(cats)
+    agg = pa.TableGroupBy(merged, "grp").aggregate([(n, "sum") for n in names])
+    got = {}
+    for row in agg.to_pylist():
+        got[row["grp"]] = {n: row[f"{n}_sum"] for n in names}
+    for grp in np.unique(g):
+        for ci, c in enumerate(cats):
+            m = (g == grp) & (cat == c)
+            assert got[int(grp)][f"n_{c}"] == int(m.sum())
+            assert got[int(grp)][f"v_{c}_c"] == int(val[m].sum())
