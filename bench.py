@@ -100,6 +100,7 @@ def bench_list():
         "anti_join",
         "stratified_sample",
         "pivot_events",
+        "left_join",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

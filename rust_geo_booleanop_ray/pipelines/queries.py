@@ -3181,6 +3181,60 @@ Q_ANTI_JOIN_SQL = """
 """
 
 
+def q_left_join(sf_dir: str):
+    """Left OUTER equi-join: every customer, with their URGENT orders
+    attached and typed-null order columns where none exist — the join
+    shape that preserves the driving table (feature enrichment where
+    missing is meaningful).  Same one-shuffle bucketed plan; the
+    bucket-local Acero left-outer verdict is global because all rows
+    of a key share a bucket."""
+    from ..stages.join import shuffle_hash_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def urgent(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["o_orderpriority"], "1-URGENT")
+        kept = b.filter(keep)
+        return pa.table(
+            {
+                "c_custkey": kept["o_custkey"],
+                "o_orderkey": kept["o_orderkey"],
+                "price_c": pa.array(_cents(kept["o_totalprice"].to_numpy())),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).map_batches(urgent, batch_format="pyarrow")
+    return shuffle_hash_join(
+        cust,
+        orders,
+        "c_custkey",
+        ["c_name"],
+        ["o_orderkey", "price_c"],
+        how="left",
+        left_schema=pa.schema(
+            [pa.field("c_custkey", pa.int64()), pa.field("c_name", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [
+                pa.field("c_custkey", pa.int64()),
+                pa.field("o_orderkey", pa.int64()),
+                pa.field("price_c", pa.int64()),
+            ]
+        ),
+    )
+
+
+Q_LEFT_JOIN_SQL = """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+"""
+
+
 def q_zonal_stats(sf_dir: str):
     """Zonal statistics: per-rect (zone) count and sum of a customer
     point metric — the spatial-aggregate pattern (join + aggregate in
@@ -3570,6 +3624,7 @@ def build_queries():
         "vocab_topk": q_vocab_topk,
         "group_quantiles": q_group_quantiles,
         "anti_join": q_anti_join,
+        "left_join": q_left_join,
         "zonal_stats": q_zonal_stats,
         "buffer_dissolve": q_buffer_dissolve,
         "stratified_sample": q_stratified_sample,
@@ -3639,6 +3694,7 @@ def build_oracle_sql():
         "vocab_topk": Q_VOCAB_TOPK_SQL,
         "group_quantiles": Q_GROUP_QUANTILES_SQL,
         "anti_join": Q_ANTI_JOIN_SQL,
+        "left_join": Q_LEFT_JOIN_SQL,
         "zonal_stats": Q_ZONAL_STATS_SQL,
         "buffer_dissolve": Q_BUFFER_DISSOLVE_SQL,
         "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,

@@ -160,9 +160,11 @@ def shuffle_hash_join(
     ``how='semi'`` / ``how='anti'`` emit the LEFT rows with ≥1 / no
     right-side match (projected to ``[key] + left_cols`` — the filter
     joins a pipeline needs for "has orders" / "not yet processed"
-    predicates).  Same single-shuffle physical plan for all three: all
-    rows of a key land in one bucket, so the bucket-local Acero
-    semi/anti verdict IS the global verdict.
+    predicates); ``how='left'`` is the left OUTER join — matched
+    product plus unmatched left rows with null right columns.  Same
+    single-shuffle physical plan for all four: all rows of a key land
+    in one bucket, so the bucket-local Acero verdict IS the global
+    verdict.
 
     Physical plan: project each side to (key, side-tag, own columns ⊕
     typed-null columns of the other side) so the union is
@@ -183,8 +185,8 @@ def shuffle_hash_join(
     execute part of its plan (a whole aggregate for shuffle-rooted
     datasets), so callers in iterative loops should always pass these."""
 
-    if how not in ("inner", "semi", "anti"):
-        raise ValueError(f"how must be inner|semi|anti, got {how!r}")
+    if how not in ("inner", "semi", "anti", "left"):
+        raise ValueError(f"how must be inner|semi|anti|left, got {how!r}")
     all_cols = list(left_cols) + list(right_cols)
     out_cols = list(left_cols) if how in ("semi", "anti") else all_cols
 
@@ -247,16 +249,26 @@ def shuffle_hash_join(
         if l.num_rows == 0:
             return pa.schema(empty_fields).empty_table()
         if r.num_rows == 0:
-            # empty build side: anti keeps every left row, inner/semi none
+            # empty build side: anti/left keep every left row
+            # (left pads the right columns with typed nulls), inner/semi none
             if how == "anti":
+                return l.select([key] + out_cols)
+            if how == "left":
+                for c in right_cols:
+                    l = l.append_column(c, pa.nulls(l.num_rows, types[c]))
                 return l.select([key] + out_cols)
             return pa.schema(empty_fields).empty_table()
         if distinct == "left":
             l = _first_per_key(l)
         elif distinct == "right":
             r = _first_per_key(r)
-        acero_type = {"inner": "inner", "semi": "left semi", "anti": "left anti"}[how]
-        joined = l.join(r.select([key]) if how != "inner" else r,
+        acero_type = {
+            "inner": "inner",
+            "semi": "left semi",
+            "anti": "left anti",
+            "left": "left outer",
+        }[how]
+        joined = l.join(r.select([key]) if how in ("semi", "anti") else r,
                         keys=key, join_type=acero_type)
         # Acero may reorder columns; project to the declared layout
         return joined.select([key] + out_cols)

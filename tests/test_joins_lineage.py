@@ -164,3 +164,29 @@ def test_shuffle_hash_join_semi_anti_match_bruteforce():
                 (int(k), int(v)) for k, v in zip(lk, range(120)) if k not in rset
             )
         assert got == want, how
+
+
+def test_shuffle_hash_join_left_outer_matches_bruteforce():
+    import numpy as np
+
+    rng = np.random.RandomState(19)
+    lk = rng.randint(0, 40, 100).astype(np.int64)
+    rk = rng.randint(20, 60, 60).astype(np.int64)
+    tl = pa.table({"k": pa.array(lk), "lv": pa.array(np.arange(100, dtype=np.int64))})
+    tr = pa.table({"k": pa.array(rk), "rv": pa.array(np.arange(60, dtype=np.int64))})
+    out = shuffle_hash_join(
+        rd.from_arrow(tl), rd.from_arrow(tr), "k", ["lv"], ["rv"], how="left"
+    ).take_all()
+    got = sorted(
+        (r["k"], r["lv"], r["rv"] if r["rv"] is not None else -1) for r in out
+    )
+    want = []
+    rmap = {}
+    for k, v in zip(rk.tolist(), range(60)):
+        rmap.setdefault(k, []).append(v)
+    for k, v in zip(lk.tolist(), range(100)):
+        if k in rmap:
+            want.extend((k, v, rv) for rv in rmap[k])
+        else:
+            want.append((k, v, -1))
+    assert got == sorted(want)
