@@ -101,6 +101,7 @@ def bench_list():
         "stratified_sample",
         "pivot_events",
         "left_join",
+        "tfidf_topterms",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

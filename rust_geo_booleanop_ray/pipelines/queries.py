@@ -3087,6 +3087,75 @@ Q_VOCAB_TOPK_SQL = """
 """
 
 
+def q_tfidf_topterms(sf_dir: str):
+    """TF-IDF feature extraction: each document's top-3 terms from the
+    top-100-by-df corpus vocabulary, scored tf × idf with integer
+    arithmetic (idf_scaled = (N·10⁶) // df) so the oracle mirrors it
+    exactly.  Two passes over the corpus — the unavoidable shape: a
+    global df aggregate (term,n partials only on the wire), then a
+    broadcast of the 100-term vocabulary into a shuffle-free scoring
+    pass (a doc's terms are derived in-batch, so per-batch top-k is
+    final).  The driver pulls exactly V=100 vocabulary rows — bounded
+    regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import (
+        TFIDF_SCALE,
+        df_partial_from_tf,
+        doc_term_tf_batch,
+        make_tfidf_scorer,
+    )
+
+    V, K = 100, 3
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+    df = (
+        docs.map_batches(
+            lambda b: df_partial_from_tf(doc_term_tf_batch(b)),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    vocab = df.sort(["df", "term"], descending=[True, False]).limit(V).take_all()
+    terms = np.array([r["term"] for r in vocab])
+    idf = np.array(
+        [(n_docs * TFIDF_SCALE) // r["df"] for r in vocab], dtype=np.int64
+    )
+    order = np.argsort(terms)
+    scorer = make_tfidf_scorer(terms[order], idf[order], K)
+    return docs.map_batches(scorer, batch_format="pyarrow")
+
+
+Q_TFIDF_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY term),
+    v AS (
+      SELECT term, ((SELECT COUNT(*) FROM documents) * 1000000) // df AS idf_s
+      FROM df ORDER BY df DESC, term LIMIT 100
+    ),
+    s AS (
+      SELECT t.doc_id, t.term, t.tf, t.tf * v.idf_s AS score
+      FROM t JOIN v ON t.term = v.term
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM s
+    )
+    SELECT doc_id, term, tf, CAST(score AS BIGINT) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+"""
+
+
 def q_group_quantiles(sf_dir: str):
     """Exact distributed quantiles (p50/p90 of l_quantity per return
     flag) via value-histogram compression: each batch emits (group,
@@ -3622,6 +3691,7 @@ def build_queries():
         "hll_distinct": q_hll_distinct,
         "spatial_antijoin": q_spatial_antijoin,
         "vocab_topk": q_vocab_topk,
+        "tfidf_topterms": q_tfidf_topterms,
         "group_quantiles": q_group_quantiles,
         "anti_join": q_anti_join,
         "left_join": q_left_join,
@@ -3692,6 +3762,7 @@ def build_oracle_sql():
         "hll_distinct": Q_HLL_DISTINCT_SQL,
         "spatial_antijoin": Q_SPATIAL_ANTIJOIN_SQL,
         "vocab_topk": Q_VOCAB_TOPK_SQL,
+        "tfidf_topterms": Q_TFIDF_SQL,
         "group_quantiles": Q_GROUP_QUANTILES_SQL,
         "anti_join": Q_ANTI_JOIN_SQL,
         "left_join": Q_LEFT_JOIN_SQL,

@@ -153,3 +153,86 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
         fps[i] = np.int64(h.min().astype(np.int64))
     out = batch.select([c for c in ("doc_id",) if c in batch.column_names])
     return out.append_column("fingerprint", pa.array(fps, pa.int64()))
+
+
+# ------------------------------------------------------------- tf-idf
+
+TFIDF_SCALE = 1_000_000
+
+
+def doc_term_tf_batch(batch: pa.Table) -> pa.Table:
+    """Per-(doc, term) term frequencies for a batch — one vectorized
+    RE2 pass (lower → split), parent-index fanout, one local Arrow
+    groupby.  A document's text lives in one row, so the (doc, term)
+    partials this emits are globally distinct across batches."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), "[^a-z]+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    doc = batch["doc_id"].take(parent)
+    t = pa.table({"doc_id": doc, "term": flat}).filter(pc.not_equal(flat, ""))
+    g = pa.TableGroupBy(t, ["doc_id", "term"]).aggregate([("term", "count")])
+    return pa.table(
+        {
+            "doc_id": g["doc_id"],
+            "term": g["term"],
+            "tf": g["term_count"].cast(pa.int64()),
+        }
+    )
+
+
+def df_partial_from_tf(tf: pa.Table) -> pa.Table:
+    """Document-frequency partial: each (doc, term) row counts once.
+    Feed into groupby(term).Sum — the exchange moves (term, n) pairs,
+    never raw tokens."""
+    vc = tf["term"].combine_chunks().value_counts()
+    return pa.table(
+        {"term": vc.field("values"), "df": vc.field("counts").cast(pa.int64())}
+    )
+
+
+def make_tfidf_scorer(vocab_terms, idf_scaled, k: int):
+    """Per-batch TF-IDF scorer against a broadcast top-V vocabulary.
+
+    ``vocab_terms`` must be lexicographically sorted (np unicode array)
+    with parallel int64 ``idf_scaled = (N_docs * TFIDF_SCALE) // df``
+    — integer-exact, so the oracle can mirror the arithmetic.  Emits
+    each document's top-``k`` vocabulary terms by ``score = tf *
+    idf_scaled`` (ties: lexicographically first term wins).  All of a
+    document's terms are derived in-batch, so the per-batch top-k IS
+    final — scoring needs no shuffle; only the df pass exchanges."""
+    from .topk import topk_select
+
+    vocab_terms = np.asarray(vocab_terms)
+    idf_scaled = np.asarray(idf_scaled, dtype=np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = doc_term_tf_batch(batch)
+        terms = tf["term"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vocab_terms, terms)
+        pos = np.clip(pos, 0, max(len(vocab_terms) - 1, 0))
+        hit = (
+            vocab_terms[pos] == terms
+            if len(vocab_terms)
+            else np.zeros(len(terms), dtype=bool)
+        )
+        tf = tf.filter(pa.array(hit))
+        pos = pos[hit]
+        tfv = tf["tf"].to_numpy()
+        scores = tfv * idf_scaled[pos]
+        doc_codes = np.asarray(
+            tf["doc_id"].combine_chunks().dictionary_encode().indices
+        )
+        # lexicographic int tie: index into the sorted vocab
+        keep, rank = topk_select(doc_codes, scores, pos.astype(np.int64), k)
+        out = tf.take(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "term": out["term"],
+                "tf": out["tf"],
+                "score": pa.array(scores[keep]),
+                "rank": pa.array(rank),
+            }
+        )
+
+    return score

@@ -378,3 +378,55 @@ def test_regex_token_count_matches_python_re():
     assert out["bpe_tokens"].to_pylist() == [
         len(re.findall(BPE_PATTERN, s)) for s in texts
     ]
+
+
+def test_tfidf_scorer_matches_bruteforce():
+    """doc_term_tf + df partials + the broadcast scorer reproduce a
+    plain Python tf-idf top-k on a small corpus."""
+    import re
+    from collections import Counter
+
+    from rust_geo_booleanop_ray.stages.text import (
+        TFIDF_SCALE,
+        df_partial_from_tf,
+        doc_term_tf_batch,
+        make_tfidf_scorer,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog ate the cat food",
+        "mat and dog and cat",
+        "quantum flux capacitor energy",
+        "energy flux of the dog",
+    ]
+    batch = pa.table({"doc_id": [f"d{i}" for i in range(5)], "text": texts})
+    # brute force
+    toks = [
+        [w for w in re.split(r"[^a-z]+", t.lower()) if w] for t in texts
+    ]
+    df = Counter()
+    for ws in toks:
+        df.update(set(ws))
+    vocab = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    idf = {t: (5 * TFIDF_SCALE) // d for t, d in vocab}
+    want = {}
+    for i, ws in enumerate(toks):
+        tf = Counter(ws)
+        scored = sorted(
+            ((tf[t] * idf[t], t) for t in tf if t in idf),
+            key=lambda sv: (-sv[0], sv[1]),
+        )[:3]
+        want[f"d{i}"] = [(t, s) for s, t in scored]
+
+    # engine path
+    tf_tab = doc_term_tf_batch(batch)
+    dfp = df_partial_from_tf(tf_tab)
+    assert dict(zip(dfp["term"].to_pylist(), dfp["df"].to_pylist())) == dict(df)
+    terms = np.array(sorted(idf))
+    idfv = np.array([idf[t] for t in terms], dtype=np.int64)
+    out = make_tfidf_scorer(terms, idfv, 3)(batch)
+    got = {}
+    for row in out.to_pylist():
+        got.setdefault(row["doc_id"], []).append((row["term"], row["score"]))
+    assert got == want
