@@ -102,6 +102,8 @@ def bench_list():
         "pivot_events",
         "left_join",
         "tfidf_topterms",
+        "event_gaps",
+        "rollup_sales",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

@@ -2847,6 +2847,48 @@ Q_RUNNING_TOTAL_SQL = """
 """
 
 
+def q_event_gaps(sf_dir: str):
+    """LAG window: per-user inter-event gap in microseconds (first
+    event: −1 sentinel) and the previous event's id.  Same
+    partition-by-key scale shape as running_total — one lexsort +
+    shift per group, no per-row Python; per-user history is the
+    documented group-size assumption."""
+
+    def gaps(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy()
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        gap = np.empty(len(ts), dtype=np.int64)
+        prev = np.empty(len(ts), dtype=np.int64)
+        gap[0], prev[0] = -1, -1
+        gap[1:] = ts[1:] - ts[:-1]
+        prev[1:] = eid[:-1]
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.full(len(eid), group["user_id"][0].as_py(), dtype=np.int64)
+                ),
+                "event_id": pa.array(eid),
+                "prev_event_id": pa.array(prev),
+                "gap_us": pa.array(gap),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pyarrow")
+
+
+Q_EVENT_GAPS_SQL = """
+    SELECT user_id, event_id,
+           CAST(COALESCE(LAG(event_id) OVER w, -1) AS BIGINT) AS prev_event_id,
+           CAST(COALESCE(
+                epoch_us(ts) - LAG(epoch_us(ts)) OVER w, -1) AS BIGINT) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def _mulmod64_sql(x: str, c: int) -> str:
     """(x * c) mod 2^64 in DuckDB HUGEINT without INT128 overflow: the
     constant is split into 32-bit halves so every intermediate stays
@@ -3084,6 +3126,82 @@ Q_VOCAB_TOPK_SQL = """
     SELECT term, CAST(COUNT(*) AS BIGINT) AS n
     FROM t WHERE term <> ''
     GROUP BY term ORDER BY n DESC, term LIMIT 50
+"""
+
+
+def q_rollup_sales(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate: lineitem quantity + revenue
+    totals at three levels — (returnflag, linestatus), (returnflag),
+    grand total — in ONE shuffle.  Each batch pre-aggregates the
+    finest level locally, derives the coarser levels from those
+    partials (sentinel 'ALL' for rolled-up keys), and ships ≤
+    |flags|·|statuses|+|flags|+1 rows; a single
+    groupby(flag, status).Sum finishes every level at once."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = np.floor(batch["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        price_c = _cents(batch["l_extendedprice"].to_numpy())
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pa.array(qty),
+                "price_c": pa.array(price_c),
+                "n": pa.array(np.ones(len(qty), dtype=np.int64)),
+            }
+        )
+
+        def agg(tbl: pa.Table, keys: list[str]) -> pa.Table:
+            g = pa.TableGroupBy(tbl, keys).aggregate(
+                [("qty", "sum"), ("price_c", "sum"), ("n", "sum")]
+            )
+            cols = {k: g[k] for k in keys}
+            for rolled in ("l_returnflag", "l_linestatus"):
+                if rolled not in keys:
+                    cols[rolled] = pa.array(["ALL"] * g.num_rows)
+            cols["n"] = g["n_sum"]
+            cols["sum_qty"] = g["qty_sum"]
+            cols["sum_price_c"] = g["price_c_sum"]
+            names = ["l_returnflag", "l_linestatus", "n", "sum_qty", "sum_price_c"]
+            return pa.table({k: cols[k] for k in names})
+
+        finest = agg(t, ["l_returnflag", "l_linestatus"])
+        # coarser levels derive from the finest partial, not the raw rows
+        mid = pa.table(
+            {
+                "l_returnflag": finest["l_returnflag"],
+                "l_linestatus": finest["l_linestatus"],
+                "qty": finest["sum_qty"],
+                "price_c": finest["sum_price_c"],
+                "n": finest["n"],
+            }
+        )
+        return pa.concat_tables(
+            [finest, agg(mid, ["l_returnflag"]), agg(mid, [])]
+        )
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price_c", alias_name="sum_price_c"),
+        )
+    )
+
+
+Q_ROLLUP_SALES_SQL = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
@@ -3688,10 +3806,12 @@ def build_queries():
         "ngram_dedup": q_ngram_dedup,
         "grouped_topk": q_grouped_topk,
         "running_total": q_running_total,
+        "event_gaps": q_event_gaps,
         "hll_distinct": q_hll_distinct,
         "spatial_antijoin": q_spatial_antijoin,
         "vocab_topk": q_vocab_topk,
         "tfidf_topterms": q_tfidf_topterms,
+        "rollup_sales": q_rollup_sales,
         "group_quantiles": q_group_quantiles,
         "anti_join": q_anti_join,
         "left_join": q_left_join,
@@ -3759,10 +3879,12 @@ def build_oracle_sql():
         "ngram_dedup": Q_NGRAM_DEDUP_SQL,
         "grouped_topk": Q_GROUPED_TOPK_SQL,
         "running_total": Q_RUNNING_TOTAL_SQL,
+        "event_gaps": Q_EVENT_GAPS_SQL,
         "hll_distinct": Q_HLL_DISTINCT_SQL,
         "spatial_antijoin": Q_SPATIAL_ANTIJOIN_SQL,
         "vocab_topk": Q_VOCAB_TOPK_SQL,
         "tfidf_topterms": Q_TFIDF_SQL,
+        "rollup_sales": Q_ROLLUP_SALES_SQL,
         "group_quantiles": Q_GROUP_QUANTILES_SQL,
         "anti_join": Q_ANTI_JOIN_SQL,
         "left_join": Q_LEFT_JOIN_SQL,
