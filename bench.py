@@ -104,6 +104,7 @@ def bench_list():
         "tfidf_topterms",
         "event_gaps",
         "rollup_sales",
+        "dist_join",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

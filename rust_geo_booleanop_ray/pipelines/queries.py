@@ -3129,6 +3129,40 @@ Q_VOCAB_TOPK_SQL = """
 """
 
 
+def q_dist_join(sf_dir: str):
+    """Distance-band spatial self-join: customer point pairs within
+    eps=5 (PBSM home-point rule, stages/dist_join.py — one shuffle,
+    ≤9× replication, exactly-once without a dedup pass).  Coordinates
+    are integer lattice points so d² is integer-exact."""
+    from ..stages.dist_join import dist_join_pipeline
+
+    pts = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "px": _customer_point_batch(b)["px"],
+                "py": _customer_point_batch(b)["py"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return dist_join_pipeline(
+        pts, eps=5.0, res=5, id_col="c_custkey", x_col="px", y_col="py"
+    )
+
+
+Q_DIST_JOIN_SQL = f"""
+    WITH pts AS ({CUSTOMER_POINT_SQL})
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST((a.px - b.px) * (a.px - b.px)
+              + (a.py - b.py) * (a.py - b.py) AS BIGINT) AS d2
+    FROM pts a JOIN pts b
+      ON a.c_custkey < b.c_custkey
+     AND (a.px - b.px) * (a.px - b.px)
+       + (a.py - b.py) * (a.py - b.py) <= 25.0
+"""
+
+
 def q_rollup_sales(sf_dir: str):
     """ROLLUP / grouping-sets aggregate: lineitem quantity + revenue
     totals at three levels — (returnflag, linestatus), (returnflag),
@@ -3809,6 +3843,7 @@ def build_queries():
         "event_gaps": q_event_gaps,
         "hll_distinct": q_hll_distinct,
         "spatial_antijoin": q_spatial_antijoin,
+        "dist_join": q_dist_join,
         "vocab_topk": q_vocab_topk,
         "tfidf_topterms": q_tfidf_topterms,
         "rollup_sales": q_rollup_sales,
@@ -3882,6 +3917,7 @@ def build_oracle_sql():
         "event_gaps": Q_EVENT_GAPS_SQL,
         "hll_distinct": Q_HLL_DISTINCT_SQL,
         "spatial_antijoin": Q_SPATIAL_ANTIJOIN_SQL,
+        "dist_join": Q_DIST_JOIN_SQL,
         "vocab_topk": Q_VOCAB_TOPK_SQL,
         "tfidf_topterms": Q_TFIDF_SQL,
         "rollup_sales": Q_ROLLUP_SALES_SQL,

@@ -51,3 +51,43 @@ def test_empty_query_batch():
     # 8 data rows, zero query replicas
     assert out.num_rows == 8
     assert set(out["side"].to_pylist()) == {"data"}
+
+
+def test_dist_join_exactly_once_across_cells(ray_session):
+    """Pairs straddling cell boundaries are emitted exactly once, and
+    the pair set matches brute force."""
+    import itertools
+
+    import ray.data as rd
+
+    from rust_geo_booleanop_ray.stages.dist_join import dist_join_pipeline
+
+    rng = np.random.RandomState(5)
+    # integer lattice spanning many res-5 cells incl. boundary-hugging
+    # points (res-5 edges: 11.25 x, 5.625 y -> x=11,12 / y=5,6 straddle)
+    xs = rng.randint(0, 60, 400).astype(np.float64)
+    ys = rng.randint(0, 40, 400).astype(np.float64)
+    ids = np.arange(400, dtype=np.int64)
+    t = pa.table({"pid": pa.array(ids), "px": pa.array(xs), "py": pa.array(ys)})
+    out = dist_join_pipeline(
+        rd.from_arrow(t).repartition(7), eps=5.0, res=5,
+        id_col="pid", x_col="px", y_col="py",
+    ).take_all()
+    got = sorted((r["id_a"], r["id_b"], r["d2"]) for r in out)
+    assert len(got) == len(set((a, b) for a, b, _ in got)), "duplicate pairs"
+    want = sorted(
+        (int(a), int(b), int((xs[a] - xs[b]) ** 2 + (ys[a] - ys[b]) ** 2))
+        for a, b in itertools.combinations(range(400), 2)
+        if (xs[a] - xs[b]) ** 2 + (ys[a] - ys[b]) ** 2 <= 25.0
+    )
+    assert got == want
+
+
+def test_dist_join_rejects_oversized_eps():
+    import pytest
+
+    from rust_geo_booleanop_ray.stages.dist_join import check_eps_fits
+
+    with pytest.raises(ValueError):
+        check_eps_fits(6, 5.0)  # res-6 y edge is 2.8125 < eps
+    check_eps_fits(5, 5.0)
