@@ -105,6 +105,7 @@ def bench_list():
         "event_gaps",
         "rollup_sales",
         "dist_join",
+        "semi_join",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

@@ -3402,6 +3402,51 @@ Q_ANTI_JOIN_SQL = """
 """
 
 
+def q_semi_join(sf_dir: str):
+    """Equi SEMI-join with a bloom pre-filter: customers having ≥1
+    high-value order.  The build side's keys are folded into ONE
+    broadcast bitmap (distributed OR tree-reduce, 1 MiB on the driver
+    regardless of build size); the probe side sheds definite
+    non-matches BEFORE the shuffle — at 100 TB that's the difference
+    between exchanging every customer row and only plausible matches.
+    False positives are resolved exactly by the bucket-local Acero
+    semi join, so the result is still exact."""
+    import ray
+
+    from ..stages.join import bloom_prefilter, build_bloom, shuffle_hash_join
+
+    def hi_keys(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b["o_totalprice"], 450000.0)
+        return pa.table({"c_custkey": b.filter(keep)["o_custkey"]})
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        hi_keys, batch_format="pyarrow"
+    )
+    words = build_bloom(orders, "c_custkey")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    cust = bloom_prefilter(cust, ray.put(words), "c_custkey")
+    return shuffle_hash_join(
+        cust,
+        orders,
+        "c_custkey",
+        ["c_name"],
+        [],
+        how="semi",
+        left_schema=pa.schema(
+            [pa.field("c_custkey", pa.int64()), pa.field("c_name", pa.string())]
+        ),
+        right_schema=pa.schema([pa.field("c_custkey", pa.int64())]),
+    )
+
+
+Q_SEMI_JOIN_SQL = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+"""
+
+
 def q_left_join(sf_dir: str):
     """Left OUTER equi-join: every customer, with their URGENT orders
     attached and typed-null order columns where none exist — the join
@@ -3849,6 +3894,7 @@ def build_queries():
         "rollup_sales": q_rollup_sales,
         "group_quantiles": q_group_quantiles,
         "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
         "left_join": q_left_join,
         "zonal_stats": q_zonal_stats,
         "buffer_dissolve": q_buffer_dissolve,
@@ -3923,6 +3969,7 @@ def build_oracle_sql():
         "rollup_sales": Q_ROLLUP_SALES_SQL,
         "group_quantiles": Q_GROUP_QUANTILES_SQL,
         "anti_join": Q_ANTI_JOIN_SQL,
+        "semi_join": Q_SEMI_JOIN_SQL,
         "left_join": Q_LEFT_JOIN_SQL,
         "zonal_stats": Q_ZONAL_STATS_SQL,
         "buffer_dissolve": Q_BUFFER_DISSOLVE_SQL,

@@ -278,3 +278,75 @@ def shuffle_hash_join(
         .groupby(_BUCKET_COL)
         .map_groups(join_bucket, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------------------ bloom filter
+
+_BLOOM_C2 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bloom_hashes(keys: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
+    """(len(keys), n_hashes) bit indices via double hashing
+    h1 + i*h2 — splitmix64 streams, deterministic across processes."""
+    from .footprint import _splitmix64
+
+    k = keys.astype(np.uint64, copy=False)
+    h1 = _splitmix64(k)
+    h2 = _splitmix64(k ^ _BLOOM_C2) | np.uint64(1)  # odd → full period
+    i = np.arange(n_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)).astype(
+        np.int64
+    )
+
+
+def build_bloom(ds, key: str, n_bits: int = 1 << 23, n_hashes: int = 4) -> np.ndarray:
+    """Distributed bloom-filter build over ``ds[key]`` (integer keys):
+    each block folds its keys into a local bitmap; Ray's aggregate
+    tree-reduce ORs the bitmaps.  The driver receives ONE
+    ``n_bits/64``-word uint64 array (1 MiB at the default 2^23 bits)
+    regardless of input size."""
+    from ray.data.aggregate import AggregateFn
+
+    n_words = n_bits >> 6
+
+    def accumulate_block(words, block) -> np.ndarray:
+        t = pa.table(block) if not isinstance(block, pa.Table) else block
+        keys = t[key].to_numpy(zero_copy_only=False)
+        idx = _bloom_hashes(keys, n_bits, n_hashes).ravel()
+        w = words.copy()
+        np.bitwise_or.at(w, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64))
+        return w
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(n_words, dtype=np.uint64),
+        accumulate_block=accumulate_block,
+        merge=lambda a, b: np.bitwise_or(a, b),
+        name="bloom",
+    )
+    out = ds.aggregate(agg)
+    return out["bloom"]
+
+
+def bloom_might_contain(words: np.ndarray, keys: np.ndarray, n_hashes: int = 4) -> np.ndarray:
+    """Vectorized membership probe; False is definite, True is maybe."""
+    n_bits = len(words) << 6
+    idx = _bloom_hashes(keys, n_bits, n_hashes)
+    bits = (words[idx >> 6] >> (idx & 63).astype(np.uint64)) & np.uint64(1)
+    return bits.all(axis=1).astype(bool)
+
+
+def bloom_prefilter(ds, words_ref, key: str, n_hashes: int = 4):
+    """Drop rows whose ``key`` definitely isn't in the bloom filter —
+    the cheap pre-shuffle guard for semi/inner joins: at 100 TB the
+    probe side sheds its non-matching rows BEFORE the exchange, for
+    one broadcast bitmap (``ray.put`` once) instead of a shuffle.
+    Safe only where false positives are tolerable downstream (they
+    are for semi/inner — Acero still decides exactly)."""
+    import ray
+
+    def fil(batch: pa.Table) -> pa.Table:
+        words = ray.get(words_ref) if hasattr(words_ref, "hex") else words_ref
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(bloom_might_contain(words, keys, n_hashes)))
+
+    return ds.map_batches(fil, batch_format="pyarrow")

@@ -190,3 +190,28 @@ def test_shuffle_hash_join_left_outer_matches_bruteforce():
         else:
             want.append((k, v, -1))
     assert got == sorted(want)
+
+
+def test_bloom_no_false_negatives_and_prefilter_keeps_matches(ray_session):
+    import numpy as np
+
+    from rust_geo_booleanop_ray.stages.join import (
+        bloom_might_contain,
+        bloom_prefilter,
+        build_bloom,
+    )
+
+    member = np.arange(0, 5000, 3, dtype=np.int64)
+    tr = pa.table({"k": pa.array(member)})
+    words = build_bloom(rd.from_arrow(tr).repartition(5), "k", n_bits=1 << 16)
+    # zero false negatives (the property the semi join relies on)
+    assert bloom_might_contain(words, member).all()
+    # non-members are mostly rejected
+    non = np.arange(1, 5000, 3, dtype=np.int64)
+    fp = bloom_might_contain(words, non).mean()
+    assert fp < 0.05, fp
+    # prefilter keeps every true match
+    probe = pa.table({"k": pa.array(np.arange(0, 5000, dtype=np.int64))})
+    kept = bloom_prefilter(rd.from_arrow(probe), words, "k").take_all()
+    kept_keys = {r["k"] for r in kept}
+    assert set(member.tolist()) <= kept_keys
