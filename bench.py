@@ -56,6 +56,7 @@ def bench_list():
         "pricing_summary",
         "top_customers",
         "events_window",
+        "sliding_window",
         "sessions",
         "hash_sample",
         "dedup_exact",
@@ -92,6 +93,7 @@ def bench_list():
         "grouped_topk",
         "running_total",
         "hll_distinct",
+        "cms_counts",
         "spatial_antijoin",
         "vocab_topk",
         "group_quantiles",

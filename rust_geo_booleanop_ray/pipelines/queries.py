@@ -695,6 +695,70 @@ Q_EVENTS_WINDOW_SQL = """
 """
 
 
+def q_sliding_window(sf_dir: str):
+    """SLIDING 2-hour window, 1-hour hop, per event_type: each event
+    fans out to exactly len/hop = 2 window replicas in the partial
+    (window_id = hop bucket of the window START), then the same
+    pre-aggregated two-key groupby as the tumbling case — the overlap
+    multiplies the partial rows by len/hop, never the exchanged data
+    volume beyond that constant."""
+    from ray.data.aggregate import Sum
+
+    HOP = 3_600_000_000
+    NSUB = 2  # window length = NSUB * HOP
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hop_id = ts // HOP
+        n = len(ts)
+        # event in hop-bucket b belongs to windows starting at b-1 and b
+        win = np.concatenate([hop_id - 1, hop_id])
+        etype = pa.concat_arrays(
+            [batch["event_type"].combine_chunks()] * NSUB
+        )
+        val = np.tile(_cents(batch["value"].to_numpy()), NSUB)
+        t = pa.table(
+            {
+                "event_type": etype,
+                "window_id": pa.array(win, pa.int64()),
+                "value_c": pa.array(val, pa.int64()),
+            }
+        )
+        agg = pa.TableGroupBy(t, ["event_type", "window_id"]).aggregate(
+            [("value_c", "count"), ("value_c", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": agg["event_type"],
+                "window_id": agg["window_id"],
+                "n": agg["value_c_count"].cast(pa.int64()),
+                "sum_value_c": agg["value_c_sum"].cast(pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value_c", alias_name="sum_value_c"))
+    )
+
+
+Q_SLIDING_WINDOW_SQL = """
+    WITH f AS (
+      SELECT event_type,
+             unnest([epoch_us(ts) // 3600000000 - 1,
+                     epoch_us(ts) // 3600000000]) AS window_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+      FROM events
+    )
+    SELECT event_type, window_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+    FROM f GROUP BY event_type, window_id
+"""
+
+
 def q_sessions(sf_dir: str):
     """Gap-based sessionization (30-min inactivity timeout) per user:
     groupby(user_id) co-locates each user's events, the per-group kernel
@@ -2901,20 +2965,25 @@ def _mulmod64_sql(x: str, c: int) -> str:
     )
 
 
-def _splitmix64_ctes(src: str, key_expr: str, carry_cols: str) -> str:
+def _splitmix64_ctes(
+    src: str, key_expr: str, carry_cols: str, suffix: str = ""
+) -> str:
     """CTE chain computing h = splitmix64(key_expr) over ``src`` —
     mirrors stages/footprint.py::_splitmix64 step for step (>>k as
     //2^k on non-negative HUGEINTs).  ``carry_cols``: comma-joined
-    columns to carry through.  The final CTE is named ``hsh`` with
-    columns (carry_cols..., h)."""
+    columns to carry through.  The final CTE is named ``hsh{suffix}``
+    with columns (carry_cols..., h); pass a distinct ``suffix`` per
+    chain when one query needs several independent hashes (e.g. the
+    count-min sketch's D rows)."""
     H = "18446744073709551616::HUGEINT"
     C1, C2, C3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
-    return f"""x1 AS (
+    s = suffix
+    return f"""x1{s} AS (
       SELECT {carry_cols}, (({key_expr})::HUGEINT + {C1}) % {H} AS x FROM {src}
     ),
-    z1 AS (SELECT {carry_cols}, {_mulmod64_sql("xor(x, x // 1073741824)", C2)} AS z FROM x1),
-    z2 AS (SELECT {carry_cols}, {_mulmod64_sql("xor(z, z // 134217728)", C3)} AS z FROM z1),
-    hsh AS (SELECT {carry_cols}, xor(z, z // 2147483648) AS h FROM z2)"""
+    z1{s} AS (SELECT {carry_cols}, {_mulmod64_sql("xor(x, x // 1073741824)", C2)} AS z FROM x1{s}),
+    z2{s} AS (SELECT {carry_cols}, {_mulmod64_sql("xor(z, z // 134217728)", C3)} AS z FROM z1{s}),
+    hsh{s} AS (SELECT {carry_cols}, xor(z, z // 2147483648) AS h FROM z2{s})"""
 
 
 def q_hll_distinct(sf_dir: str):
@@ -2993,6 +3062,85 @@ def _build_hll_sql() -> str:
 
 
 Q_HLL_DISTINCT_SQL = _build_hll_sql()
+
+
+def q_cms_counts(sf_dir: str):
+    """Count-min sketch point-frequency estimates (stages/sketch.py).
+
+    Per-block D×W count grids tree-reduce by SUM through Ray's
+    aggregate, so the driver receives one 32 KiB array regardless of
+    input size; the fixed probe set (user_id 0..149) is then answered
+    from the sketch alone.  Estimates are exact integers and the
+    sketch is order-independent, so the oracle mirrors the sketch
+    itself (not the true counts) — the same contract as hll_distinct."""
+    from ..stages.sketch import build_cms, cms_estimate
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    sk = build_cms(ds, "user_id")
+    probes = np.arange(150, dtype=np.uint64)
+    est = cms_estimate(sk, probes)
+    return pa.table(
+        {
+            "user_id": pa.array(probes.astype(np.int64), pa.int64()),
+            "est_count": pa.array(est, pa.int64()),
+        }
+    )
+
+
+def _build_cms_sql() -> str:
+    """SQL mirror of the count-min sketch: for each of the D=4 hash
+    rows, bucket = splitmix64(key XOR row_i_salt) mod 1024; per-bucket
+    COUNT(*) over events gives that row's counter; a probe key's
+    estimate is the MIN over rows of its bucket's counter (0 when the
+    bucket was never touched)."""
+    from ..stages.sketch import CMS_D, CMS_SEED, CMS_W
+
+    parts = ["probe AS (SELECT unnest(range(150)) AS k)"]
+    est_joins, est_cols = [], []
+    for i in range(CMS_D):
+        salt = (i * CMS_SEED) & 0xFFFFFFFFFFFFFFFF
+        parts.append(
+            _splitmix64_ctes(
+                "events",
+                f"xor(CAST(user_id AS HUGEINT), {salt}::HUGEINT)",
+                "user_id",
+                suffix=f"e{i}",
+            )
+        )
+        parts.append(
+            f"""cnt{i} AS (
+      SELECT CAST(h % {CMS_W} AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM hshe{i} GROUP BY 1
+    )"""
+        )
+        parts.append(
+            _splitmix64_ctes(
+                "probe",
+                f"xor(CAST(k AS HUGEINT), {salt}::HUGEINT)",
+                "k",
+                suffix=f"p{i}",
+            )
+        )
+        parts.append(
+            f"""pe{i} AS (
+      SELECT k, COALESCE(cnt{i}.c, 0) AS e
+      FROM (SELECT k, CAST(h % {CMS_W} AS BIGINT) AS b FROM hshp{i}) pb
+      LEFT JOIN cnt{i} USING (b)
+    )"""
+        )
+        est_joins.append(f"JOIN pe{i} USING (k)" if i else f"pe{i}")
+        est_cols.append(f"pe{i}.e")
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT CAST(k AS BIGINT) AS user_id,
+           CAST(LEAST({", ".join(est_cols)}) AS BIGINT) AS est_count
+    FROM {" ".join(est_joins)}
+"""
+
+
+Q_CMS_COUNTS_SQL = _build_cms_sql()
 
 
 def q_spatial_antijoin(sf_dir: str):
@@ -3853,6 +4001,7 @@ def build_queries():
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_window": q_events_window,
+        "sliding_window": q_sliding_window,
         "sessions": q_sessions,
         "hash_sample": q_hash_sample,
         "asof_join": q_asof_join,
@@ -3887,6 +4036,7 @@ def build_queries():
         "running_total": q_running_total,
         "event_gaps": q_event_gaps,
         "hll_distinct": q_hll_distinct,
+        "cms_counts": q_cms_counts,
         "spatial_antijoin": q_spatial_antijoin,
         "dist_join": q_dist_join,
         "vocab_topk": q_vocab_topk,
@@ -3934,6 +4084,7 @@ def build_oracle_sql():
         "pricing_summary": Q_PRICING_SQL,
         "top_customers": Q_TOP_CUSTOMERS_SQL,
         "events_window": Q_EVENTS_WINDOW_SQL,
+        "sliding_window": Q_SLIDING_WINDOW_SQL,
         "sessions": Q_SESSIONS_SQL,
         "hash_sample": Q_HASH_SAMPLE_SQL,
         "asof_join": Q_ASOF_JOIN_SQL,
@@ -3962,6 +4113,7 @@ def build_oracle_sql():
         "running_total": Q_RUNNING_TOTAL_SQL,
         "event_gaps": Q_EVENT_GAPS_SQL,
         "hll_distinct": Q_HLL_DISTINCT_SQL,
+        "cms_counts": Q_CMS_COUNTS_SQL,
         "spatial_antijoin": Q_SPATIAL_ANTIJOIN_SQL,
         "dist_join": Q_DIST_JOIN_SQL,
         "vocab_topk": Q_VOCAB_TOPK_SQL,

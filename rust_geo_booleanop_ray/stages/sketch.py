@@ -102,3 +102,57 @@ def hll_finalize_group(group: pa.Table, group_col: str) -> pa.Table:
             "est_distinct": pa.array([est], pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------- count-min sketch
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # buckets per row
+CMS_SEED = 0x243F6A8885A308D3  # row i xors key with i * CMS_SEED
+
+
+def cms_bucket(keys: np.ndarray, i: int) -> np.ndarray:
+    """Row-i bucket index: splitmix64(key ^ (i * seed)) mod W."""
+    k = keys.astype(np.uint64, copy=False) ^ (
+        np.uint64(i) * np.uint64(CMS_SEED)
+    )
+    return (_splitmix64(k) % np.uint64(CMS_W)).astype(np.int64)
+
+
+def build_cms(ds, key: str) -> np.ndarray:
+    """Distributed count-min sketch over ``ds[key]`` (integer keys).
+
+    Each block folds its key value-counts into a local D×W int64 grid;
+    Ray's aggregate tree-reduce SUMS the grids — addition is
+    associative and commutative, so the sketch is order-independent
+    and therefore exactly reproducible by the SQL oracle.  The driver
+    receives one 32 KiB array regardless of input size."""
+    from ray.data.aggregate import AggregateFn
+
+    def accumulate_block(state: np.ndarray, block) -> np.ndarray:
+        t = pa.table(block) if not isinstance(block, pa.Table) else block
+        vc = t[key].combine_chunks().value_counts()
+        keys = vc.field("values").to_numpy(zero_copy_only=False)
+        counts = vc.field("counts").to_numpy().astype(np.int64)
+        s = state.copy()
+        for i in range(CMS_D):
+            np.add.at(s[i], cms_bucket(keys, i), counts)
+        return s
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros((CMS_D, CMS_W), dtype=np.int64),
+        accumulate_block=accumulate_block,
+        merge=lambda a, b: a + b,
+        name="cms",
+    )
+    return ds.aggregate(agg)["cms"]
+
+
+def cms_estimate(state: np.ndarray, probe_keys: np.ndarray) -> np.ndarray:
+    """Point-frequency upper-bound estimates: min over rows of the
+    probed bucket (the classic CM guarantee: est ≥ true, within
+    eps·N with prob 1−delta)."""
+    ests = np.stack(
+        [state[i][cms_bucket(probe_keys, i)] for i in range(CMS_D)]
+    )
+    return ests.min(axis=0)

@@ -146,6 +146,39 @@ def test_bottom_k_sample_is_nested_and_mergeable():
     assert set(key(small)) <= set(key(whole))
 
 
+def test_cms_merge_and_upper_bound():
+    """Count-min invariants: split-and-sum partials == one-shot grid
+    (the tree-reduce monoid), and every estimate upper-bounds the true
+    frequency with equality for most keys at this load factor."""
+    from rust_geo_booleanop_ray.stages.sketch import (
+        CMS_D,
+        CMS_W,
+        cms_bucket,
+        cms_estimate,
+    )
+
+    rng = np.random.RandomState(17)
+    keys = rng.zipf(1.3, 5000).astype(np.int64) % 400
+
+    def grid(ks):
+        s = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+        vals, counts = np.unique(ks, return_counts=True)
+        for i in range(CMS_D):
+            np.add.at(s[i], cms_bucket(vals, i), counts)
+        return s
+
+    one = grid(keys)
+    split = grid(keys[:1200]) + grid(keys[1200:3100]) + grid(keys[3100:])
+    assert np.array_equal(one, split)
+
+    probes = np.arange(400, dtype=np.uint64)
+    est = cms_estimate(one, probes)
+    true = np.bincount(keys, minlength=400)
+    assert (est >= true).all()
+    # at 400 distinct keys over 4x1024 buckets, collisions are rare
+    assert (est == true).mean() > 0.95
+
+
 def test_pivot_partial_matches_long_aggregation():
     """make_pivot_partial over split batches + a plain sum merge equals
     the long-form groupby(g, cat) aggregation."""
