@@ -58,6 +58,8 @@ def bench_list():
         "events_window",
         "sliding_window",
         "sessions",
+        "interval_union",
+        "mode_event",
         "hash_sample",
         "dedup_exact",
         "text_stats",
@@ -94,6 +96,7 @@ def bench_list():
         "running_total",
         "hll_distinct",
         "cms_counts",
+        "gram_matrix",
         "spatial_antijoin",
         "vocab_topk",
         "group_quantiles",

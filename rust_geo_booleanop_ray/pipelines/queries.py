@@ -814,6 +814,119 @@ Q_SESSIONS_SQL = """
 """
 
 
+def q_interval_union(sf_dir: str):
+    """Interval union / coverage per key: each event opens a 10-minute
+    interval; the per-user kernel merges overlaps (gaps-and-islands
+    sweep over the sorted starts) and reports the number of merged
+    islands and total covered microseconds.  Same one-shuffle
+    groupby(user_id) co-location as sessionization; integer-us
+    arithmetic keeps it hash-exact."""
+    IVL_US = 600_000_000  # 10-minute interval per event
+
+    def union_len(group: pa.Table) -> pa.Table:
+        s = np.sort(
+            group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        e = s + IVL_US
+        run_max = np.maximum.accumulate(e)
+        starts = np.concatenate(([True], s[1:] > run_max[:-1]))
+        start_idx = np.flatnonzero(starts)
+        last_idx = np.concatenate((start_idx[1:] - 1, [len(s) - 1]))
+        covered = int((run_max[last_idx] - s[start_idx]).sum())
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "n_intervals": pa.array([len(start_idx)], pa.int64()),
+                "covered_us": pa.array([covered], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return ds.groupby("user_id").map_groups(union_len, batch_format="pyarrow")
+
+
+Q_INTERVAL_UNION_SQL = """
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+      FROM events
+    ),
+    ord AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM ord
+    ),
+    g AS (
+      SELECT user_id, island, MIN(s) AS s0, MAX(e) AS e1
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(e1 - s0) AS BIGINT) AS covered_us
+    FROM g GROUP BY user_id
+"""
+
+
+def q_mode_event(sf_dir: str):
+    """Exact mode (most frequent event_type) per user with a
+    deterministic lexicographic tie-break.  Per-batch partial counts
+    shrink the exchange to one row per (user, type) per batch — the
+    counts monoid — then one groupby(user_id) merges and argmaxes."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(
+            batch.select(["user_id", "event_type"]), ["user_id", "event_type"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": agg["user_id"],
+                "event_type": agg["event_type"],
+                "n": agg["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def pick(group: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(group, "event_type").aggregate([("n", "sum")])
+        n = agg["n_sum"].to_numpy()
+        et = agg["event_type"].to_pylist()
+        best = min(range(len(n)), key=lambda i: (-int(n[i]), et[i]))
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "mode_event": pa.array([et[best]], pa.string()),
+                "mode_count": pa.array([int(n[best])], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(pick, batch_format="pyarrow")
+    )
+
+
+Q_MODE_EVENT_SQL = """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_event,
+           CAST(n AS BIGINT) AS mode_count
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type) = 1
+"""
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic ~5% hash sample of orders (Knuth multiplicative
     hash on the key — reproducible across engines and runs, unlike
@@ -3143,6 +3256,48 @@ def _build_cms_sql() -> str:
 Q_CMS_COUNTS_SQL = _build_cms_sql()
 
 
+GRAM_DIM = 64  # embeddings table vector width (all scale factors)
+
+
+def q_gram_matrix(sf_dir: str):
+    """Distributed Gram / covariance matrix over the embedding column
+    (stages/linalg.py): per-block (64, 64) int64 partial products
+    tree-reduce by SUM, one 32 KiB grid to the driver regardless of
+    row count — the PCA/whitening pre-pass shape.  Emitted as the
+    2,080-row upper triangle; fixed-point quantization makes every
+    entry integer-exact."""
+    from ..stages.linalg import build_gram
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    g = build_gram(ds, "embedding", GRAM_DIM)
+    iu, ju = np.triu_indices(GRAM_DIM)
+    return pa.table(
+        {
+            "i": pa.array(iu.astype(np.int64), pa.int64()),
+            "j": pa.array(ju.astype(np.int64), pa.int64()),
+            "gram": pa.array(g[iu, ju], pa.int64()),
+        }
+    )
+
+
+Q_GRAM_MATRIX_SQL = f"""
+    WITH q AS (
+      SELECT list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    idx AS (SELECT unnest(range(1, {GRAM_DIM + 1})) AS a)
+    SELECT CAST(i.a - 1 AS BIGINT) AS i,
+           CAST(j.a - 1 AS BIGINT) AS j,
+           CAST(SUM(q.qv[i.a] * q.qv[j.a]) AS BIGINT) AS gram
+    FROM q, idx i, idx j
+    WHERE j.a >= i.a
+    GROUP BY 1, 2
+"""
+
+
 def q_spatial_antijoin(sf_dir: str):
     """Spatial ANTI-join: customer points contained in NO part rect.
     Same one-shuffle PBSM layout as pip_join (points to their single
@@ -4003,6 +4158,8 @@ def build_queries():
         "events_window": q_events_window,
         "sliding_window": q_sliding_window,
         "sessions": q_sessions,
+        "interval_union": q_interval_union,
+        "mode_event": q_mode_event,
         "hash_sample": q_hash_sample,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -4037,6 +4194,7 @@ def build_queries():
         "event_gaps": q_event_gaps,
         "hll_distinct": q_hll_distinct,
         "cms_counts": q_cms_counts,
+        "gram_matrix": q_gram_matrix,
         "spatial_antijoin": q_spatial_antijoin,
         "dist_join": q_dist_join,
         "vocab_topk": q_vocab_topk,
@@ -4086,6 +4244,8 @@ def build_oracle_sql():
         "events_window": Q_EVENTS_WINDOW_SQL,
         "sliding_window": Q_SLIDING_WINDOW_SQL,
         "sessions": Q_SESSIONS_SQL,
+        "interval_union": Q_INTERVAL_UNION_SQL,
+        "mode_event": Q_MODE_EVENT_SQL,
         "hash_sample": Q_HASH_SAMPLE_SQL,
         "asof_join": Q_ASOF_JOIN_SQL,
         "range_join": Q_RANGE_JOIN_SQL,
@@ -4114,6 +4274,7 @@ def build_oracle_sql():
         "event_gaps": Q_EVENT_GAPS_SQL,
         "hll_distinct": Q_HLL_DISTINCT_SQL,
         "cms_counts": Q_CMS_COUNTS_SQL,
+        "gram_matrix": Q_GRAM_MATRIX_SQL,
         "spatial_antijoin": Q_SPATIAL_ANTIJOIN_SQL,
         "dist_join": Q_DIST_JOIN_SQL,
         "vocab_topk": Q_VOCAB_TOPK_SQL,

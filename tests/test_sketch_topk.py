@@ -179,6 +179,37 @@ def test_cms_merge_and_upper_bound():
     assert (est == true).mean() > 0.95
 
 
+def test_gram_partials_merge_and_quantize_half_up():
+    """Gram-matrix invariants: per-slab partial products sum to the
+    one-shot product (the tree-reduce monoid), and quantization is
+    half-up at 3 decimals including negatives (mirrors the SQL's
+    floor(x*1000 + 0.5))."""
+    from rust_geo_booleanop_ray.stages.linalg import quantize_embeddings
+
+    col = pa.array(
+        [[0.0015, -0.0015], [0.25, -0.9999]], pa.list_(pa.float32())
+    )
+    q = quantize_embeddings(col)
+    # float32 storage shifts 0.0015 slightly; assert against the same
+    # half-up expression applied to the float64-widened stored values
+    stored = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    want = np.floor(stored * 1000.0 + 0.5).astype(np.int64).reshape(2, 2)
+    assert np.array_equal(q, want)
+    assert q[0, 0] > 0 and q[0, 1] <= 0  # half-up: floor(-1.0) = -1
+
+    rng = np.random.RandomState(23)
+    m = rng.uniform(-0.6, 0.6, (300, 8)).astype(np.float32)
+    arr = pa.array(m.tolist(), pa.list_(pa.float32()))
+    full = quantize_embeddings(arr)
+    one = full.T @ full
+    split = sum(
+        (lambda s: s.T @ s)(quantize_embeddings(pa.array(part.tolist(), pa.list_(pa.float32()))))
+        for part in (m[:100], m[100:180], m[180:])
+    )
+    assert np.array_equal(one, split)
+    assert np.array_equal(one, one.T)
+
+
 def test_pivot_partial_matches_long_aggregation():
     """make_pivot_partial over split batches + a plain sum merge equals
     the long-form groupby(g, cat) aggregation."""
