@@ -70,6 +70,7 @@ def bench_list():
         "minhash_near_dup",
         "simhash_pairs",
         "image_features",
+        "image_quality",
         "image_near_dup",
         "image_sim_topk",
         "revenue_by_nation",

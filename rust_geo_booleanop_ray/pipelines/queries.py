@@ -1795,6 +1795,24 @@ def q_image_features(sf_dir: str):
     return feats.map_batches(check, batch_format="pyarrow")
 
 
+def q_image_quality(sf_dir: str):
+    """Image quality scoring + filter (stages/image_ops.py::
+    DecodeQuality): real PNG/raw decode → integer-exact brightness /
+    contrast / edge-energy signals → in-stage shed of below-mid-gray
+    images, so rejected payloads never leave the map stage.  The image
+    analogue of the text quality filter.  Value-exact: the oracle
+    inlines GENERATOR-side stats for the passing rows (pixel math,
+    never the codec), so driver equality pins decode + scoring + the
+    filter decision on every row."""
+    from ..sources.images import read_synth_images
+    from ..stages.image_ops import DecodeQuality
+
+    ds = read_synth_images(2000)
+    return ds.map_batches(
+        DecodeQuality(), batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+
 IMAGE_NEARDUP_N = 2000
 IMAGE_NEARDUP_MAX_HAMMING = 6
 
@@ -4176,6 +4194,7 @@ def build_queries():
         "embedding_near_dup": q_embedding_near_dup,
         "martinez_fixtures": q_martinez_fixtures,
         "image_features": q_image_features,
+        "image_quality": q_image_quality,
         "image_near_dup": q_image_near_dup,
         "image_sim_topk": q_image_sim,
         "video_frames": q_video_frames,
@@ -4217,7 +4236,7 @@ def build_oracle_sql():
     # math (a Python loop over 3,500 rows) that only the driver's
     # oracle comparison needs — workers importing this module for
     # map_batches closures must not pay for it.
-    from ..sources.images import expected_decode_features
+    from ..sources.images import expected_decode_features, expected_quality_stats
     from ..sources.videos import expected_audio_features, expected_frame_features
 
     image_features_sql = _values_oracle_sql(
@@ -4225,10 +4244,12 @@ def build_oracle_sql():
             ["image_id", "phash", "pix_checksum"]
         )
     )
+    image_quality_sql = _values_oracle_sql(expected_quality_stats(2000))
     video_frames_sql = _values_oracle_sql(expected_frame_features(500, stride=2))
     audio_features_sql = _values_oracle_sql(expected_audio_features(1000))
     return {
         "image_features": image_features_sql,
+        "image_quality": image_quality_sql,
         "video_frames": video_frames_sql,
         "audio_features": audio_features_sql,
         "clip_area": Q_CLIP_AREA_SQL,

@@ -172,6 +172,50 @@ def pix_checksum(pixels: np.ndarray) -> np.int64:
     return np.int64((flat * (np.arange(len(flat), dtype=np.int64) + 1)).sum())
 
 
+def quality_stats(pixels: np.ndarray) -> tuple[int, int, int]:
+    """Integer-exact image-quality signals for an (h, w, 3) uint8 image:
+    brightness (Σ bytes), contrast proxy (Σ bytes²) and edge energy
+    (Σ |horizontal diffs| + Σ |vertical diffs| per channel).  All
+    int64-exact, so a generator-side expected-values oracle can pin
+    the decode + scoring path bit-for-bit."""
+    p = pixels.astype(np.int64)
+    bright = int(p.sum())
+    ssq = int((p * p).sum())
+    edge = int(np.abs(np.diff(p, axis=0)).sum() + np.abs(np.diff(p, axis=1)).sum())
+    return bright, ssq, edge
+
+
+def image_quality_keep(bright_sum: int, n_subpixels: int) -> bool:
+    """The quality-filter predicate, shared by the engine stage and the
+    expected-values oracle: keep images at or above mid-gray mean
+    brightness (2·Σ bytes ≥ 255·n) — integer arithmetic only."""
+    return 2 * bright_sum >= 255 * n_subpixels
+
+
+def expected_quality_stats(n_images: int, seed: int = 42) -> pa.Table:
+    """Generator-side expected (image_id, bright_sum, contrast_ssq,
+    edge_energy) for the rows PASSING the quality filter — computed
+    from the generator's pixel math, never through the codec, so
+    driver equality pins decode + scoring + the filter decision."""
+    ids, brights, ssqs, edges = [], [], [], []
+    for i in range(n_images):
+        pixels = _base_pixels(i, seed)
+        bright, ssq, edge = quality_stats(pixels)
+        if image_quality_keep(bright, pixels.size):
+            ids.append(f"img-{i:08d}")
+            brights.append(bright)
+            ssqs.append(ssq)
+            edges.append(edge)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bright_sum": pa.array(brights, pa.int64()),
+            "contrast_ssq": pa.array(ssqs, pa.int64()),
+            "edge_energy": pa.array(edges, pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------- near-dup corpus
 #
 # A corpus WITH near-duplicates by construction: every 7th row

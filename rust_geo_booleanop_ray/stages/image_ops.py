@@ -178,6 +178,49 @@ class ImageSimMerge:
         )
 
 
+class DecodeQuality:
+    """Actor-pool stage: decode payload → integer-exact quality signals
+    (brightness / contrast / edge energy) → in-stage filter keeping
+    only images at or above mid-gray mean brightness.
+
+    The image analogue of the text quality filter (text.py): score in
+    the map stage, shed rejected rows BEFORE any downstream exchange so
+    filtered payloads never hit the object store again.  Use as
+    map_batches(DecodeQuality, batch_format="pyarrow", concurrency=N,
+    batch_size=B small — rows carry binary payloads)."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        from ..sources.images import image_quality_keep, quality_stats
+
+        self._stats = quality_stats
+        self._keep = image_quality_keep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        n = len(payloads)
+        bright = np.empty(n, dtype=np.int64)
+        ssq = np.empty(n, dtype=np.int64)
+        edge = np.empty(n, dtype=np.int64)
+        keep = np.zeros(n, dtype=bool)
+        for i, payload in enumerate(payloads):
+            px = decode_image(payload, int(ws[i]), int(hs[i]), fmts[i], self.strict)
+            bright[i], ssq[i], edge[i] = self._stats(px)
+            keep[i] = self._keep(int(bright[i]), px.size)
+        out = pa.table(
+            {
+                "image_id": batch["image_id"],
+                "bright_sum": pa.array(bright, pa.int64()),
+                "contrast_ssq": pa.array(ssq, pa.int64()),
+                "edge_energy": pa.array(edge, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+
 class DecodeFeatures:
     """Actor-pool stage: decode payload → per-image features.
 

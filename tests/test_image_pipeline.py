@@ -69,6 +69,37 @@ def test_png_rows_decode_to_generator_pixels():
         assert (px == expected).all()
 
 
+def test_decode_quality_matches_generator_and_filters():
+    """DecodeQuality reproduces the generator-side integer stats
+    through the decode path (incl. the PNG rows) and keeps exactly the
+    above-mid-gray rows."""
+    from rust_geo_booleanop_ray.sources.images import (
+        _base_pixels,
+        image_quality_keep,
+        quality_stats,
+    )
+    from rust_geo_booleanop_ray.stages.image_ops import DecodeQuality
+
+    t = synth_image_batch(np.arange(60))
+    out = DecodeQuality()(t)
+    want = {}
+    for i in range(60):
+        px = _base_pixels(i)
+        bright, ssq, edge = quality_stats(px)
+        if image_quality_keep(bright, px.size):
+            want[f"img-{i:08d}"] = (bright, ssq, edge)
+    got = {
+        out["image_id"][i].as_py(): (
+            out["bright_sum"][i].as_py(),
+            out["contrast_ssq"][i].as_py(),
+            out["edge_energy"][i].as_py(),
+        )
+        for i in range(out.num_rows)
+    }
+    assert got == want
+    assert 0 < len(want) < 60  # the filter is non-trivial both ways
+
+
 def test_resize_nearest():
     px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
     out = resize_nearest(px, 3, 2)
