@@ -3822,6 +3822,71 @@ Q_LEFT_JOIN_SQL = """
 """
 
 
+def q_full_join(sf_dir: str):
+    """Full OUTER equi-join: a customer SUBSET (every third custkey —
+    a stand-in for a partially-loaded dimension) against URGENT
+    orders.  Keeps matched products, subset customers with no urgent
+    order (null order columns) AND urgent orders whose customer is
+    outside the subset (null name) — the reconciliation join you run
+    when neither side is authoritative.  Same one-shuffle bucketed
+    plan as the other four modes; the bucket-local Acero full-outer
+    verdict is global because all rows of a key share a bucket, and
+    the key column is coalesced across sides per SQL semantics."""
+    from ..stages.join import shuffle_hash_join
+
+    def subset(b: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(b["c_custkey"], 3), 0)
+        return b.filter(keep).select(["c_custkey", "c_name"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        subset, batch_format="pyarrow"
+    )
+
+    def urgent(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["o_orderpriority"], "1-URGENT")
+        kept = b.filter(keep)
+        return pa.table(
+            {
+                "c_custkey": kept["o_custkey"],
+                "o_orderkey": kept["o_orderkey"],
+                "price_c": pa.array(_cents(kept["o_totalprice"].to_numpy())),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).map_batches(urgent, batch_format="pyarrow")
+    return shuffle_hash_join(
+        cust,
+        orders,
+        "c_custkey",
+        ["c_name"],
+        ["o_orderkey", "price_c"],
+        how="full",
+        left_schema=pa.schema(
+            [pa.field("c_custkey", pa.int64()), pa.field("c_name", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [
+                pa.field("c_custkey", pa.int64()),
+                pa.field("o_orderkey", pa.int64()),
+                pa.field("price_c", pa.int64()),
+            ]
+        ),
+    )
+
+
+Q_FULL_JOIN_SQL = """
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS c_custkey, c.c_name,
+           o.o_orderkey,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+    FROM (SELECT c_custkey, c_name FROM customer
+          WHERE (c_custkey & 3) = 0) c
+    FULL JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+      ON o.o_custkey = c.c_custkey
+"""
+
+
 def q_zonal_stats(sf_dir: str):
     """Zonal statistics: per-rect (zone) count and sum of a customer
     point metric — the spatial-aggregate pattern (join + aggregate in
@@ -4223,6 +4288,7 @@ def build_queries():
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "left_join": q_left_join,
+        "full_join": q_full_join,
         "zonal_stats": q_zonal_stats,
         "buffer_dissolve": q_buffer_dissolve,
         "stratified_sample": q_stratified_sample,
@@ -4305,6 +4371,7 @@ def build_oracle_sql():
         "anti_join": Q_ANTI_JOIN_SQL,
         "semi_join": Q_SEMI_JOIN_SQL,
         "left_join": Q_LEFT_JOIN_SQL,
+        "full_join": Q_FULL_JOIN_SQL,
         "zonal_stats": Q_ZONAL_STATS_SQL,
         "buffer_dissolve": Q_BUFFER_DISSOLVE_SQL,
         "stratified_sample": Q_STRATIFIED_SAMPLE_SQL,

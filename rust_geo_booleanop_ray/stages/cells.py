@@ -114,6 +114,10 @@ def cover_bbox(minx, miny, maxx, maxy, res: int):
     ny = (iy1 - iy0 + np.uint64(1)).astype(np.int64)
     counts = nx * ny
     total = int(counts.sum())
+    if total == 0:
+        # empty batch (e.g. a filter upstream removed every row):
+        # the starts/counts repeat below can't broadcast 1-vs-0 shapes
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     row_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     # per-replica local offset (0..count-1) without Python loops
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))

@@ -161,10 +161,13 @@ def shuffle_hash_join(
     right-side match (projected to ``[key] + left_cols`` — the filter
     joins a pipeline needs for "has orders" / "not yet processed"
     predicates); ``how='left'`` is the left OUTER join — matched
-    product plus unmatched left rows with null right columns.  Same
-    single-shuffle physical plan for all four: all rows of a key land
-    in one bucket, so the bucket-local Acero verdict IS the global
-    verdict.
+    product plus unmatched left rows with null right columns;
+    ``how='full'`` is the full OUTER join — additionally keeps
+    unmatched RIGHT rows with null left columns (the key column is
+    coalesced across sides, as in SQL ``COALESCE(l.key, r.key)``).
+    Same single-shuffle physical plan for all five: all rows of a key
+    land in one bucket, so the bucket-local Acero verdict IS the
+    global verdict.
 
     Physical plan: project each side to (key, side-tag, own columns ⊕
     typed-null columns of the other side) so the union is
@@ -185,8 +188,8 @@ def shuffle_hash_join(
     execute part of its plan (a whole aggregate for shuffle-rooted
     datasets), so callers in iterative loops should always pass these."""
 
-    if how not in ("inner", "semi", "anti", "left"):
-        raise ValueError(f"how must be inner|semi|anti|left, got {how!r}")
+    if how not in ("inner", "semi", "anti", "left", "full"):
+        raise ValueError(f"how must be inner|semi|anti|left|full, got {how!r}")
     all_cols = list(left_cols) + list(right_cols)
     out_cols = list(left_cols) if how in ("semi", "anti") else all_cols
 
@@ -247,13 +250,20 @@ def shuffle_hash_join(
         l = group.filter(pa.array(lmask)).select([key] + list(left_cols))
         r = group.filter(pa.array(~lmask)).select([key] + list(right_cols))
         if l.num_rows == 0:
+            if how == "full":
+                # left side empty: every right row survives with
+                # typed-null left columns
+                for c in left_cols:
+                    r = r.append_column(c, pa.nulls(r.num_rows, types[c]))
+                return r.select([key] + out_cols)
             return pa.schema(empty_fields).empty_table()
         if r.num_rows == 0:
-            # empty build side: anti/left keep every left row
-            # (left pads the right columns with typed nulls), inner/semi none
+            # empty build side: anti/left/full keep every left row
+            # (outer modes pad the right columns with typed nulls),
+            # inner/semi none
             if how == "anti":
                 return l.select([key] + out_cols)
-            if how == "left":
+            if how in ("left", "full"):
                 for c in right_cols:
                     l = l.append_column(c, pa.nulls(l.num_rows, types[c]))
                 return l.select([key] + out_cols)
@@ -267,6 +277,7 @@ def shuffle_hash_join(
             "semi": "left semi",
             "anti": "left anti",
             "left": "left outer",
+            "full": "full outer",
         }[how]
         joined = l.join(r.select([key]) if how in ("semi", "anti") else r,
                         keys=key, join_type=acero_type)

@@ -146,3 +146,22 @@ def test_rtree_query_many_matches_per_row():
     assert len(r) == 0 and len(c) == 0
     r, c = t.query_many(np.empty(0), np.empty(0), np.empty(0), np.empty(0))
     assert len(r) == 0 and len(c) == 0
+
+
+def test_cover_bbox_and_explode_empty_input():
+    # an upstream filter can hand the explode a zero-row batch; the
+    # replicate step must return empty, not crash on shape broadcast
+    e = np.empty(0)
+    row_idx, cells = cover_bbox(e, e, e, e, 6)
+    assert len(row_idx) == 0 and len(cells) == 0
+    t = pa.table(
+        {
+            "id": pa.array([], pa.int64()),
+            "minx": pa.array([], pa.float64()),
+            "miny": pa.array([], pa.float64()),
+            "maxx": pa.array([], pa.float64()),
+            "maxy": pa.array([], pa.float64()),
+        }
+    )
+    out = explode_to_cells(t, 6)
+    assert out.num_rows == 0 and "cell" in out.column_names

@@ -192,6 +192,41 @@ def test_shuffle_hash_join_left_outer_matches_bruteforce():
     assert got == sorted(want)
 
 
+def test_shuffle_hash_join_full_outer_matches_bruteforce():
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    lk = rng.randint(0, 40, 100).astype(np.int64)
+    rk = rng.randint(20, 60, 60).astype(np.int64)
+    tl = pa.table({"k": pa.array(lk), "lv": pa.array(np.arange(100, dtype=np.int64))})
+    tr = pa.table({"k": pa.array(rk), "rv": pa.array(np.arange(60, dtype=np.int64))})
+    out = shuffle_hash_join(
+        rd.from_arrow(tl), rd.from_arrow(tr), "k", ["lv"], ["rv"], how="full"
+    ).take_all()
+    got = sorted(
+        (
+            r["k"],
+            r["lv"] if r["lv"] is not None else -1,
+            r["rv"] if r["rv"] is not None else -1,
+        )
+        for r in out
+    )
+    lmap, rmap = {}, {}
+    for k, v in zip(lk.tolist(), range(100)):
+        lmap.setdefault(k, []).append(v)
+    for k, v in zip(rk.tolist(), range(60)):
+        rmap.setdefault(k, []).append(v)
+    want = []
+    for k in set(lmap) | set(rmap):
+        if k in lmap and k in rmap:
+            want.extend((k, lv, rv) for lv in lmap[k] for rv in rmap[k])
+        elif k in lmap:
+            want.extend((k, lv, -1) for lv in lmap[k])
+        else:
+            want.extend((k, -1, rv) for rv in rmap[k])
+    assert got == sorted(want)
+
+
 def test_bloom_no_false_negatives_and_prefilter_keeps_matches(ray_session):
     import numpy as np
 
