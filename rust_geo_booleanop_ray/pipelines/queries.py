@@ -814,6 +814,45 @@ Q_SESSIONS_SQL = """
 """
 
 
+def q_latest_by_key(sf_dir: str):
+    """Log compaction / SCD upsert: the newest event per user — the
+    operator that turns an append-only CDC log into current state.
+    Per-batch combiner reduces every block to ≤ one row per user
+    BEFORE the single groupby(user_id) exchange (vectorized lexsort,
+    no per-row Python), so the shuffle moves ≤ one row per (block,
+    key) regardless of log length.  Winner = lexicographic max of
+    (ts_us, event_id); event_id is unique, so the result cannot
+    depend on block boundaries."""
+    from ..stages.compact import latest_by_key
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts_us": pa.array(ts, pa.int64()),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "value_c": pa.array(_cents(b["value"].to_numpy())),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return latest_by_key(ds, "user_id", ("ts_us", "event_id"))
+
+
+Q_LATEST_BY_KEY_SQL = """
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id
+        ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+"""
+
+
 def q_interval_union(sf_dir: str):
     """Interval union / coverage per key: each event opens a 10-minute
     interval; the per-user kernel merges overlaps (gaps-and-islands
@@ -4243,6 +4282,7 @@ def build_queries():
         "sessions": q_sessions,
         "interval_union": q_interval_union,
         "mode_event": q_mode_event,
+        "latest_by_key": q_latest_by_key,
         "hash_sample": q_hash_sample,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -4333,6 +4373,7 @@ def build_oracle_sql():
         "sessions": Q_SESSIONS_SQL,
         "interval_union": Q_INTERVAL_UNION_SQL,
         "mode_event": Q_MODE_EVENT_SQL,
+        "latest_by_key": Q_LATEST_BY_KEY_SQL,
         "hash_sample": Q_HASH_SAMPLE_SQL,
         "asof_join": Q_ASOF_JOIN_SQL,
         "range_join": Q_RANGE_JOIN_SQL,

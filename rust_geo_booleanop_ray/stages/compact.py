@@ -1,0 +1,66 @@
+"""Log compaction / latest-record-per-key (SCD upsert resolution).
+
+The reference has no notion of mutable keys (SURVEY.md §2.4); this is
+the engine addition every CDC / event-log pipeline at scale needs:
+given an append-only log where keys repeat, keep only the newest
+version of each key.
+
+Scale shape: a per-batch combiner first reduces every block to AT MOST
+one row per key (vectorized lexsort, no Python per-row work), so the
+single ``groupby(key)`` exchange moves ≤ one row per (block, key) —
+for a 100-TB log with a bounded key universe that is orders of
+magnitude less than shuffling the raw rows.  The per-group merge then
+applies the same reduction, and because all survivors of a key land in
+one group, the group-local maximum IS the global maximum.
+
+Determinism: the winner is the lexicographic maximum over
+``order_cols`` (e.g. ``("ts_us", "event_id")``) — callers should make
+the tuple unique per key (append a unique id) so ties cannot make the
+result depend on block boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def last_per_key(t: pa.Table, key: str, order_cols) -> pa.Table:
+    """Keep the row with the lexicographically greatest ``order_cols``
+    per distinct ``key`` (vectorized; stable for tied tuples: the
+    later row in table order wins, so make the tuple unique)."""
+    if t.num_rows == 0:
+        return t
+    k = t[key].to_numpy(zero_copy_only=False)
+    # np.lexsort: LAST key is the primary sort key → pass the least
+    # significant order column first, the partition key last
+    sort_keys = tuple(
+        t[c].to_numpy(zero_copy_only=False) for c in reversed(list(order_cols))
+    ) + (k,)
+    order = np.lexsort(sort_keys)
+    ks = k[order]
+    run_end = np.nonzero(ks[1:] != ks[:-1])[0]
+    idx = order[np.concatenate((run_end, [len(ks) - 1]))]
+    return t.take(pa.array(idx))
+
+
+def latest_by_key(ds, key: str, order_cols, out_cols=None):
+    """Compact a Dataset to one row per ``key``: the lexicographic
+    maximum of ``order_cols`` wins.  ``out_cols`` projects the result
+    (default: all columns).  One shuffle, ≤ one row per (block, key)
+    on the wire."""
+    cols = None if out_cols is None else [key] + [c for c in out_cols if c != key]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if cols is not None:
+            batch = batch.select(cols)
+        return last_per_key(batch, key, order_cols)
+
+    def merge(group: pa.Table) -> pa.Table:
+        return last_per_key(group, key, order_cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -430,3 +430,36 @@ def test_tfidf_scorer_matches_bruteforce():
     for row in out.to_pylist():
         got.setdefault(row["doc_id"], []).append((row["term"], row["score"]))
     assert got == want
+
+
+def test_latest_by_key_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from rust_geo_booleanop_ray.stages.compact import last_per_key, latest_by_key
+
+    rng = np.random.RandomState(41)
+    n = 500
+    t = pa.table(
+        {
+            "k": pa.array(rng.randint(0, 60, n).astype(np.int64)),
+            "ts": pa.array(rng.randint(0, 50, n).astype(np.int64)),  # many ties
+            "uid": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(rng.randint(0, 10**6, n).astype(np.int64)),
+        }
+    )
+    # brute force: max (ts, uid) per key
+    want = {}
+    for k, ts, uid, p in zip(*(t[c].to_pylist() for c in t.column_names)):
+        if k not in want or (ts, uid) > want[k][:2]:
+            want[k] = (ts, uid, p)
+    # single-table kernel
+    out = last_per_key(t, "k", ("ts", "uid"))
+    got = {
+        r["k"]: (r["ts"], r["uid"], r["payload"]) for r in out.to_pylist()
+    }
+    assert got == want
+    # distributed: answer must not depend on block boundaries
+    ds = rd.from_arrow(t).repartition(7)
+    rows = latest_by_key(ds, "k", ("ts", "uid")).take_all()
+    got_ds = {r["k"]: (r["ts"], r["uid"], r["payload"]) for r in rows}
+    assert got_ds == want
