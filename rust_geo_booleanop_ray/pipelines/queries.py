@@ -814,6 +814,27 @@ Q_SESSIONS_SQL = """
 """
 
 
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type — a 5-value grouping
+    key over the whole log, i.e. the canonical hot-key aggregate.
+    Salting keeps it skew-proof AND exact: users are hash-partitioned
+    into 32 disjoint salt buckets, each (type, salt) cell counts its
+    distinct users locally, and a trivial Sum folds the salts.  The
+    wide exchange is spread over type×salt tasks instead of one task
+    per type; contrast `hll_distinct`, the approximate path when even
+    a salt cell's distinct set is too large."""
+    from ..stages.distinct import salted_distinct_count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return salted_distinct_count(ds, "event_type", "user_id", n_salt=32)
+
+
+Q_DISTINCT_USERS_SQL = """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+"""
+
+
 def q_latest_by_key(sf_dir: str):
     """Log compaction / SCD upsert: the newest event per user — the
     operator that turns an append-only CDC log into current state.
@@ -4283,6 +4304,7 @@ def build_queries():
         "interval_union": q_interval_union,
         "mode_event": q_mode_event,
         "latest_by_key": q_latest_by_key,
+        "distinct_users": q_distinct_users,
         "hash_sample": q_hash_sample,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -4374,6 +4396,7 @@ def build_oracle_sql():
         "interval_union": Q_INTERVAL_UNION_SQL,
         "mode_event": Q_MODE_EVENT_SQL,
         "latest_by_key": Q_LATEST_BY_KEY_SQL,
+        "distinct_users": Q_DISTINCT_USERS_SQL,
         "hash_sample": Q_HASH_SAMPLE_SQL,
         "asof_join": Q_ASOF_JOIN_SQL,
         "range_join": Q_RANGE_JOIN_SQL,

@@ -463,3 +463,27 @@ def test_latest_by_key_matches_bruteforce(ray_session):
     rows = latest_by_key(ds, "k", ("ts", "uid")).take_all()
     got_ds = {r["k"]: (r["ts"], r["uid"], r["payload"]) for r in rows}
     assert got_ds == want
+
+
+def test_salted_distinct_count_exact(ray_session):
+    import ray.data as rd
+
+    from rust_geo_booleanop_ray.stages.distinct import salted_distinct_count
+
+    rng = np.random.RandomState(47)
+    n = 3000
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b", "c"], n)),
+            "u": pa.array(rng.randint(0, 200, n).astype(np.int64)),
+        }
+    )
+    want = {}
+    for g, u in zip(t["g"].to_pylist(), t["u"].to_pylist()):
+        want.setdefault(g, set()).add(u)
+    want = {g: len(s) for g, s in want.items()}
+    for n_salt in (1, 7, 32):
+        rows = salted_distinct_count(
+            rd.from_arrow(t).repartition(5), "g", "u", n_salt=n_salt
+        ).take_all()
+        assert {r["g"]: r["n_distinct"] for r in rows} == want, n_salt
