@@ -2428,6 +2428,116 @@ def _build_tile_coverage_sql(n_images: int = 1000, tile_res: int = 4, px: int = 
 Q_TILE_COVERAGE_SQL = _build_tile_coverage_sql()
 
 
+MOSAIC_N = 1500
+
+
+def q_tile_mosaic(sf_dir: str):
+    """Best-image-per-tile mosaic selection — the geospatial×image
+    synthesis op: which of the overlapping scenes should render each
+    map tile?  Pipeline: synth images → quad footprints → REAL decode
+    + quality scoring with in-stage shed (rejected payloads never
+    reach the exchange; the bbox columns ride through the decode
+    stage) → bbox tile cover at res 4 → per-tile argmax of
+    (bright_sum, img_idx) via the compaction combiner, so each block
+    contributes ≤ one candidate row per tile to the single shuffle.
+    Value-exact: the oracle inlines the generator-side quad params +
+    quality stats as literals and mirrors the grid cover, Morton tile
+    ids and the argmax (ROW_NUMBER) in SQL."""
+    from ..sources.images import read_synth_images
+    from ..stages.cells import explode_to_cells
+    from ..stages.compact import latest_by_key
+    from ..stages.footprint import derive_footprints, image_index
+    from ..stages.image_ops import DecodeQuality
+
+    ds = read_synth_images(MOSAIC_N)
+    ds = ds.map_batches(derive_footprints, batch_format="pyarrow")
+    ds = ds.map_batches(
+        DecodeQuality(keep_cols=("minx", "miny", "maxx", "maxy")),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=2,
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        t = explode_to_cells(b, 4, cell_col="tile_id")
+        idx = image_index(t).astype(np.int64)
+        return pa.table(
+            {
+                "tile_id": t["tile_id"],
+                "img_idx": pa.array(idx, pa.int64()),
+                "bright_sum": t["bright_sum"],
+            }
+        )
+
+    ds = ds.map_batches(assign, batch_format="pyarrow")
+    return latest_by_key(ds, "tile_id", ("bright_sum", "img_idx"))
+
+
+def _build_tile_mosaic_sql(n_images: int = MOSAIC_N, tile_res: int = 4) -> str:
+    """SQL mirror of q_tile_mosaic: quad params + PASSING quality
+    stats from the generator math (never engine output), the same
+    integer grid-cover + Morton arithmetic as the tile_coverage
+    oracle, then ROW_NUMBER argmax per tile."""
+    assert tile_res == 4, "Morton spread below is written for 4-bit indices"
+    from ..sources.images import expected_quality_stats
+    from ..stages.footprint import footprint_params
+
+    stats = expected_quality_stats(n_images)
+    idxs = [int(s[4:]) for s in stats["image_id"].to_pylist()]
+    bright = stats["bright_sum"].to_pylist()
+    cx, cy, ct, st, hw, hh = footprint_params(np.arange(n_images, dtype=np.int64))
+    rows = ",\n      ".join(
+        f"(CAST({i} AS BIGINT), {cx[i]!r}::DOUBLE, {cy[i]!r}::DOUBLE, "
+        f"{ct[i]!r}::DOUBLE, {st[i]!r}::DOUBLE, {hw[i]!r}::DOUBLE, "
+        f"{hh[i]!r}::DOUBLE, CAST({b} AS BIGINT))"
+        for i, b in zip(idxs, bright)
+    )
+    n_side = 2**tile_res
+
+    def gidx(expr: str, lo: float, span: float) -> str:
+        return (
+            f"least(CAST(floor(greatest((({expr}) - {lo!r}) / {span!r}, 0.0)"
+            f" * {float(n_side)!r}) AS BIGINT), {n_side - 1})"
+        )
+
+    def spread(v: str) -> str:
+        return f"(({v} & 1) | (({v} & 2) << 1) | (({v} & 4) << 2) | (({v} & 8) << 3))"
+
+    return f"""
+    WITH q(idx, cx, cy, ct, st, hw, hh, bright) AS (VALUES
+      {rows}
+    ),
+    qb AS (
+      SELECT *, abs(ct) * hw + abs(st) * hh AS ex,
+                abs(st) * hw + abs(ct) * hh AS ey
+      FROM q
+    ),
+    g AS (
+      SELECT *,
+             {gidx("cx - ex", -180.0, 360.0)} AS ix0,
+             {gidx("cx + ex", -180.0, 360.0)} AS ix1,
+             {gidx("cy - ey", -90.0, 180.0)} AS iy0,
+             {gidx("cy + ey", -90.0, 180.0)} AS iy1
+      FROM qb
+    ),
+    pairs AS (
+      SELECT g.*, tx.ix, ty.iy
+      FROM g, UNNEST(generate_series(ix0, ix1)) AS tx(ix),
+              UNNEST(generate_series(iy0, iy1)) AS ty(iy)
+    ),
+    tiles AS (
+      SELECT idx, bright,
+             (CAST({tile_res} AS BIGINT) << 58)
+               | {spread("ix")} | ({spread("iy")} << 1) AS tile_id
+      FROM pairs
+    )
+    SELECT tile_id, idx AS img_idx, bright AS bright_sum
+    FROM tiles
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY tile_id ORDER BY bright DESC, idx DESC) = 1
+"""
+
+
 def q_revenue_by_nation(sf_dir: str):
     """Revenue per nation (TPC-H Q5 shape): lineitem ⋈ orders is the
     big⋈big shuffle join — revenue is pre-aggregated per orderkey INSIDE
@@ -4328,6 +4438,7 @@ def build_queries():
         "audio_features": q_audio_features,
         "tile_coverage": q_tile_coverage,
         "tile_coverage_rects": q_tile_coverage_rects,
+        "tile_mosaic": q_tile_mosaic,
         "poly_clip": q_poly_clip,
         "poly_clip_quads": q_poly_clip_quads,
         "revenue_by_nation": q_revenue_by_nation,
@@ -4414,6 +4525,7 @@ def build_oracle_sql():
         "poly_clip_quads": Q_POLY_CLIP_QUADS_SQL,
         "tile_coverage_rects": Q_TILE_COVERAGE_RECTS_SQL,
         "tile_coverage": Q_TILE_COVERAGE_SQL,
+        "tile_mosaic": _build_tile_mosaic_sql(),
         "fingerprints": Q_FINGERPRINTS_SQL,
         "simhash_pairs": Q_SIMHASH_PAIRS_SQL,
         "ann_lsh": Q_ANN_LSH_SQL,

@@ -187,10 +187,15 @@ class DecodeQuality:
     the map stage, shed rejected rows BEFORE any downstream exchange so
     filtered payloads never hit the object store again.  Use as
     map_batches(DecodeQuality, batch_format="pyarrow", concurrency=N,
-    batch_size=B small — rows carry binary payloads)."""
+    batch_size=B small — rows carry binary payloads).
 
-    def __init__(self, strict: bool = False):
+    ``keep_cols``: extra input columns carried through to the output
+    (e.g. footprint bbox columns for a downstream spatial stage) — the
+    payload itself is always dropped."""
+
+    def __init__(self, strict: bool = False, keep_cols=()):
         self.strict = strict
+        self.keep_cols = tuple(keep_cols)
         from ..sources.images import image_quality_keep, quality_stats
 
         self._stats = quality_stats
@@ -218,6 +223,8 @@ class DecodeQuality:
                 "edge_energy": pa.array(edge, pa.int64()),
             }
         )
+        for c in self.keep_cols:
+            out = out.append_column(c, batch[c])
         return out.filter(pa.array(keep))
 
 

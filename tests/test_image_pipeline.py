@@ -98,6 +98,17 @@ def test_decode_quality_matches_generator_and_filters():
     }
     assert got == want
     assert 0 < len(want) < 60  # the filter is non-trivial both ways
+    # keep_cols ride through the stage and are filtered consistently
+    out2 = DecodeQuality(keep_cols=("w", "h"))(t)
+    assert out2.column_names[-2:] == ["w", "h"]
+    assert out2["image_id"].to_pylist() == out["image_id"].to_pylist()
+    src_wh = {
+        t["image_id"][i].as_py(): (t["w"][i].as_py(), t["h"][i].as_py())
+        for i in range(t.num_rows)
+    }
+    for i in range(out2.num_rows):
+        iid = out2["image_id"][i].as_py()
+        assert (out2["w"][i].as_py(), out2["h"][i].as_py()) == src_wh[iid]
 
 
 def test_resize_nearest():
