@@ -814,6 +814,77 @@ Q_SESSIONS_SQL = """
 """
 
 
+def q_user_journey(sf_dir: str):
+    """Ordered per-key string aggregation (collect_list → join): each
+    user's event-type sequence in (ts, event_id) order — the session
+    replay / journey feature.  One groupby(user_id) co-locates a
+    user's rows; the per-group kernel lexsorts and joins.  Per-user
+    sequences are bounded; user_id is the partition key at scale.
+    event_id is unique, so the order — and the hash — cannot depend on
+    block boundaries."""
+
+    def journey(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy()
+        order = np.lexsort((eid, ts))
+        types = group["event_type"].to_numpy(zero_copy_only=False)[order]
+        return pa.table(
+            {
+                "user_id": group["user_id"].slice(0, 1),
+                "journey": pa.array([",".join(types.tolist())], pa.string()),
+                "n_events": pa.array([len(types)], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return ds.groupby("user_id").map_groups(journey, batch_format="pyarrow")
+
+
+Q_USER_JOURNEY_SQL = """
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id) AS journey,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+"""
+
+
+def q_price_histogram(sf_dir: str):
+    """Fixed-width histogram of order totals (60 × 10k bins): the
+    per-batch combiner bincounts locally so the single exchange moves
+    ≤ 60 rows per block — the distributed-histogram shape that feeds
+    equi-width binning, outlier fences and data-profiling at 100 TB.
+    Empty bins are absent in both engines (GROUP BY semantics)."""
+    from ray.data.aggregate import Sum
+
+    BIN_W = 10_000.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bins = np.floor(
+            batch["o_totalprice"].to_numpy() / BIN_W
+        ).astype(np.int64)
+        uniq, counts = np.unique(bins, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+Q_PRICE_HISTOGRAM_SQL = """
+    SELECT CAST(floor(o_totalprice / 10000.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY bin
+"""
+
+
 def q_distinct_users(sf_dir: str):
     """Exact COUNT(DISTINCT user) per event type — a 5-value grouping
     key over the whole log, i.e. the canonical hot-key aggregate.
@@ -4415,6 +4486,8 @@ def build_queries():
         "mode_event": q_mode_event,
         "latest_by_key": q_latest_by_key,
         "distinct_users": q_distinct_users,
+        "user_journey": q_user_journey,
+        "price_histogram": q_price_histogram,
         "hash_sample": q_hash_sample,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
@@ -4508,6 +4581,8 @@ def build_oracle_sql():
         "mode_event": Q_MODE_EVENT_SQL,
         "latest_by_key": Q_LATEST_BY_KEY_SQL,
         "distinct_users": Q_DISTINCT_USERS_SQL,
+        "user_journey": Q_USER_JOURNEY_SQL,
+        "price_histogram": Q_PRICE_HISTOGRAM_SQL,
         "hash_sample": Q_HASH_SAMPLE_SQL,
         "asof_join": Q_ASOF_JOIN_SQL,
         "range_join": Q_RANGE_JOIN_SQL,
