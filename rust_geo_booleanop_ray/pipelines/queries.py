@@ -1944,6 +1944,27 @@ def q_image_quality(sf_dir: str):
     )
 
 
+PYRAMID_N = 1200
+
+
+def q_image_pyramid(sf_dir: str):
+    """Thumbnail / resolution-ladder pyramid: real decode → two exact
+    2× box-downsample levels per image → integer checksums.  The
+    preprocessing ladder a tile server or multi-resolution trainer
+    runs over every stored image; payloads drop inside the actor
+    stage, so the exchange only ever sees 40-byte rows.  Value-exact:
+    the oracle inlines generator-side per-level checksums (pixel
+    math, never the codec), pinning decode + the downsample kernel
+    bit-for-bit per (image, level)."""
+    from ..sources.images import read_synth_images
+    from ..stages.image_ops import DecodePyramid
+
+    ds = read_synth_images(PYRAMID_N)
+    return ds.map_batches(
+        DecodePyramid(levels=2), batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+
 IMAGE_NEARDUP_N = 2000
 IMAGE_NEARDUP_MAX_HAMMING = 6
 
@@ -4505,6 +4526,7 @@ def build_queries():
         "martinez_fixtures": q_martinez_fixtures,
         "image_features": q_image_features,
         "image_quality": q_image_quality,
+        "image_pyramid": q_image_pyramid,
         "image_near_dup": q_image_near_dup,
         "image_sim_topk": q_image_sim,
         "video_frames": q_video_frames,
@@ -4548,7 +4570,11 @@ def build_oracle_sql():
     # math (a Python loop over 3,500 rows) that only the driver's
     # oracle comparison needs — workers importing this module for
     # map_batches closures must not pay for it.
-    from ..sources.images import expected_decode_features, expected_quality_stats
+    from ..sources.images import (
+        expected_decode_features,
+        expected_pyramid,
+        expected_quality_stats,
+    )
     from ..sources.videos import expected_audio_features, expected_frame_features
 
     image_features_sql = _values_oracle_sql(
@@ -4557,11 +4583,13 @@ def build_oracle_sql():
         )
     )
     image_quality_sql = _values_oracle_sql(expected_quality_stats(2000))
+    image_pyramid_sql = _values_oracle_sql(expected_pyramid(PYRAMID_N, levels=2))
     video_frames_sql = _values_oracle_sql(expected_frame_features(500, stride=2))
     audio_features_sql = _values_oracle_sql(expected_audio_features(1000))
     return {
         "image_features": image_features_sql,
         "image_quality": image_quality_sql,
+        "image_pyramid": image_pyramid_sql,
         "video_frames": video_frames_sql,
         "audio_features": audio_features_sql,
         "clip_area": Q_CLIP_AREA_SQL,

@@ -172,6 +172,43 @@ def pix_checksum(pixels: np.ndarray) -> np.int64:
     return np.int64((flat * (np.arange(len(flat), dtype=np.int64) + 1)).sum())
 
 
+def box_downsample2(pixels: np.ndarray) -> np.ndarray:
+    """Exact 2× box downsample of an (h, w, 3) uint8 image: crop to
+    even dims, each output pixel = floor mean of its 2×2 block —
+    integer arithmetic only, so engine and expected-values oracle
+    agree bit-for-bit."""
+    h, w = pixels.shape[:2]
+    h2, w2 = h // 2, w // 2
+    p = pixels[: h2 * 2, : w2 * 2].astype(np.int64)
+    return (p.reshape(h2, 2, w2, 2, 3).sum(axis=(1, 3)) // 4).astype(np.uint8)
+
+
+def expected_pyramid(n_images: int, levels: int = 2, seed: int = 42) -> pa.Table:
+    """Generator-side expected (image_id, level, lw, lh, checksum) for
+    each pyramid level 1..levels — computed from the generator's pixel
+    math, never through the codec, so driver equality pins decode +
+    the downsample kernel."""
+    ids, lvls, lws, lhs, checks = [], [], [], [], []
+    for i in range(n_images):
+        px = _base_pixels(i, seed)
+        for lvl in range(1, levels + 1):
+            px = box_downsample2(px)
+            ids.append(f"img-{i:08d}")
+            lvls.append(lvl)
+            lhs.append(px.shape[0])
+            lws.append(px.shape[1])
+            checks.append(int(pix_checksum(px)))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "level": pa.array(lvls, pa.int64()),
+            "lw": pa.array(lws, pa.int64()),
+            "lh": pa.array(lhs, pa.int64()),
+            "checksum": pa.array(checks, pa.int64()),
+        }
+    )
+
+
 def quality_stats(pixels: np.ndarray) -> tuple[int, int, int]:
     """Integer-exact image-quality signals for an (h, w, 3) uint8 image:
     brightness (Σ bytes), contrast proxy (Σ bytes²) and edge energy

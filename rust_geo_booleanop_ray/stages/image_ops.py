@@ -228,6 +228,51 @@ class DecodeQuality:
         return out.filter(pa.array(keep))
 
 
+class DecodePyramid:
+    """Actor-pool stage: decode payload → 2× box-downsample pyramid
+    (thumbnail ladder).  Emits ``levels`` rows per image with the
+    level dims and a position-weighted integer checksum — the
+    tile-server / training-resolution-ladder preprocessing step.
+    Integer-exact arithmetic throughout so a generator-side
+    expected-values oracle pins decode + the downsample kernel.
+    Payloads drop in-stage; only (id, level, dims, checksum) reach
+    any downstream exchange."""
+
+    def __init__(self, levels: int = 2, strict: bool = False):
+        self.levels = levels
+        self.strict = strict
+        from ..sources.images import box_downsample2, pix_checksum
+
+        self._down = box_downsample2
+        self._checksum = pix_checksum
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        out_id, out_lvl, out_w, out_h, out_ck = [], [], [], [], []
+        for i, payload in enumerate(payloads):
+            px = decode_image(payload, int(ws[i]), int(hs[i]), fmts[i], self.strict)
+            for lvl in range(1, self.levels + 1):
+                px = self._down(px)
+                out_id.append(ids[i])
+                out_lvl.append(lvl)
+                out_h.append(px.shape[0])
+                out_w.append(px.shape[1])
+                out_ck.append(int(self._checksum(px)))
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "level": pa.array(out_lvl, pa.int64()),
+                "lw": pa.array(out_w, pa.int64()),
+                "lh": pa.array(out_h, pa.int64()),
+                "checksum": pa.array(out_ck, pa.int64()),
+            }
+        )
+
+
 class DecodeFeatures:
     """Actor-pool stage: decode payload → per-image features.
 

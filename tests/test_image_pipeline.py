@@ -131,3 +131,30 @@ def test_footprints_cover_plausible_world():
     widths = b["maxx"] - b["minx"]
     assert widths.max() >= 20.0
     assert np.median(widths) < 3.0
+
+
+def test_pyramid_decode_matches_generator():
+    """DecodePyramid reproduces the generator-side per-level checksums
+    through the decode path (incl. PNG rows) for both levels."""
+    from rust_geo_booleanop_ray.sources.images import (
+        box_downsample2,
+        expected_pyramid,
+    )
+    from rust_geo_booleanop_ray.stages.image_ops import DecodePyramid
+
+    t = synth_image_batch(np.arange(44))
+    out = DecodePyramid(levels=2)(t)
+    want = expected_pyramid(44, levels=2)
+    got = sorted(zip(*(out[c].to_pylist() for c in out.column_names)))
+    exp = sorted(zip(*(want[c].to_pylist() for c in want.column_names)))
+    assert got == exp
+    # kernel sanity: 2x2 blocks of a constant image stay constant,
+    # floor-mean on a crafted block is exact
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[0, 0] = (1, 2, 3)
+    px[0, 1] = (2, 3, 4)
+    px[1, 0] = (3, 4, 5)
+    px[1, 1] = (5, 6, 7)
+    d = box_downsample2(px)
+    assert d.shape == (2, 2, 3)
+    assert d[0, 0].tolist() == [(1 + 2 + 3 + 5) // 4, (2 + 3 + 4 + 6) // 4, (3 + 4 + 5 + 7) // 4]
