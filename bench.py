@@ -112,6 +112,15 @@ def bench_list():
         "rollup_sales",
         "dist_join",
         "semi_join",
+        "full_join",
+        "latest_by_key",
+        "distinct_users",
+        "user_journey",
+        "price_histogram",
+        "tile_mosaic",
+        "image_pyramid",
+        "ann_filtered",
+        "table_diff",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

@@ -1441,6 +1441,114 @@ Q_ANN_TOPK_SQL = f"""
 """
 
 
+def q_table_diff(sf_dir: str):
+    """Dataset reconciliation / symmetric difference: customer keys
+    with URGENT orders vs keys with high-value orders, reporting
+    which side each exclusive key is missing from — the integrity
+    check you run between two snapshots or two pipelines' outputs.
+    Per-batch combiner emits each block's DISTINCT keys with a side
+    bitmask (1=a, 2=b); one groupby(key) ORs the masks and keeps the
+    single-sided keys.  The exchange moves ≤ one row per (block, side,
+    key) — never the raw rows."""
+
+    def tag(col_filter, mask):
+        def fn(b: pa.Table) -> pa.Table:
+            keys = np.unique(col_filter(b).to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "c_custkey": pa.array(keys, pa.int64()),
+                    "mask": pa.array(np.full(len(keys), mask, dtype=np.int64)),
+                }
+            )
+
+        return fn
+
+    a = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        tag(
+            lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))["o_custkey"],
+            1,
+        ),
+        batch_format="pyarrow",
+    )
+    b = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        tag(lambda b: b.filter(pc.greater(b["o_totalprice"], 300000.0))["o_custkey"], 2),
+        batch_format="pyarrow",
+    )
+
+    def resolve(group: pa.Table) -> pa.Table:
+        m = int(np.bitwise_or.reduce(group["mask"].to_numpy()))
+        if m == 3:
+            return pa.schema(
+                [pa.field("c_custkey", pa.int64()), pa.field("side", pa.string())]
+            ).empty_table()
+        return pa.table(
+            {
+                "c_custkey": group["c_custkey"].slice(0, 1),
+                "side": pa.array(["a_only" if m == 1 else "b_only"], pa.string()),
+            }
+        )
+
+    return a.union(b).groupby("c_custkey").map_groups(resolve, batch_format="pyarrow")
+
+
+Q_TABLE_DIFF_SQL = """
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+         b AS (SELECT DISTINCT o_custkey AS k FROM orders
+               WHERE o_totalprice > 300000.0)
+    SELECT k AS c_custkey, 'a_only' AS side FROM a
+    WHERE k NOT IN (SELECT k FROM b)
+    UNION ALL
+    SELECT k AS c_custkey, 'b_only' AS side FROM b
+    WHERE k NOT IN (SELECT k FROM a)
+"""
+
+
+def q_ann_filtered(sf_dir: str):
+    """Metadata-filtered vector search (pre-filter semantics): exact
+    cosine top-10 restricted to corpus vectors with label = 3 — the
+    "search within a tenant / category" query every vector store
+    serves.  The predicate is applied INSIDE the scan stage, before
+    any distance work or exchange, so the matmul and the per-batch
+    partial top-k only ever see qualifying rows; recall is exact by
+    construction (no post-filter k-starvation)."""
+    from ..stages.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["label"], 3)).select(["vec_id", "embedding"])
+
+    out = brute_force_topk(
+        ds.map_batches(keep, batch_format="pyarrow"), _ann_queries(sf_dir), ANN_K
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "vec_id": batch["vec_id"],
+                "cosine_r": pa.array(np.round(batch["cosine"].to_numpy(), 4)),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+Q_ANN_FILTERED_SQL = f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)
+    SELECT query_id, vec_id, cosine_r FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) AS cosine_r,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+             ) AS rnk
+      FROM (SELECT * FROM embeddings WHERE label = 3) e, q
+    ) WHERE rnk <= {ANN_K}
+"""
+
+
 # ---------------------------------------------------------- non-SQL (rows-only)
 
 
@@ -4517,6 +4625,8 @@ def build_queries():
         "text_stats": q_text_stats,
         "regex_tokens": q_regex_tokens,
         "ann_topk": q_ann_topk,
+        "ann_filtered": q_ann_filtered,
+        "table_diff": q_table_diff,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "minhash_near_dup": q_minhash_near_dup,
@@ -4619,6 +4729,8 @@ def build_oracle_sql():
         "text_stats": Q_TEXT_STATS_SQL,
         "regex_tokens": Q_REGEX_TOKENS_SQL,
         "ann_topk": Q_ANN_TOPK_SQL,
+        "ann_filtered": Q_ANN_FILTERED_SQL,
+        "table_diff": Q_TABLE_DIFF_SQL,
         "ann_ivf": Q_ANN_IVF_SQL,
         "revenue_by_nation": Q_REVENUE_BY_NATION_SQL,
         "order_priority": Q_ORDER_PRIORITY_SQL,
