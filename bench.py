@@ -121,6 +121,8 @@ def bench_list():
         "image_pyramid",
         "ann_filtered",
         "table_diff",
+        "funnel",
+        "dim_stats",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

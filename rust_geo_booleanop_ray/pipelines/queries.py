@@ -814,6 +814,61 @@ Q_SESSIONS_SQL = """
 """
 
 
+def q_funnel(sf_dir: str):
+    """Ordered-sequence funnel: users who did view → click → purchase
+    in timestamp order, with the stage reached (1–3) — the conversion
+    query every product-analytics pipeline runs.  One groupby(user_id)
+    co-locates a user's events; the per-group kernel walks the sorted
+    sequence greedily (earliest next-stage event at a strictly later
+    (ts, event_id)) — greedy-earliest is optimal for subsequence
+    matching, and event_id uniqueness makes the walk deterministic."""
+    STAGES = ("view", "click", "purchase")
+
+    def funnel(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy()
+        order = np.lexsort((eid, ts))
+        types = group["event_type"].to_numpy(zero_copy_only=False)[order]
+        stage = 0
+        for t in types:
+            if stage < len(STAGES) and t == STAGES[stage]:
+                stage += 1
+        return pa.table(
+            {
+                "user_id": group["user_id"].slice(0, 1),
+                "stage": pa.array([stage], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return ds.groupby("user_id").map_groups(funnel, batch_format="pyarrow")
+
+
+Q_FUNNEL_SQL = """
+    WITH e AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    v AS (SELECT user_id, MIN(rn) AS r1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(rn) AS r2 FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND rn > r1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(rn) AS r3 FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND rn > r2 GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+"""
+
+
 def q_user_journey(sf_dir: str):
     """Ordered per-key string aggregation (collect_list → join): each
     user's event-type sequence in (ts, event_id) order — the session
@@ -3686,6 +3741,44 @@ Q_GRAM_MATRIX_SQL = f"""
 """
 
 
+def q_dim_stats(sf_dir: str):
+    """Per-dimension embedding profile (sum/min/max in quantized
+    int64): the normalization-constant / clip-range / dead-dimension
+    pass before training.  Fixed-size aggregate state like the Gram
+    matrix — each block folds to 3·d int64, the tree-reduce combines,
+    the driver pull is 1.5 KiB at d=64 regardless of row count."""
+    from ..stages.linalg import build_dim_stats
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    st = build_dim_stats(ds, "embedding", GRAM_DIM)
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(GRAM_DIM, dtype=np.int64), pa.int64()),
+            "sum_q": pa.array(st["sum"], pa.int64()),
+            "min_q": pa.array(st["min"], pa.int64()),
+            "max_q": pa.array(st["max"], pa.int64()),
+        }
+    )
+
+
+Q_DIM_STATS_SQL = f"""
+    WITH q AS (
+      SELECT list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    idx AS (SELECT unnest(range(1, {GRAM_DIM + 1})) AS a)
+    SELECT CAST(i.a - 1 AS BIGINT) AS dim,
+           CAST(SUM(q.qv[i.a]) AS BIGINT) AS sum_q,
+           CAST(MIN(q.qv[i.a]) AS BIGINT) AS min_q,
+           CAST(MAX(q.qv[i.a]) AS BIGINT) AS max_q
+    FROM q, idx i
+    GROUP BY 1
+"""
+
+
 def q_spatial_antijoin(sf_dir: str):
     """Spatial ANTI-join: customer points contained in NO part rect.
     Same one-shuffle PBSM layout as pip_join (points to their single
@@ -4616,6 +4709,7 @@ def build_queries():
         "latest_by_key": q_latest_by_key,
         "distinct_users": q_distinct_users,
         "user_journey": q_user_journey,
+        "funnel": q_funnel,
         "price_histogram": q_price_histogram,
         "hash_sample": q_hash_sample,
         "asof_join": q_asof_join,
@@ -4657,6 +4751,7 @@ def build_queries():
         "hll_distinct": q_hll_distinct,
         "cms_counts": q_cms_counts,
         "gram_matrix": q_gram_matrix,
+        "dim_stats": q_dim_stats,
         "spatial_antijoin": q_spatial_antijoin,
         "dist_join": q_dist_join,
         "vocab_topk": q_vocab_topk,
@@ -4720,6 +4815,7 @@ def build_oracle_sql():
         "latest_by_key": Q_LATEST_BY_KEY_SQL,
         "distinct_users": Q_DISTINCT_USERS_SQL,
         "user_journey": Q_USER_JOURNEY_SQL,
+        "funnel": Q_FUNNEL_SQL,
         "price_histogram": Q_PRICE_HISTOGRAM_SQL,
         "hash_sample": Q_HASH_SAMPLE_SQL,
         "asof_join": Q_ASOF_JOIN_SQL,
@@ -4753,6 +4849,7 @@ def build_oracle_sql():
         "hll_distinct": Q_HLL_DISTINCT_SQL,
         "cms_counts": Q_CMS_COUNTS_SQL,
         "gram_matrix": Q_GRAM_MATRIX_SQL,
+        "dim_stats": Q_DIM_STATS_SQL,
         "spatial_antijoin": Q_SPATIAL_ANTIJOIN_SQL,
         "dist_join": Q_DIST_JOIN_SQL,
         "vocab_topk": Q_VOCAB_TOPK_SQL,

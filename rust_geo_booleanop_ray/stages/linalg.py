@@ -56,3 +56,48 @@ def build_gram(ds, col: str, dim: int) -> np.ndarray:
         name="gram",
     )
     return ds.aggregate(agg)["gram"]
+
+
+def build_dim_stats(ds, col: str, dim: int) -> dict:
+    """Distributed per-dimension profile of an embedding column:
+    (sum, min, max) over each of the d dimensions, in quantized int64.
+
+    Same fixed-size-state contract as build_gram: each block folds its
+    (n, d) slab into three length-d vectors, the tree-reduce combines
+    them (sum add / min min / max max — all associative+commutative),
+    and the driver receives 3·d int64 regardless of row count.  This
+    is the feature-profiling pass (normalization constants, clip
+    ranges, dead-dimension detection) before training."""
+    from ray.data.aggregate import AggregateFn
+
+    # state rows: 0 = sum, 1 = min, 2 = max (one ndarray — Ray's
+    # aggregate plumbing preserves a single array state end-to-end,
+    # like build_gram's (d, d) grid)
+    def init(_):
+        s = np.empty((3, dim), dtype=np.int64)
+        s[0] = 0
+        s[1] = np.iinfo(np.int64).max
+        s[2] = np.iinfo(np.int64).min
+        return s
+
+    def accumulate_block(state, block):
+        t = pa.table(block) if not isinstance(block, pa.Table) else block
+        q = quantize_embeddings(t[col])
+        out = state.copy()
+        out[0] += q.sum(axis=0)
+        out[1] = np.minimum(out[1], q.min(axis=0))
+        out[2] = np.maximum(out[2], q.max(axis=0))
+        return out
+
+    def merge(a, b):
+        out = np.empty_like(a)
+        out[0] = a[0] + b[0]
+        out[1] = np.minimum(a[1], b[1])
+        out[2] = np.maximum(a[2], b[2])
+        return out
+
+    agg = AggregateFn(
+        init=init, accumulate_block=accumulate_block, merge=merge, name="dim_stats"
+    )
+    st = ds.aggregate(agg)["dim_stats"]
+    return {"sum": st[0], "min": st[1], "max": st[2]}

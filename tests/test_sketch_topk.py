@@ -210,6 +210,27 @@ def test_gram_partials_merge_and_quantize_half_up():
     assert np.array_equal(one, one.T)
 
 
+def test_dim_stats_matches_bruteforce(ray_session):
+    """build_dim_stats over a multi-block Dataset equals the one-shot
+    numpy profile (sum/min/max per dimension over quantized values)."""
+    import ray.data as rd
+
+    from rust_geo_booleanop_ray.stages.linalg import (
+        build_dim_stats,
+        quantize_embeddings,
+    )
+
+    rng = np.random.RandomState(29)
+    m = rng.uniform(-0.9, 0.9, (400, 8)).astype(np.float32)
+    arr = pa.array(m.tolist(), pa.list_(pa.float32()))
+    q = quantize_embeddings(arr)
+    ds = rd.from_arrow(pa.table({"embedding": arr})).repartition(6)
+    st = build_dim_stats(ds, "embedding", 8)
+    assert np.array_equal(st["sum"], q.sum(axis=0))
+    assert np.array_equal(st["min"], q.min(axis=0))
+    assert np.array_equal(st["max"], q.max(axis=0))
+
+
 def test_pivot_partial_matches_long_aggregation():
     """make_pivot_partial over split batches + a plain sum merge equals
     the long-form groupby(g, cat) aggregation."""
