@@ -123,6 +123,7 @@ def bench_list():
         "table_diff",
         "funnel",
         "dim_stats",
+        "cell_rollup",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

@@ -3741,6 +3741,80 @@ Q_GRAM_MATRIX_SQL = f"""
 """
 
 
+CELL_ROLLUP_LEVELS = (2, 3, 4)
+
+
+def q_cell_rollup(sf_dir: str):
+    """Multi-resolution spatial density rollup: customer-point counts
+    per cell at res 2/3/4 in ONE pass — the tile-pyramid aggregation a
+    map service precomputes.  The per-batch combiner emits every
+    level's partial counts together (the spatial analogue of
+    rollup_sales' multi-level partials), so all three pyramid levels
+    share a single groupby(cell) exchange instead of one scan+shuffle
+    per level; the exchange moves ≤ Σ distinct cells per block."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.cells import cell_encode
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = _customer_point_batch(b)
+        px = p["px"].to_numpy()
+        py = p["py"].to_numpy()
+        cells = np.concatenate(
+            [cell_encode(px, py, r).view(np.int64) for r in CELL_ROLLUP_LEVELS]
+        )
+        uniq, counts = np.unique(cells, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def _build_cell_rollup_sql() -> str:
+    """SQL mirror of q_cell_rollup: the engine's grid-index expression
+    ((x-lo)/span, clamp, truncate) and 4-bit Morton spread per level,
+    unioned, then COUNT per cell."""
+
+    def spread(v: str) -> str:
+        return f"(({v} & 1) | (({v} & 2) << 1) | (({v} & 4) << 2) | (({v} & 8) << 3))"
+
+    def gidx(expr: str, lo: float, span: float, n_side: int) -> str:
+        return (
+            f"least(CAST(floor(greatest((({expr}) - {lo!r}) / {span!r}, 0.0)"
+            f" * {float(n_side)!r}) AS BIGINT), {n_side - 1})"
+        )
+
+    parts = []
+    for r in CELL_ROLLUP_LEVELS:
+        n_side = 2**r
+        gx = gidx("px", -180.0, 360.0, n_side)
+        gy = gidx("py", -90.0, 180.0, n_side)
+        parts.append(
+            f"SELECT (CAST({r} AS BIGINT) << 58) | {spread(gx)}"
+            f" | ({spread(gy)} << 1) AS cell FROM pts"
+        )
+    union = "\n      UNION ALL\n      ".join(parts)
+    return f"""
+    WITH pts AS ({CUSTOMER_POINT_SQL}),
+    c AS (
+      {union}
+    )
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY cell
+"""
+
+
+Q_CELL_ROLLUP_SQL = _build_cell_rollup_sql()
+
+
 def q_dim_stats(sf_dir: str):
     """Per-dimension embedding profile (sum/min/max in quantized
     int64): the normalization-constant / clip-range / dead-dimension
@@ -4752,6 +4826,7 @@ def build_queries():
         "cms_counts": q_cms_counts,
         "gram_matrix": q_gram_matrix,
         "dim_stats": q_dim_stats,
+        "cell_rollup": q_cell_rollup,
         "spatial_antijoin": q_spatial_antijoin,
         "dist_join": q_dist_join,
         "vocab_topk": q_vocab_topk,
@@ -4850,6 +4925,7 @@ def build_oracle_sql():
         "cms_counts": Q_CMS_COUNTS_SQL,
         "gram_matrix": Q_GRAM_MATRIX_SQL,
         "dim_stats": Q_DIM_STATS_SQL,
+        "cell_rollup": Q_CELL_ROLLUP_SQL,
         "spatial_antijoin": Q_SPATIAL_ANTIJOIN_SQL,
         "dist_join": Q_DIST_JOIN_SQL,
         "vocab_topk": Q_VOCAB_TOPK_SQL,
