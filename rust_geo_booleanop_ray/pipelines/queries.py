@@ -1414,6 +1414,49 @@ Q_DEDUP_COMPONENTS_SQL = """
 """
 
 
+def q_dedup_apply(sf_dir: str):
+    """Apply the dedup decision end-to-end: the SURVIVING corpus after
+    collapsing each similarity component to its canonical (min doc_id)
+    member — components (distributed label propagation) → per-block
+    dropped-key extraction → one anti-join shuffle against the corpus.
+    This is the step that actually shrinks the training set; the
+    component labels never touch the driver at any point."""
+    from ..stages.join import shuffle_hash_join
+
+    comps = q_dedup_components(sf_dir)
+
+    def dropped_keys(b: pa.Table) -> pa.Table:
+        d = b.filter(pc.not_equal(b["doc_id"], b["component"]))
+        return pa.table({"doc_id": d["doc_id"]})
+
+    dropped = comps.map_batches(dropped_keys, batch_format="pyarrow")
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return shuffle_hash_join(
+        docs,
+        dropped,
+        "doc_id",
+        ["lang", "n_chars"],
+        [],
+        how="anti",
+        left_schema=pa.schema(
+            [
+                pa.field("doc_id", pa.int64()),
+                pa.field("lang", pa.string()),
+                pa.field("n_chars", pa.int64()),
+            ]
+        ),
+        right_schema=pa.schema([pa.field("doc_id", pa.int64())]),
+    )
+
+
+Q_DEDUP_APPLY_SQL = f"""
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ({Q_DEDUP_COMPONENTS_SQL}) c
+      WHERE c.doc_id = d.doc_id AND c.component <> c.doc_id)
+"""
+
+
 def q_text_stats(sf_dir: str):
     """Per-language corpus stats (token / char / stopword sums)."""
     from ray.data.aggregate import Sum
@@ -4790,6 +4833,7 @@ def build_queries():
         "range_join": q_range_join,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
+        "dedup_apply": q_dedup_apply,
         "text_stats": q_text_stats,
         "regex_tokens": q_regex_tokens,
         "ann_topk": q_ann_topk,
@@ -4897,6 +4941,7 @@ def build_oracle_sql():
         "range_join": Q_RANGE_JOIN_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "dedup_components": Q_DEDUP_COMPONENTS_SQL,
+        "dedup_apply": Q_DEDUP_APPLY_SQL,
         "text_stats": Q_TEXT_STATS_SQL,
         "regex_tokens": Q_REGEX_TOKENS_SQL,
         "ann_topk": Q_ANN_TOPK_SQL,
