@@ -124,6 +124,9 @@ def bench_list():
         "funnel",
         "dim_stats",
         "cell_rollup",
+        "dedup_apply",
+        "revenue_share",
+        "caption_stats",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

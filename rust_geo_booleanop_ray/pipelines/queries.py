@@ -2948,6 +2948,138 @@ Q_ORDER_PRIORITY_SQL = """
 """
 
 
+def q_revenue_share(sf_dir: str):
+    """Percent-of-total (ratio-to-report): each event type's share of
+    total event value in basis points.  The grand total is NOT a
+    second pass over the data — it folds from the same 5-row
+    aggregate the per-type sums come from (a bounded result the
+    driver may hold), and integer basis points keep it hash-exact."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "value_c": pa.array(_cents(b["value"].to_numpy())),
+            }
+        )
+        agg = pa.TableGroupBy(t, "event_type").aggregate([("value_c", "sum")])
+        return agg.rename_columns(["event_type", "value_c"])
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    per_type = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("value_c", alias_name="value_c"))
+    )
+    t = pa.Table.from_pylist(per_type.take_all())  # ≤ n_event_types rows
+    total = int(np.sum(t["value_c"].to_numpy()))
+    share = (10_000 * t["value_c"].to_numpy()) // total
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": t["event_type"],
+                "value_c": t["value_c"],
+                "share_bp": pa.array(share.astype(np.int64)),
+            }
+        )
+    )
+
+
+Q_REVENUE_SHARE_SQL = """
+    WITH t AS (
+      SELECT event_type,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_c
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, value_c,
+           CAST((10000 * value_c) // (SELECT SUM(value_c) FROM t) AS BIGINT)
+             AS share_bp
+    FROM t
+"""
+
+
+CAPQ_N = 2000
+
+
+def q_caption_stats(sf_dir: str):
+    """Cross-modal caption analysis: the text kernels (char counting,
+    whitespace tokenization) run over the IMAGE table's caption
+    column, grouped by caption subject — the text-quality profile of
+    a vision-language corpus.  Per-batch combiner pre-aggregates per
+    subject (≤ 5 rows per block into the Sum exchange).  Value-exact:
+    the oracle reconstructs every caption from the generator's index
+    arithmetic and word lists in SQL — no literals of engine output."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.images import CAPTION_SUBJECTS, read_synth_images
+    from ..stages.footprint import image_index
+
+    def partial(b: pa.Table) -> pa.Table:
+        n_chars = pc.utf8_length(b["caption"]).to_numpy().astype(np.int64)
+        n_tokens = (
+            pc.list_value_length(pc.split_pattern(b["caption"], " "))
+            .to_numpy()
+            .astype(np.int64)
+        )
+        idx = image_index(b).astype(np.int64)
+        subj_idx = idx % 5
+        t = pa.table(
+            {
+                "subject": pa.array(
+                    np.asarray(CAPTION_SUBJECTS, dtype=object)[subj_idx], pa.string()
+                ),
+                "n_caps": pa.array(np.ones(len(idx), dtype=np.int64)),
+                "sum_chars": pa.array(n_chars),
+                "sum_tokens": pa.array(n_tokens),
+            }
+        )
+        agg = pa.TableGroupBy(t, "subject").aggregate(
+            [("n_caps", "sum"), ("sum_chars", "sum"), ("sum_tokens", "sum")]
+        )
+        return agg.rename_columns(["subject", "n_caps", "sum_chars", "sum_tokens"])
+
+    ds = read_synth_images(CAPQ_N)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("subject")
+        .aggregate(
+            Sum("n_caps", alias_name="n_caps"),
+            Sum("sum_chars", alias_name="sum_chars"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        )
+    )
+
+
+def _build_caption_stats_sql(n: int = CAPQ_N) -> str:
+    from ..sources.images import CAPTION_EXTRAS, CAPTION_PLACES, CAPTION_SUBJECTS
+
+    def lst(words) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    return f"""
+    WITH idx AS (SELECT unnest(range({n})) AS i),
+    cap AS (
+      SELECT list_extract({lst(CAPTION_SUBJECTS)}, CAST(i % 5 AS INT) + 1) AS subject,
+             list_extract({lst(CAPTION_SUBJECTS)}, CAST(i % 5 AS INT) + 1) || ' ' ||
+             list_extract({lst(CAPTION_PLACES)}, CAST((i // 5) % 7 AS INT) + 1) || ' ' ||
+             list_extract({lst(CAPTION_EXTRAS)}, CAST((i // 35) % 5 AS INT) + 1) ||
+             ' #' || CAST(i AS VARCHAR) AS caption
+      FROM idx
+    )
+    SELECT subject,
+           CAST(COUNT(*) AS BIGINT) AS n_caps,
+           CAST(SUM(length(caption)) AS BIGINT) AS sum_chars,
+           CAST(SUM(len(string_split(caption, ' '))) AS BIGINT) AS sum_tokens
+    FROM cap GROUP BY subject
+"""
+
+
+Q_CAPTION_STATS_SQL = _build_caption_stats_sql()
+
+
 def q_quality_filter(sf_dir: str):
     """Quality gate over documents with integer-exact bands (so the
     DuckDB oracle matches value-for-value): keep docs with 5 ≤ tokens
@@ -4861,6 +4993,8 @@ def build_queries():
         "revenue_by_nation": q_revenue_by_nation,
         "order_priority": q_order_priority,
         "quality_filter": q_quality_filter,
+        "revenue_share": q_revenue_share,
+        "caption_stats": q_caption_stats,
         "lang_id": q_lang_id,
         "ngram_dedup": q_ngram_dedup,
         "grouped_topk": q_grouped_topk,
@@ -4951,6 +5085,8 @@ def build_oracle_sql():
         "revenue_by_nation": Q_REVENUE_BY_NATION_SQL,
         "order_priority": Q_ORDER_PRIORITY_SQL,
         "quality_filter": Q_QUALITY_FILTER_SQL,
+        "revenue_share": Q_REVENUE_SHARE_SQL,
+        "caption_stats": Q_CAPTION_STATS_SQL,
         "lang_id": Q_LANG_ID_SQL,
         "poly_clip": Q_POLY_CLIP_SQL,
         "poly_clip_quads": Q_POLY_CLIP_QUADS_SQL,
