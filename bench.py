@@ -124,7 +124,8 @@ def bench_list():
         "funnel",
         "dim_stats",
         "cell_rollup",
-        "dedup_apply",
+        # dedup_apply embeds the dedup_components fixpoint and inherits
+        # its round-dominated toy-scale latency (see note above)
         "revenue_share",
         "caption_stats",
     ):
