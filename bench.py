@@ -128,6 +128,8 @@ def bench_list():
         # its round-dominated toy-scale latency (see note above)
         "revenue_share",
         "caption_stats",
+        "retention",
+        "basket_pairs",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

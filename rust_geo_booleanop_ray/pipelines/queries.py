@@ -2948,6 +2948,143 @@ Q_ORDER_PRIORITY_SQL = """
 """
 
 
+def q_retention(sf_dir: str):
+    """Cohort retention: users grouped by first-activity week, counted
+    as retained in each later week they act — the (cohort, offset)
+    matrix every growth dashboard is built on.  Plan: per-user MIN
+    week via the compaction combiner (≤1 row per (block, user) into
+    one shuffle), broadcast nothing — the distinct (user, week)
+    activity pairs join their cohort in the SAME groupby(user) pass,
+    then a small (cohort, offset) count-distinct-free aggregate
+    (pairs are already distinct per user)."""
+    from ray.data.aggregate import Sum
+
+    WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+    def weeks(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        t = pa.table(
+            {
+                "user_id": b["user_id"],
+                "week": pa.array(ts // WEEK_US, pa.int64()),
+            }
+        )
+        # block-local distinct (user, week) pairs
+        return pa.TableGroupBy(t, ["user_id", "week"]).aggregate([])
+
+    def per_user(group: pa.Table) -> pa.Table:
+        w = np.unique(group["week"].to_numpy())
+        return pa.table(
+            {
+                "cohort_week": pa.array(np.full(len(w), w[0]), pa.int64()),
+                "offset_w": pa.array(w - w[0], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    pairs = (
+        ds.map_batches(weeks, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(b, ["cohort_week", "offset_w"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["cohort_week", "offset_w", "n_users"])
+
+    return (
+        pairs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["cohort_week", "offset_w"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+Q_RETENTION_SQL = """
+    WITH a AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+      FROM events
+    ),
+    c AS (SELECT user_id, MIN(week) AS cohort_week FROM a GROUP BY user_id)
+    SELECT c.cohort_week, a.week - c.cohort_week AS offset_w,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+COOC_TOP = 30
+
+
+def q_basket_pairs(sf_dir: str):
+    """Market-basket co-occurrence: the top part pairs appearing in
+    the same order — the classic recommendation/association pre-pass.
+    groupby(l_orderkey) co-locates each basket (baskets are small);
+    the per-group kernel emits its distinct ordered pairs vectorized,
+    a per-batch combiner pre-counts pairs, and ONE groupby((a,b))
+    Sum-shuffle feeds the bounded top-k (ties broken by pair for a
+    deterministic cut)."""
+    from ray.data.aggregate import Sum
+
+    def pairs(group: pa.Table) -> pa.Table:
+        parts = np.unique(group["l_partkey"].to_numpy())
+        k = len(parts)
+        if k < 2:
+            return pa.schema(
+                [pa.field("pa_", pa.int64()), pa.field("pb_", pa.int64())]
+            ).empty_table()
+        ia, ib = np.triu_indices(k, 1)
+        return pa.table(
+            {
+                "pa_": pa.array(parts[ia], pa.int64()),
+                "pb_": pa.array(parts[ib], pa.int64()),
+            }
+        )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(b, ["pa_", "pb_"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["pa_", "pb_", "n"])
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    counts = (
+        ds.groupby("l_orderkey")
+        .map_groups(pairs, batch_format="pyarrow")
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["pa_", "pb_"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    def block_topk(b: pa.Table) -> pa.Table:
+        # after the pair aggregate each (pa_, pb_) exists in exactly one
+        # block, so keeping each block's top-k preserves the global
+        # top-k — the final sort's input is ≤ k rows per block, never
+        # the full pair-count table
+        order = np.lexsort(
+            (b["pb_"].to_numpy(), b["pa_"].to_numpy(), -b["n"].to_numpy())
+        )
+        return b.take(pa.array(order[:COOC_TOP]))
+
+    return (
+        counts.map_batches(block_topk, batch_format="pyarrow")
+        .sort(["n", "pa_", "pb_"], descending=[True, False, False])
+        .limit(COOC_TOP)
+    )
+
+
+Q_BASKET_PAIRS_SQL = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+      SELECT a.l_partkey AS pa_, b.l_partkey AS pb_,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT pa_, pb_, n FROM p
+    ORDER BY n DESC, pa_, pb_ LIMIT {COOC_TOP}
+"""
+
+
 def q_revenue_share(sf_dir: str):
     """Percent-of-total (ratio-to-report): each event type's share of
     total event value in basis points.  The grand total is NOT a
@@ -4995,6 +5132,8 @@ def build_queries():
         "quality_filter": q_quality_filter,
         "revenue_share": q_revenue_share,
         "caption_stats": q_caption_stats,
+        "retention": q_retention,
+        "basket_pairs": q_basket_pairs,
         "lang_id": q_lang_id,
         "ngram_dedup": q_ngram_dedup,
         "grouped_topk": q_grouped_topk,
@@ -5087,6 +5226,8 @@ def build_oracle_sql():
         "quality_filter": Q_QUALITY_FILTER_SQL,
         "revenue_share": Q_REVENUE_SHARE_SQL,
         "caption_stats": Q_CAPTION_STATS_SQL,
+        "retention": Q_RETENTION_SQL,
+        "basket_pairs": Q_BASKET_PAIRS_SQL,
         "lang_id": Q_LANG_ID_SQL,
         "poly_clip": Q_POLY_CLIP_SQL,
         "poly_clip_quads": Q_POLY_CLIP_QUADS_SQL,
