@@ -130,6 +130,7 @@ def bench_list():
         "caption_stats",
         "retention",
         "basket_pairs",
+        "footprint_metrics",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

@@ -2726,6 +2726,87 @@ def _build_tile_coverage_sql(n_images: int = 1000, tile_res: int = 4, px: int = 
 Q_TILE_COVERAGE_SQL = _build_tile_coverage_sql()
 
 
+FPM_N = 1000
+
+
+def q_footprint_metrics(sf_dir: str):
+    """Per-feature geometry metrics: the exact shoelace area of every
+    image's rotated quad footprint, computed by the engine's
+    vectorized multipolygon-area kernel (arrow_mp_areas — reduceat
+    layout with scalar-loop bit parity) straight off the Arrow
+    geometry column.  Value-exact the hard way: the oracle inlines
+    the quad parameters and replays the IDENTICAL float op sequence
+    (corner derivation, per-edge cross terms, left-to-right ring sum,
+    abs/2) in SQL — no rounding, the doubles must agree bit-for-bit."""
+    from ..sources.arrow_geom import arrow_mp_areas
+    from ..sources.images import read_synth_images
+    from ..stages.footprint import derive_footprints, image_index
+
+    ds = read_synth_images(FPM_N)
+    ds = ds.map_batches(derive_footprints, batch_format="pyarrow")
+
+    def metrics(b: pa.Table) -> pa.Table:
+        idx = image_index(b).astype(np.int64)
+        areas = arrow_mp_areas(b["footprint"])
+        return pa.table(
+            {
+                "img_idx": pa.array(idx, pa.int64()),
+                "area": pa.array(areas, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(metrics, batch_format="pyarrow")
+
+
+def _build_footprint_metrics_sql(n_images: int = FPM_N) -> str:
+    """SQL mirror of q_footprint_metrics: corners from the inlined
+    quad params with the engine's exact float op order
+    ((cx + dx·ct) − dy·st …), per-edge cross terms, left-to-right ring
+    sum, abs/2.
+
+    Literals are inlined as mantissa × 2^exponent (both exact in
+    DOUBLE arithmetic): unlike the integer-output quad oracles, this
+    one emits RAW doubles, and DuckDB's decimal→double parse is off
+    by one ulp for ~10% of shortest-repr literals — enough to flip the
+    hash even though every float op matches."""
+    import math
+
+    from ..stages.footprint import footprint_params
+
+    def dlit(x: float) -> str:
+        m, e = math.frexp(float(x))
+        mi = int(m * (1 << 53))
+        return f"(CAST({mi} AS DOUBLE) * pow(2.0, {e - 53}))"
+
+    cx, cy, ct, st, hw, hh = footprint_params(np.arange(n_images, dtype=np.int64))
+    rows = ",\n      ".join(
+        f"(CAST({i} AS BIGINT), {dlit(cx[i])}, {dlit(cy[i])}, "
+        f"{dlit(ct[i])}, {dlit(st[i])}, {dlit(hw[i])}, {dlit(hh[i])})"
+        for i in range(n_images)
+    )
+    # corner k: dx, dy signs in ring order (CCW)
+    signs = [(-1, -1), (1, -1), (1, 1), (-1, 1), (-1, -1)]
+    xs, ys = [], []
+    for sx_, sy_ in signs:
+        dx = f"({'-' if sx_ < 0 else ''}hw)"
+        dy = f"({'-' if sy_ < 0 else ''}hh)"
+        xs.append(f"((cx + ({dx} * ct)) - ({dy} * st))")
+        ys.append(f"((cy + ({dx} * st)) + ({dy} * ct))")
+    cross = [
+        f"(({xs[k]} * {ys[k + 1]}) - ({xs[k + 1]} * {ys[k]}))" for k in range(4)
+    ]
+    ring_sum = f"((({cross[0]} + {cross[1]}) + {cross[2]}) + {cross[3]})"
+    return f"""
+    WITH q(img_idx, cx, cy, ct, st, hw, hh) AS (VALUES
+      {rows}
+    )
+    SELECT img_idx, abs({ring_sum}) / 2.0 AS area FROM q
+"""
+
+
+Q_FOOTPRINT_METRICS_SQL = _build_footprint_metrics_sql()
+
+
 MOSAIC_N = 1500
 
 
@@ -5125,6 +5206,7 @@ def build_queries():
         "tile_coverage": q_tile_coverage,
         "tile_coverage_rects": q_tile_coverage_rects,
         "tile_mosaic": q_tile_mosaic,
+        "footprint_metrics": q_footprint_metrics,
         "poly_clip": q_poly_clip,
         "poly_clip_quads": q_poly_clip_quads,
         "revenue_by_nation": q_revenue_by_nation,
@@ -5234,6 +5316,7 @@ def build_oracle_sql():
         "tile_coverage_rects": Q_TILE_COVERAGE_RECTS_SQL,
         "tile_coverage": Q_TILE_COVERAGE_SQL,
         "tile_mosaic": _build_tile_mosaic_sql(),
+        "footprint_metrics": Q_FOOTPRINT_METRICS_SQL,
         "fingerprints": Q_FINGERPRINTS_SQL,
         "simhash_pairs": Q_SIMHASH_PAIRS_SQL,
         "ann_lsh": Q_ANN_LSH_SQL,
