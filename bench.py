@@ -131,6 +131,7 @@ def bench_list():
         "retention",
         "basket_pairs",
         "footprint_metrics",
+        "quantile_sketch",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

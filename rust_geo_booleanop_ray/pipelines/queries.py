@@ -3029,6 +3029,64 @@ Q_ORDER_PRIORITY_SQL = """
 """
 
 
+HQ_BIN_W = 2500.0  # cents-free: o_totalprice in dollars, 256 bins to 640k
+
+
+def q_quantile_sketch(sf_dir: str):
+    """Approximate per-group quantiles with BOUNDED state: a fixed
+    256-bin histogram sketch per order priority — ≤ groups×256 rows
+    per block into one Sum exchange regardless of row count, the
+    t-digest-shaped alternative to q_group_quantiles' exact value
+    histogram (whose state grows with distinct values).  The estimate
+    (bin lower edge at integer rank ceil(q·n)) is deterministic
+    integer arithmetic, so the oracle mirrors the SKETCH exactly —
+    the approximation is in the quantile definition, not the run."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.sketch import hq_finalize_group, hq_partial
+
+    def partial(b: pa.Table) -> pa.Table:
+        return hq_partial(
+            b, "o_orderpriority", b["o_totalprice"].to_numpy(), HQ_BIN_W
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return merged.groupby("o_orderpriority").map_groups(
+        lambda g: hq_finalize_group(g, "o_orderpriority", HQ_BIN_W),
+        batch_format="pyarrow",
+    )
+
+
+Q_QUANTILE_SKETCH_SQL = f"""
+    WITH b AS (
+      SELECT o_orderpriority,
+             least(CAST(floor(o_totalprice / {HQ_BIN_W!r}) AS BIGINT), 255) AS bin
+      FROM orders
+    ),
+    h AS (SELECT o_orderpriority, bin, CAST(COUNT(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2),
+    c AS (
+      SELECT o_orderpriority, bin, n,
+             SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER (PARTITION BY o_orderpriority) AS n_tot
+      FROM h
+    )
+    SELECT o_orderpriority,
+           CAST(MIN(CASE WHEN cum >= (1 * n_tot + 1) // 2
+                         THEN bin * {int(HQ_BIN_W)} END) AS BIGINT) AS p50_lo,
+           CAST(MIN(CASE WHEN cum >= (9 * n_tot + 9) // 10
+                         THEN bin * {int(HQ_BIN_W)} END) AS BIGINT) AS p90_lo,
+           CAST(MIN(n_tot) AS BIGINT) AS n_tot
+    FROM c GROUP BY o_orderpriority
+"""
+
+
 def q_retention(sf_dir: str):
     """Cohort retention: users grouped by first-activity week, counted
     as retained in each later week they act — the (cohort, offset)
@@ -5216,6 +5274,7 @@ def build_queries():
         "caption_stats": q_caption_stats,
         "retention": q_retention,
         "basket_pairs": q_basket_pairs,
+        "quantile_sketch": q_quantile_sketch,
         "lang_id": q_lang_id,
         "ngram_dedup": q_ngram_dedup,
         "grouped_topk": q_grouped_topk,
@@ -5310,6 +5369,7 @@ def build_oracle_sql():
         "caption_stats": Q_CAPTION_STATS_SQL,
         "retention": Q_RETENTION_SQL,
         "basket_pairs": Q_BASKET_PAIRS_SQL,
+        "quantile_sketch": Q_QUANTILE_SKETCH_SQL,
         "lang_id": Q_LANG_ID_SQL,
         "poly_clip": Q_POLY_CLIP_SQL,
         "poly_clip_quads": Q_POLY_CLIP_QUADS_SQL,

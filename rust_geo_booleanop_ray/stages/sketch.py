@@ -156,3 +156,43 @@ def cms_estimate(state: np.ndarray, probe_keys: np.ndarray) -> np.ndarray:
         [state[i][cms_bucket(probe_keys, i)] for i in range(CMS_D)]
     )
     return ests.min(axis=0)
+
+
+# ------------------------------------------------- histogram quantile sketch
+
+HQ_BINS = 256
+
+
+def hq_partial(batch: pa.Table, group_col: str, value: np.ndarray, bin_w: float) -> pa.Table:
+    """Per-block histogram-quantile partial: fixed HQ_BINS equi-width
+    bins over [0, HQ_BINS·bin_w); emits (group, bin, n) rows — ≤
+    groups × 256 rows per block into the Sum exchange, independent of
+    row count.  The bounded-state cousin of the exact value-histogram
+    in q_group_quantiles: state never grows with distinct values, the
+    trade is quantiles quantized to bin lower edges."""
+    bins = np.minimum(
+        np.floor(value / bin_w).astype(np.int64), HQ_BINS - 1
+    )
+    t = pa.table({group_col: batch[group_col], "bin": pa.array(bins)})
+    agg = pa.TableGroupBy(t, [group_col, "bin"]).aggregate([([], "count_all")])
+    return agg.rename_columns([group_col, "bin", "n"])
+
+
+def hq_finalize_group(group: pa.Table, group_col: str, bin_w: float) -> pa.Table:
+    """Per-group quantile estimates from the merged histogram: the
+    lower edge (in bin_w units, exact int64) of the bin where the
+    cumulative count first reaches the integer rank ceil(q·n) — the
+    whole estimate is integer arithmetic, so the SQL mirror is exact."""
+    bins = group["bin"].to_numpy()
+    ns = group["n"].to_numpy()
+    order = np.argsort(bins)
+    bins, ns = bins[order], ns[order]
+    cum = np.cumsum(ns)
+    n_tot = int(cum[-1])
+    out = {group_col: group[group_col].slice(0, 1)}
+    for q_num, q_den, name in ((1, 2, "p50_lo"), (9, 10, "p90_lo")):
+        rank = -(-q_num * n_tot // q_den)  # ceil(q·n) in integers
+        i = int(np.searchsorted(cum, rank))
+        out[name] = pa.array([int(bins[i]) * int(bin_w)], pa.int64())
+    out["n_tot"] = pa.array([n_tot], pa.int64())
+    return pa.table(out)
