@@ -132,6 +132,7 @@ def bench_list():
         "basket_pairs",
         "footprint_metrics",
         "quantile_sketch",
+        "skyline",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

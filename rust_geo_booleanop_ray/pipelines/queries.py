@@ -3029,6 +3029,77 @@ Q_ORDER_PRIORITY_SQL = """
 """
 
 
+def _skyline_2d(price_c: np.ndarray, day: np.ndarray) -> np.ndarray:
+    """Indices of the maximize-both Pareto frontier, tie-aware: a row
+    survives iff no other row is ≥ in both dimensions and > in one
+    (exact duplicates all survive).  O(n log n) vectorized: sort by
+    (price desc, day desc); within each equal-price group only the
+    max-day rows can survive, and they do iff that day beats every
+    higher-price group's best day."""
+    order = np.lexsort((-day, -price_c))
+    p = price_c[order]
+    d = day[order]
+    grp_start = np.concatenate(([True], p[1:] != p[:-1]))
+    grp_id = np.cumsum(grp_start) - 1
+    dmax_group = d[grp_start][grp_id]
+    run = np.maximum.accumulate(d[grp_start])
+    best_before = np.concatenate(([np.iinfo(np.int64).min], run[:-1]))[grp_id]
+    survive = (d == dmax_group) & (dmax_group > best_before)
+    return order[survive]
+
+
+def q_skyline(sf_dir: str):
+    """Distributed 2-D skyline: URGENT orders on the (price, recency)
+    Pareto frontier — "no other order is both pricier and newer".
+    Skyline-of-skylines is the global skyline (domination is
+    transitive across blocks), so each block reduces to its local
+    frontier first and ONE tiny final pass merges the survivors —
+    never an all-pairs comparison on the engine side.  Integer cents
+    and epoch days keep the comparisons and the hash exact."""
+    import ray.data as rd
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["o_orderpriority"], "1-URGENT")
+        k = b.filter(keep)
+        day = (
+            k["o_orderdate"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        )
+        return pa.table(
+            {
+                "o_orderkey": k["o_orderkey"],
+                "price_c": pa.array(_cents(k["o_totalprice"].to_numpy())),
+                "day": pa.array(day, pa.int64()),
+            }
+        )
+
+    def local_skyline(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        idx = _skyline_2d(b["price_c"].to_numpy(), b["day"].to_numpy())
+        return b.take(pa.array(np.sort(idx)))
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"])
+    partial = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        local_skyline, batch_format="pyarrow"
+    )
+    return partial.repartition(1).map_batches(local_skyline, batch_format="pyarrow")
+
+
+Q_SKYLINE_SQL = """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+             CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT q.o_orderkey, q.price_c, q.day FROM o q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o p
+      WHERE p.price_c >= q.price_c AND p.day >= q.day
+        AND (p.price_c > q.price_c OR p.day > q.day))
+"""
+
+
 HQ_BIN_W = 2500.0  # cents-free: o_totalprice in dollars, 256 bins to 640k
 
 
@@ -5275,6 +5346,7 @@ def build_queries():
         "retention": q_retention,
         "basket_pairs": q_basket_pairs,
         "quantile_sketch": q_quantile_sketch,
+        "skyline": q_skyline,
         "lang_id": q_lang_id,
         "ngram_dedup": q_ngram_dedup,
         "grouped_topk": q_grouped_topk,
@@ -5370,6 +5442,7 @@ def build_oracle_sql():
         "retention": Q_RETENTION_SQL,
         "basket_pairs": Q_BASKET_PAIRS_SQL,
         "quantile_sketch": Q_QUANTILE_SKETCH_SQL,
+        "skyline": Q_SKYLINE_SQL,
         "lang_id": Q_LANG_ID_SQL,
         "poly_clip": Q_POLY_CLIP_SQL,
         "poly_clip_quads": Q_POLY_CLIP_QUADS_SQL,

@@ -487,3 +487,25 @@ def test_salted_distinct_count_exact(ray_session):
             rd.from_arrow(t).repartition(5), "g", "u", n_salt=n_salt
         ).take_all()
         assert {r["g"]: r["n_distinct"] for r in rows} == want, n_salt
+
+
+def test_skyline_2d_matches_bruteforce_with_ties():
+    from rust_geo_booleanop_ray.pipelines.queries import _skyline_2d
+
+    rng = np.random.RandomState(53)
+    # small value ranges force plenty of exact ties in both dims
+    p = rng.randint(0, 12, 400).astype(np.int64)
+    d = rng.randint(0, 12, 400).astype(np.int64)
+    keep = set(_skyline_2d(p, d).tolist())
+    for i in range(400):
+        dominated = any(
+            (p[j] >= p[i] and d[j] >= d[i] and (p[j] > p[i] or d[j] > d[i]))
+            for j in range(400)
+        )
+        assert (i in keep) == (not dominated), i
+    # skyline-of-skylines merge property on a random split
+    a = _skyline_2d(p[:150], d[:150])
+    b = _skyline_2d(p[150:], d[150:]) + 150
+    sub = np.concatenate([a, b])
+    merged = sub[_skyline_2d(p[sub], d[sub])]
+    assert set(merged.tolist()) == keep
