@@ -1457,6 +1457,63 @@ Q_DEDUP_APPLY_SQL = f"""
 """
 
 
+def q_safe_split(sf_dir: str):
+    """Leakage-safe train/test split: each document is assigned by the
+    deterministic hash of its similarity COMPONENT (falling back to
+    its own id when it has no near-dups), so near-duplicate documents
+    can never straddle the split — the eval-contamination guard every
+    LLM data pipeline needs.  Components come from the distributed
+    label propagation; one left-join shuffle attaches them; the split
+    itself is a pure per-row hash (no extra exchange)."""
+    from ..stages.join import shuffle_hash_join
+
+    comps = q_dedup_components(sf_dir)
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    joined = shuffle_hash_join(
+        docs,
+        comps,
+        "doc_id",
+        ["lang"],
+        ["component"],
+        how="left",
+        left_schema=pa.schema(
+            [pa.field("doc_id", pa.int64()), pa.field("lang", pa.string())]
+        ),
+        right_schema=pa.schema(
+            [pa.field("doc_id", pa.int64()), pa.field("component", pa.int64())]
+        ),
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        gkey = pc.coalesce(b["component"], b["doc_id"]).to_numpy().astype(np.uint64)
+        h = ((gkey % np.uint64(4294967296)) * np.uint64(2654435761)) % np.uint64(
+            4294967296
+        )
+        train = (h % np.uint64(10)) < 8
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "split": pa.array(np.where(train, "train", "test"), pa.string()),
+            }
+        )
+
+    return joined.map_batches(assign, batch_format="pyarrow")
+
+
+Q_SAFE_SPLIT_SQL = f"""
+    WITH comp AS ({Q_DEDUP_COMPONENTS_SQL}),
+    j AS (
+      SELECT d.doc_id, d.lang, COALESCE(c.component, d.doc_id) AS gkey
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, lang,
+           CASE WHEN (((gkey % 4294967296) * 2654435761) % 4294967296) % 10 < 8
+                THEN 'train' ELSE 'test' END AS split
+    FROM j
+"""
+
+
 def q_text_stats(sf_dir: str):
     """Per-language corpus stats (token / char / stopword sums)."""
     from ray.data.aggregate import Sum
@@ -5313,6 +5370,7 @@ def build_queries():
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "dedup_apply": q_dedup_apply,
+        "safe_split": q_safe_split,
         "text_stats": q_text_stats,
         "regex_tokens": q_regex_tokens,
         "ann_topk": q_ann_topk,
@@ -5428,6 +5486,7 @@ def build_oracle_sql():
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "dedup_components": Q_DEDUP_COMPONENTS_SQL,
         "dedup_apply": Q_DEDUP_APPLY_SQL,
+        "safe_split": Q_SAFE_SPLIT_SQL,
         "text_stats": Q_TEXT_STATS_SQL,
         "regex_tokens": Q_REGEX_TOKENS_SQL,
         "ann_topk": Q_ANN_TOPK_SQL,
