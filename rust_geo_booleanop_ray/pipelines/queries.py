@@ -1303,14 +1303,25 @@ Q_RANGE_JOIN_SQL = f"""
 
 
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup groups: representative (min doc_id) + group size."""
-    from ..stages.dedup import content_hash_batch, exact_dedup_merge, exact_dedup_partial
+    """Exact dedup groups: representative (min doc_id) + group size.
+    The merge shuffle is BUCKETED (hash % 64), not grouped by the
+    content hash itself — hash cardinality is ~rows, and one Python
+    map_groups call per distinct document is the per-key anti-pattern;
+    the bucketed kernel does the same merge with lexsort+reduceat."""
+    from ..stages.dedup import (
+        content_hash_batch,
+        exact_dedup_bucket_col,
+        exact_dedup_merge_bucket,
+        exact_dedup_partial,
+    )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     hashed = ds.map_batches(content_hash_batch, batch_format="pyarrow")
     partials = hashed.map_batches(exact_dedup_partial, batch_format="pyarrow")
-    merged = partials.groupby("content_hash").map_groups(
-        exact_dedup_merge, batch_format="pyarrow"
+    merged = (
+        partials.map_batches(exact_dedup_bucket_col, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(exact_dedup_merge_bucket, batch_format="pyarrow")
     )
     return merged.select_columns(["doc_id", "n"])
 

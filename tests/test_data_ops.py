@@ -509,3 +509,38 @@ def test_skyline_2d_matches_bruteforce_with_ties():
     sub = np.concatenate([a, b])
     merged = sub[_skyline_2d(p[sub], d[sub])]
     assert set(merged.tolist()) == keep
+
+
+def test_exact_dedup_bucketed_merge_matches_per_group():
+    from rust_geo_booleanop_ray.stages.dedup import (
+        exact_dedup_bucket_col,
+        exact_dedup_merge_bucket,
+    )
+
+    rng = np.random.RandomState(59)
+    texts = [f"doc-{i % 37}" for i in range(300)]  # 37 distinct contents
+    t = pa.table(
+        {
+            "doc_id": pa.array(rng.permutation(300).astype(np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    hashed = content_hash_batch(t)
+    # two partial blocks merged through the bucketed kernel
+    p1 = exact_dedup_partial(hashed.slice(0, 150))
+    p2 = exact_dedup_partial(hashed.slice(150))
+    both = exact_dedup_bucket_col(pa.concat_tables([p1, p2]))
+    out_parts = []
+    for bkt in set(both["bucket"].to_pylist()):
+        g = both.filter(pa.array(np.asarray(both["bucket"].to_pylist()) == bkt))
+        out_parts.append(exact_dedup_merge_bucket(g))
+    out = pa.concat_tables(out_parts)
+    got = {r["content_hash"]: (r["doc_id"], r["n"]) for r in out.to_pylist()}
+    # brute force
+    want = {}
+    hs = hashed["content_hash"].to_pylist()
+    ds_ = hashed["doc_id"].to_pylist()
+    for h, d in zip(hs, ds_):
+        lo, n = want.get(h, (d, 0))
+        want[h] = (min(lo, d), n + 1)
+    assert got == want
