@@ -760,34 +760,57 @@ Q_SLIDING_WINDOW_SQL = """
 
 
 def q_sessions(sf_dir: str):
-    """Gap-based sessionization (30-min inactivity timeout) per user:
-    groupby(user_id) co-locates each user's events, the per-group kernel
-    sorts by ts and splits on gaps — the streaming-window op the
-    reference lacks.  Per-user counts are small; user_id is the
-    partition key at scale."""
+    """Gap-based sessionization (30-min inactivity timeout) per user —
+    the streaming-window op the reference lacks.  Users are co-located
+    by hash BUCKET (64 buckets, not one Python group call per user —
+    user cardinality is ~rows at 100 TB, the per-key anti-pattern);
+    the per-bucket kernel sessionizes EVERY user in one lexsort pass:
+    a session starts at a user change or a >30-min gap, so one cumsum
+    labels all sessions and reduceat-style masks pull the bounds."""
     GAP_US = 30 * 60 * 1_000_000
+    N_BUCKETS = 64
 
-    def sessionize(group: pa.Table) -> pa.Table:
-        ts = np.sort(group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
-        starts = np.concatenate(([True], (ts[1:] - ts[:-1]) > GAP_US))
-        sess_idx = np.cumsum(starts) - 1
-        n_sessions = int(sess_idx[-1]) + 1 if len(ts) else 0
-        counts = np.bincount(sess_idx, minlength=n_sessions)
-        first = ts[starts]
-        last = np.concatenate((ts[starts[1:].nonzero()[0]], ts[-1:]))
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
+        u = b["user_id"].to_numpy().astype(np.uint64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         return pa.table(
             {
-                "user_id": pa.array(
-                    [group["user_id"][0].as_py()] * n_sessions, pa.int64()
+                "user_id": b["user_id"],
+                "t": pa.array(ts, pa.int64()),
+                "bucket": pa.array(
+                    (_splitmix64(u) % np.uint64(N_BUCKETS)).astype(np.int64)
                 ),
-                "session_start_us": pa.array(first, pa.int64()),
-                "session_end_us": pa.array(last, pa.int64()),
+            }
+        )
+
+    def sessionize_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        ts = group["t"].to_numpy()
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap = np.concatenate(([True], (ts[1:] - ts[:-1]) > GAP_US))
+        start = new_user | gap
+        sidx = np.cumsum(start) - 1
+        counts = np.bincount(sidx)
+        ends = np.flatnonzero(np.concatenate((start[1:], [True])))
+        return pa.table(
+            {
+                "user_id": pa.array(u[start], pa.int64()),
+                "session_start_us": pa.array(ts[start], pa.int64()),
+                "session_end_us": pa.array(ts[ends], pa.int64()),
                 "n_events": pa.array(counts.astype(np.int64)),
             }
         )
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pyarrow")
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessionize_bucket, batch_format="pyarrow")
+    )
 
 
 Q_SESSIONS_SQL = """
@@ -823,25 +846,63 @@ def q_funnel(sf_dir: str):
     (ts, event_id)) — greedy-earliest is optimal for subsequence
     matching, and event_id uniqueness makes the walk deterministic."""
     STAGES = ("view", "click", "purchase")
+    N_BUCKETS = 64
+    _INF = np.iinfo(np.int64).max
 
-    def funnel(group: pa.Table) -> pa.Table:
-        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        eid = group["event_id"].to_numpy()
-        order = np.lexsort((eid, ts))
-        types = group["event_type"].to_numpy(zero_copy_only=False)[order]
-        stage = 0
-        for t in types:
-            if stage < len(STAGES) and t == STAGES[stage]:
-                stage += 1
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
+        u = b["user_id"].to_numpy().astype(np.uint64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         return pa.table(
             {
-                "user_id": group["user_id"].slice(0, 1),
-                "stage": pa.array([stage], pa.int64()),
+                "user_id": b["user_id"],
+                "t": pa.array(ts, pa.int64()),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "bucket": pa.array(
+                    (_splitmix64(u) % np.uint64(N_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def funnel_bucket(group: pa.Table) -> pa.Table:
+        # every user in the bucket walked at once: sort (user, ts, id);
+        # r1 = first view index per user segment, r2 = first click
+        # index AFTER r1, r3 = first purchase after r2 — each a masked
+        # minimum.reduceat, no per-user Python.  Greedy-earliest is
+        # optimal for subsequence matching.
+        u = group["user_id"].to_numpy()
+        ts = group["t"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        types = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, types = u[order], types[order]
+        seg = np.concatenate(([True], u[1:] != u[:-1]))
+        seg_pos = np.flatnonzero(seg)
+        seg_id = np.cumsum(seg) - 1
+        idx = np.arange(len(u), dtype=np.int64)
+        prev = np.full(len(seg_pos), -1, dtype=np.int64)  # r0: before start
+        stage = np.zeros(len(seg_pos), dtype=np.int64)
+        for s_i, name in enumerate(STAGES):
+            cand = np.where((types == name) & (idx > prev[seg_id]), idx, _INF)
+            r = np.minimum.reduceat(cand, seg_pos)
+            hit = r < _INF
+            stage += hit.astype(np.int64) * (stage == s_i)
+            prev = np.where(hit & (stage > s_i), r, _INF)
+        return pa.table(
+            {
+                "user_id": pa.array(u[seg_pos], pa.int64()),
+                "stage": pa.array(stage),
             }
         )
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-    return ds.groupby("user_id").map_groups(funnel, batch_format="pyarrow")
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(funnel_bucket, batch_format="pyarrow")
+    )
 
 
 Q_FUNNEL_SQL = """
@@ -872,27 +933,58 @@ Q_FUNNEL_SQL = """
 def q_user_journey(sf_dir: str):
     """Ordered per-key string aggregation (collect_list → join): each
     user's event-type sequence in (ts, event_id) order — the session
-    replay / journey feature.  One groupby(user_id) co-locates a
-    user's rows; the per-group kernel lexsorts and joins.  Per-user
-    sequences are bounded; user_id is the partition key at scale.
-    event_id is unique, so the order — and the hash — cannot depend on
-    block boundaries."""
+    replay / journey feature.  Users are co-located by hash BUCKET
+    (not one Python group call per user); the per-bucket kernel
+    lexsorts once, slices every user's run into a ListArray straight
+    from the segment offsets, and joins with the vectorized Arrow
+    binary_join kernel.  event_id is unique, so the order — and the
+    hash — cannot depend on block boundaries."""
+    N_BUCKETS = 64
 
-    def journey(group: pa.Table) -> pa.Table:
-        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        eid = group["event_id"].to_numpy()
-        order = np.lexsort((eid, ts))
-        types = group["event_type"].to_numpy(zero_copy_only=False)[order]
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
+        u = b["user_id"].to_numpy().astype(np.uint64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         return pa.table(
             {
-                "user_id": group["user_id"].slice(0, 1),
-                "journey": pa.array([",".join(types.tolist())], pa.string()),
-                "n_events": pa.array([len(types)], pa.int64()),
+                "user_id": b["user_id"],
+                "t": pa.array(ts, pa.int64()),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "bucket": pa.array(
+                    (_splitmix64(u) % np.uint64(N_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def journey_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        ts = group["t"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u = u[order]
+        et = group["event_type"].combine_chunks() if isinstance(
+            group["event_type"], pa.ChunkedArray
+        ) else group["event_type"]
+        types_sorted = et.take(pa.array(order))
+        seg_pos = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        offsets = np.concatenate((seg_pos, [len(u)])).astype(np.int32)
+        runs = pa.ListArray.from_arrays(pa.array(offsets), types_sorted)
+        return pa.table(
+            {
+                "user_id": pa.array(u[seg_pos], pa.int64()),
+                "journey": pc.binary_join(runs, ","),
+                "n_events": pa.array(np.diff(offsets).astype(np.int64)),
             }
         )
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-    return ds.groupby("user_id").map_groups(journey, batch_format="pyarrow")
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(journey_bucket, batch_format="pyarrow")
+    )
 
 
 Q_USER_JOURNEY_SQL = """
@@ -1002,33 +1094,60 @@ Q_LATEST_BY_KEY_SQL = """
 
 def q_interval_union(sf_dir: str):
     """Interval union / coverage per key: each event opens a 10-minute
-    interval; the per-user kernel merges overlaps (gaps-and-islands
-    sweep over the sorted starts) and reports the number of merged
-    islands and total covered microseconds.  Same one-shuffle
-    groupby(user_id) co-location as sessionization; integer-us
+    interval; overlaps merge (gaps-and-islands) and the result is the
+    island count and total covered microseconds per user.  Users are
+    co-located by hash BUCKET (not one Python group call per user —
+    user cardinality is ~rows at scale); because every interval has
+    the SAME length, island starts are exactly user changes or
+    start-gaps > IVL, so ONE lexsort pass handles every user in the
+    bucket and reduceat folds the per-user outputs.  Integer-us
     arithmetic keeps it hash-exact."""
     IVL_US = 600_000_000  # 10-minute interval per event
+    N_BUCKETS = 64
 
-    def union_len(group: pa.Table) -> pa.Table:
-        s = np.sort(
-            group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        )
-        e = s + IVL_US
-        run_max = np.maximum.accumulate(e)
-        starts = np.concatenate(([True], s[1:] > run_max[:-1]))
-        start_idx = np.flatnonzero(starts)
-        last_idx = np.concatenate((start_idx[1:] - 1, [len(s) - 1]))
-        covered = int((run_max[last_idx] - s[start_idx]).sum())
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
+        u = b["user_id"].to_numpy().astype(np.uint64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         return pa.table(
             {
-                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
-                "n_intervals": pa.array([len(start_idx)], pa.int64()),
-                "covered_us": pa.array([covered], pa.int64()),
+                "user_id": b["user_id"],
+                "t": pa.array(ts, pa.int64()),
+                "bucket": pa.array(
+                    (_splitmix64(u) % np.uint64(N_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def union_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        s = group["t"].to_numpy()
+        order = np.lexsort((s, u))
+        u, s = u[order], s[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        start = new_user | np.concatenate(([True], (s[1:] - s[:-1]) > IVL_US))
+        ends = np.flatnonzero(np.concatenate((start[1:], [True])))
+        covered = (s[ends] + IVL_US) - s[start]
+        iu = u[start]
+        ustart = np.concatenate(([True], iu[1:] != iu[:-1]))
+        upos = np.flatnonzero(ustart)
+        return pa.table(
+            {
+                "user_id": pa.array(iu[upos], pa.int64()),
+                "n_intervals": pa.array(
+                    np.add.reduceat(np.ones(len(iu), dtype=np.int64), upos)
+                ),
+                "covered_us": pa.array(np.add.reduceat(covered, upos)),
             }
         )
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    return ds.groupby("user_id").map_groups(union_len, batch_format="pyarrow")
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(union_bucket, batch_format="pyarrow")
+    )
 
 
 Q_INTERVAL_UNION_SQL = """
@@ -1065,38 +1184,60 @@ def q_mode_event(sf_dir: str):
     """Exact mode (most frequent event_type) per user with a
     deterministic lexicographic tie-break.  Per-batch partial counts
     shrink the exchange to one row per (user, type) per batch — the
-    counts monoid — then one groupby(user_id) merges and argmaxes."""
+    counts monoid — then ONE user-bucketed shuffle merges and
+    argmaxes every user in a vectorized lexsort+reduceat pass (never
+    one Python group call per user)."""
+
+    N_BUCKETS = 64
 
     def partial(batch: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
         agg = pa.TableGroupBy(
             batch.select(["user_id", "event_type"]), ["user_id", "event_type"]
         ).aggregate([([], "count_all")])
+        u = agg["user_id"].to_numpy().astype(np.uint64)
         return pa.table(
             {
                 "user_id": agg["user_id"],
                 "event_type": agg["event_type"],
                 "n": agg["count_all"].cast(pa.int64()),
+                "bucket": pa.array(
+                    (_splitmix64(u) % np.uint64(N_BUCKETS)).astype(np.int64)
+                ),
             }
         )
 
-    def pick(group: pa.Table) -> pa.Table:
-        agg = pa.TableGroupBy(group, "event_type").aggregate([("n", "sum")])
-        n = agg["n_sum"].to_numpy()
-        et = agg["event_type"].to_pylist()
-        best = min(range(len(n)), key=lambda i: (-int(n[i]), et[i]))
+    def pick_bucket(group: pa.Table) -> pa.Table:
+        # merge the (user, type) partials and argmax per user in one
+        # vectorized pass over the whole bucket (user cardinality is
+        # ~rows at scale — never one Python group call per user)
+        u = group["user_id"].to_numpy()
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy()
+        order = np.lexsort((et, u))
+        u, et, n = u[order], et[order], n[order]
+        newpair = np.concatenate(([True], (u[1:] != u[:-1]) | (et[1:] != et[:-1])))
+        starts = np.flatnonzero(newpair)
+        tot = np.add.reduceat(n, starts)
+        uu, tt = u[starts], et[starts]
+        # winner per user by (count desc, type asc): lexsort then first
+        o2 = np.lexsort((tt, -tot, uu))
+        first = np.concatenate(([True], uu[o2][1:] != uu[o2][:-1]))
+        sel = o2[first]
         return pa.table(
             {
-                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
-                "mode_event": pa.array([et[best]], pa.string()),
-                "mode_count": pa.array([int(n[best])], pa.int64()),
+                "user_id": pa.array(uu[sel], pa.int64()),
+                "mode_event": pa.array(tt[sel], pa.string()),
+                "mode_count": pa.array(tot[sel].astype(np.int64)),
             }
         )
 
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(pick, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pick_bucket, batch_format="pyarrow")
     )
 
 
@@ -1158,51 +1299,86 @@ Q_HASH_SAMPLE_SQL = """
 
 def q_asof_join(sf_dir: str):
     """As-of join (custom operator Ray Data lacks): each 'click' event
-    is matched to the latest 'view' event of the same user at or before
-    its timestamp.  groupby(user_id) co-locates each user's stream; the
-    per-group kernel sorts once and binary-searches (searchsorted) —
-    the documented partitioning assumption is that one user's events
-    fit in a group.  Value-exact vs DuckDB ASOF JOIN."""
+    is matched to the latest 'view' event of the same user at or
+    before its timestamp.  Non-click/view rows are shed BEFORE the
+    exchange; users are co-located by hash BUCKET (not one Python
+    group call per user), and the per-bucket kernel resolves every
+    click in one lexsort + forward-fill pass: rows sort by (user, ts,
+    view-before-click, event_id), a running maximum of view indices
+    gives each click its latest prior view, and a segment-start bound
+    rejects fills that leaked from the previous user.  Value-exact vs
+    DuckDB ASOF JOIN."""
+    N_BUCKETS = 64
 
-    def asof(group: pa.Table) -> pa.Table:
-        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        etype = np.asarray(group["event_type"].to_pylist())
-        eid = group["event_id"].to_numpy()
-        value = group["value"].to_numpy()
+    def prep(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
 
-        lmask = etype == "click"
-        rmask = etype == "view"
-        if not lmask.any() or not rmask.any():
-            return pa.schema(
-                [
-                    pa.field("click_id", pa.int64()),
-                    pa.field("view_id", pa.int64()),
-                    pa.field("lag_us", pa.int64()),
-                    pa.field("view_value_c", pa.int64()),
-                ]
-            ).empty_table()
-
-        lt, lid = ts[lmask], eid[lmask]
-        # stable sort by (ts, event_id) so ties pick a deterministic view
-        r_order = np.lexsort((eid[rmask], ts[rmask]))
-        rt = ts[rmask][r_order]
-        rid = eid[rmask][r_order]
-        rv = value[rmask][r_order]
-
-        pos = np.searchsorted(rt, lt, side="right") - 1
-        hit = pos >= 0
-        pos = pos[hit]
+        keep = pc.is_in(
+            b["event_type"], value_set=pa.array(["click", "view"])
+        )
+        k = b.filter(keep)
+        u = k["user_id"].to_numpy().astype(np.uint64)
+        ts = k["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         return pa.table(
             {
-                "click_id": pa.array(lid[hit], pa.int64()),
-                "view_id": pa.array(rid[pos], pa.int64()),
-                "lag_us": pa.array(lt[hit] - rt[pos], pa.int64()),
-                "view_value_c": pa.array(_cents(rv[pos])),
+                "user_id": k["user_id"],
+                "t": pa.array(ts, pa.int64()),
+                "event_id": k["event_id"],
+                "is_click": pa.array(
+                    pc.equal(k["event_type"], "click").to_numpy(
+                        zero_copy_only=False
+                    )
+                ),
+                "value": k["value"],
+                "bucket": pa.array(
+                    (_splitmix64(u) % np.uint64(N_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def asof_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        ts = group["t"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        val = group["value"].to_numpy()
+        is_click = group["is_click"].to_numpy(zero_copy_only=False)
+        # views sort before clicks at the same (user, ts) so a click's
+        # forward fill sees same-timestamp views (ASOF <= semantics);
+        # among equal-ts views the LAST (max event_id) wins, matching
+        # searchsorted side='right' - 1
+        order = np.lexsort((eid, is_click.astype(np.int64), ts, u))
+        u, ts, eid, val, is_click = (
+            u[order],
+            ts[order],
+            eid[order],
+            val[order],
+            is_click[order],
+        )
+        n = len(u)
+        seg = np.concatenate(([True], u[1:] != u[:-1]))
+        seg_pos = np.flatnonzero(seg)
+        seg_id = np.cumsum(seg) - 1
+        idx = np.arange(n, dtype=np.int64)
+        lastview = np.maximum.accumulate(np.where(~is_click, idx, -1))
+        cr = np.flatnonzero(is_click)
+        lv = lastview[cr]
+        valid = lv >= seg_pos[seg_id[cr]]
+        cr, lv = cr[valid], lv[valid]
+        return pa.table(
+            {
+                "click_id": pa.array(eid[cr], pa.int64()),
+                "view_id": pa.array(eid[lv], pa.int64()),
+                "lag_us": pa.array(ts[cr] - ts[lv], pa.int64()),
+                "view_value_c": pa.array(_cents(val[lv])),
             }
         )
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
-    return ds.groupby("user_id").map_groups(asof, batch_format="pyarrow")
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(asof_bucket, batch_format="pyarrow")
+    )
 
 
 Q_ASOF_JOIN_SQL = """
@@ -3229,17 +3405,19 @@ Q_QUANTILE_SKETCH_SQL = f"""
 def q_retention(sf_dir: str):
     """Cohort retention: users grouped by first-activity week, counted
     as retained in each later week they act — the (cohort, offset)
-    matrix every growth dashboard is built on.  Plan: per-user MIN
-    week via the compaction combiner (≤1 row per (block, user) into
-    one shuffle), broadcast nothing — the distinct (user, week)
-    activity pairs join their cohort in the SAME groupby(user) pass,
-    then a small (cohort, offset) count-distinct-free aggregate
-    (pairs are already distinct per user)."""
+    matrix every growth dashboard is built on.  Plan: block-local
+    distinct (user, week) pairs, ONE user-BUCKETED shuffle (not one
+    Python group call per user) whose kernel dedupes and derives
+    every user's cohort + offsets in a single lexsort pass, then a
+    small (cohort, offset) count (pairs are already distinct)."""
     from ray.data.aggregate import Sum
 
     WEEK_US = 7 * 24 * 3600 * 1_000_000
+    N_BUCKETS = 64
 
     def weeks(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
         ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         t = pa.table(
             {
@@ -3248,22 +3426,35 @@ def q_retention(sf_dir: str):
             }
         )
         # block-local distinct (user, week) pairs
-        return pa.TableGroupBy(t, ["user_id", "week"]).aggregate([])
+        uniq = pa.TableGroupBy(t, ["user_id", "week"]).aggregate([])
+        u = uniq["user_id"].to_numpy().astype(np.uint64)
+        return uniq.append_column(
+            "bucket",
+            pa.array((_splitmix64(u) % np.uint64(N_BUCKETS)).astype(np.int64)),
+        )
 
-    def per_user(group: pa.Table) -> pa.Table:
-        w = np.unique(group["week"].to_numpy())
+    def cohort_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        w = group["week"].to_numpy()
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        # global dedupe of (user, week) — block-local distincts overlap
+        keep = np.concatenate(([True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])))
+        u, w = u[keep], w[keep]
+        seg = np.concatenate(([True], u[1:] != u[:-1]))
+        cohort = w[np.flatnonzero(seg)][np.cumsum(seg) - 1]
         return pa.table(
             {
-                "cohort_week": pa.array(np.full(len(w), w[0]), pa.int64()),
-                "offset_w": pa.array(w - w[0], pa.int64()),
+                "cohort_week": pa.array(cohort, pa.int64()),
+                "offset_w": pa.array(w - cohort, pa.int64()),
             }
         )
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     pairs = (
         ds.map_batches(weeks, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cohort_bucket, batch_format="pyarrow")
     )
 
     def count_partial(b: pa.Table) -> pa.Table:
