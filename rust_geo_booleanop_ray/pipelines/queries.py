@@ -609,9 +609,12 @@ Q_PRICING_SQL = """
 
 
 def q_top_customers(sf_dir: str):
-    """Top-10 customers by order spend: partial sums → shuffle →
-    sort/limit; customer names joined via broadcast lookup."""
-    from ray.data.aggregate import Sum
+    """Top-10 customers by order spend: per-block partial sums → ONE
+    key-bucketed shuffle with a vectorized merge + per-bucket top-10
+    guard → bounded final sort; names joined via broadcast lookup."""
+    from ..stages.footprint import _splitmix64
+
+    N_BUCKETS = 64
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -621,12 +624,39 @@ def q_top_customers(sf_dir: str):
             }
         )
         agg = pa.TableGroupBy(t, "o_custkey").aggregate([("spend_c", "sum")])
-        return agg.rename_columns(["o_custkey", "spend_c"])
+        agg = agg.rename_columns(["o_custkey", "spend_c"])
+        h = _splitmix64(agg["o_custkey"].to_numpy().astype(np.uint64))
+        return agg.append_column(
+            "bucket", pa.array((h % np.uint64(N_BUCKETS)).astype(np.int64))
+        )
+
+    def merge_topk_bucket(group: pa.Table) -> pa.Table:
+        # vectorized per-bucket spend merge + top-10 guard: customer
+        # cardinality is ~rows, so the generic per-key aggregate would
+        # pay per-distinct-key overhead; a key's partials all share a
+        # bucket, so reduceat totals are global and each bucket only
+        # forwards its own top-10 into the final bounded sort
+        k = group["o_custkey"].to_numpy()
+        s = group["spend_c"].to_numpy()
+        order = np.argsort(k, kind="stable")
+        k, s = k[order], s[order]
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        tot = np.add.reduceat(s, starts)
+        uk = k[starts]
+        top = np.lexsort((uk, -tot))[:10]
+        return pa.table(
+            {
+                "o_custkey": pa.array(uk[top], pa.int64()),
+                "spend_c": pa.array(tot[top].astype(np.int64)),
+            }
+        )
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    spend = orders.map_batches(partial, batch_format="pyarrow").groupby(
-        "o_custkey"
-    ).aggregate(Sum("spend_c", alias_name="spend_c"))
+    spend = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_topk_bucket, batch_format="pyarrow")
+    )
     top = spend.sort(["spend_c", "o_custkey"], descending=[True, False]).limit(10)
 
     import pyarrow.parquet as pq
@@ -1789,17 +1819,23 @@ def q_table_diff(sf_dir: str):
     which side each exclusive key is missing from — the integrity
     check you run between two snapshots or two pipelines' outputs.
     Per-batch combiner emits each block's DISTINCT keys with a side
-    bitmask (1=a, 2=b); one groupby(key) ORs the masks and keeps the
-    single-sided keys.  The exchange moves ≤ one row per (block, side,
-    key) — never the raw rows."""
+    bitmask (1=a, 2=b); one key-BUCKETED shuffle ORs the masks with a
+    vectorized reduceat (key cardinality is ~rows — never one Python
+    group call per key) and keeps the single-sided keys.  The exchange
+    moves ≤ one row per (block, side, key) — never the raw rows."""
+    from ..stages.footprint import _splitmix64
+
+    N_BUCKETS = 64
 
     def tag(col_filter, mask):
         def fn(b: pa.Table) -> pa.Table:
             keys = np.unique(col_filter(b).to_numpy(zero_copy_only=False))
+            h = _splitmix64(keys.astype(np.uint64)) % np.uint64(N_BUCKETS)
             return pa.table(
                 {
                     "c_custkey": pa.array(keys, pa.int64()),
                     "mask": pa.array(np.full(len(keys), mask, dtype=np.int64)),
+                    "bucket": pa.array(h.astype(np.int64)),
                 }
             )
 
@@ -1817,20 +1853,30 @@ def q_table_diff(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def resolve(group: pa.Table) -> pa.Table:
-        m = int(np.bitwise_or.reduce(group["mask"].to_numpy()))
-        if m == 3:
-            return pa.schema(
-                [pa.field("c_custkey", pa.int64()), pa.field("side", pa.string())]
-            ).empty_table()
+    def resolve_bucket(group: pa.Table) -> pa.Table:
+        k = group["c_custkey"].to_numpy()
+        m = group["mask"].to_numpy()
+        order = np.argsort(k, kind="stable")
+        k, m = k[order], m[order]
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        ored = np.bitwise_or.reduceat(m, starts)
+        uk = k[starts]
+        one_sided = ored != 3
+        uk, ored = uk[one_sided], ored[one_sided]
         return pa.table(
             {
-                "c_custkey": group["c_custkey"].slice(0, 1),
-                "side": pa.array(["a_only" if m == 1 else "b_only"], pa.string()),
+                "c_custkey": pa.array(uk, pa.int64()),
+                "side": pa.array(
+                    np.where(ored == 1, "a_only", "b_only"), pa.string()
+                ),
             }
         )
 
-    return a.union(b).groupby("c_custkey").map_groups(resolve, batch_format="pyarrow")
+    return (
+        a.union(b)
+        .groupby("bucket")
+        .map_groups(resolve_bucket, batch_format="pyarrow")
+    )
 
 
 Q_TABLE_DIFF_SQL = """
@@ -2121,11 +2167,9 @@ def q_minhash_near_dup(sf_dir: str):
     pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
         LshCandidatePairs(threshold=0.5), batch_format="pyarrow"
     )
-    from ray.data.aggregate import Count, Max
+    from ..stages.dedup import pair_reduce
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
-    )
+    return pair_reduce(pairs, "doc_a", "doc_b", "est_jaccard", how="max")
 
 
 def _build_simhash_pairs_sql() -> str:
@@ -2209,9 +2253,9 @@ def q_simhash_pairs(sf_dir: str):
     pairs = exploded.groupby(["band_id", "band_val"]).map_groups(
         SimhashPairs(max_hamming=3), batch_format="pyarrow"
     )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    from ..stages.dedup import pair_reduce
+
+    return pair_reduce(pairs, "doc_a", "doc_b", "hamming", how="min")
 
 
 def q_fingerprints(sf_dir: str):
@@ -2279,9 +2323,9 @@ def q_embedding_near_dup(sf_dir: str):
     pairs = bucketed.groupby("bucket").map_groups(
         EmbeddingNearDupPairs(threshold=0.35), batch_format="pyarrow"
     )
-    agg = pairs.groupby(["vec_a", "vec_b"]).aggregate(
-        Max("cosine", alias_name="cosine")
-    )
+    from ..stages.dedup import pair_reduce
+
+    agg = pair_reduce(pairs, "vec_a", "vec_b", "cosine", how="max")
     return agg.map_batches(
         lambda b: pa.table(
             {
@@ -2460,9 +2504,9 @@ def q_image_near_dup(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    return pairs.groupby(["img_a", "img_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    from ..stages.dedup import pair_reduce
+
+    return pair_reduce(pairs, "img_a", "img_b", "hamming", how="min")
 
 
 IMAGE_SIM_N = 1500

@@ -798,3 +798,52 @@ def connected_components(pairs_ds, max_rounds: int = 30, a_col: str = "doc_a", b
         lambda b: pa.table({"node": b["node"], "component": b["label"]}),
         batch_format="pyarrow",
     )
+
+
+def pair_reduce(pairs_ds, a_col: str, b_col: str, val_col: str, how: str = "min", n_buckets: int = 64):
+    """Merge duplicate candidate pairs (the same pair surfaces from
+    several LSH bands/buckets) into one row carrying min/max of
+    ``val_col``.  Pair cardinality is ~candidates — rows-scale — so
+    the generic per-key aggregate would pay per-distinct-key overhead;
+    instead the (a, b) pair packs into ONE int64 (ids < 2^31), a
+    splitmix64 bucket co-locates all instances of a pair, and one
+    argsort + ufunc.reduceat per bucket merges at C speed.  Column
+    names and dtypes are preserved."""
+    from .footprint import _splitmix64
+
+    ufunc = {"min": np.minimum, "max": np.maximum}[how]
+
+    def add_key(b: pa.Table) -> pa.Table:
+        a = b[a_col].to_numpy().astype(np.uint64)
+        bb = b[b_col].to_numpy().astype(np.uint64)
+        key = (a << np.uint64(32)) | bb
+        h = _splitmix64(key) % np.uint64(n_buckets)
+        return pa.table(
+            {
+                "pair_key": pa.array(key.view(np.int64)),
+                val_col: b[val_col],
+                "bucket": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        k = group["pair_key"].to_numpy()
+        v = group[val_col].to_numpy()
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        red = ufunc.reduceat(v, starts)
+        uk = k[starts].view(np.uint64)
+        return pa.table(
+            {
+                a_col: pa.array((uk >> np.uint64(32)).astype(np.int64)),
+                b_col: pa.array((uk & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                val_col: pa.array(red),
+            }
+        )
+
+    return (
+        pairs_ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
