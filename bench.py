@@ -133,6 +133,10 @@ def bench_list():
         "footprint_metrics",
         "quantile_sketch",
         "skyline",
+        "cube_sales",
+        "nearest_facility",
+        "pixel_histogram",
+        "safe_split",
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))

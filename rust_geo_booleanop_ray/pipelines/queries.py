@@ -507,6 +507,73 @@ def q_pip_join_rtree(sf_dir: str):
     )
 
 
+def q_nearest_facility(sf_dir: str):
+    """Nearest-facility assignment (Voronoi labeling): every customer
+    point is assigned to the closest of 25 facility sites, then
+    per-facility demand is aggregated — the logistics/coverage
+    counterpart of the spatial joins.  The facility table is tiny and
+    BROADCAST (closure constants; never shuffled); each batch computes
+    the full n×25 squared-distance matrix vectorized and argmins.
+    Integer lattice coordinates make d² and the hash exact; ties
+    break to the smallest facility id (argmin's first-hit order)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    fid = np.sort(nat["n_nationkey"].to_numpy().astype(np.int64))
+    fx = (fid * 17) % 97
+    fy = (fid * 41) % 89
+
+    def assign(b: pa.Table) -> pa.Table:
+        p = _customer_point_batch(b)
+        px = p["px"].to_numpy().astype(np.int64)
+        py = p["py"].to_numpy().astype(np.int64)
+        d2 = (px[:, None] - fx[None, :]) ** 2 + (py[:, None] - fy[None, :]) ** 2
+        best = np.argmin(d2, axis=1)
+        t = pa.table(
+            {
+                "fid": pa.array(fid[best]),
+                "d2": pa.array(d2[np.arange(len(px)), best]),
+                "n": pa.array(np.ones(len(px), dtype=np.int64)),
+            }
+        )
+        agg = pa.TableGroupBy(t, "fid").aggregate([("n", "sum"), ("d2", "sum")])
+        return agg.rename_columns(["fid", "n_pts", "sum_d2"])
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("fid")
+        .aggregate(Sum("n_pts", alias_name="n_pts"), Sum("sum_d2", alias_name="sum_d2"))
+    )
+
+
+Q_NEAREST_FACILITY_SQL = f"""
+    WITH f AS (
+      SELECT n_nationkey AS fid,
+             CAST((n_nationkey * 17) % 97 AS BIGINT) AS fx,
+             CAST((n_nationkey * 41) % 89 AS BIGINT) AS fy
+      FROM nation
+    ),
+    p AS ({CUSTOMER_POINT_SQL}),
+    d AS (
+      SELECT p.c_custkey, f.fid,
+             CAST((CAST(px AS BIGINT) - fx) * (CAST(px AS BIGINT) - fx)
+                + (CAST(py AS BIGINT) - fy) * (CAST(py AS BIGINT) - fy)
+               AS BIGINT) AS d2
+      FROM p, f
+    ),
+    a AS (
+      SELECT c_custkey, fid, d2,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY d2, fid) AS rn
+      FROM d
+    )
+    SELECT fid, CAST(COUNT(*) AS BIGINT) AS n_pts,
+           CAST(SUM(d2) AS BIGINT) AS sum_d2
+    FROM a WHERE rn = 1 GROUP BY fid
+"""
+
+
 def q_spatial_knn(sf_dir: str):
     """k nearest customers for each query customer (c_custkey ≤ 20),
     via the cell-partitioned kNN operator (3×3 neighborhood at res 4 —
@@ -2457,6 +2524,65 @@ def q_image_pyramid(sf_dir: str):
     return ds.map_batches(
         DecodePyramid(levels=2), batch_format="pyarrow", batch_size=256, concurrency=2
     )
+
+
+PIXHIST_N = 1500
+
+
+def q_pixel_histogram(sf_dir: str):
+    """Corpus-wide pixel-intensity histogram (16 bins, bin = byte>>4):
+    the exposure/contrast profile a vision-data pipeline computes
+    before normalization.  Real decode per image (PNG rows inflate
+    through the codec); each batch folds its images into ONE 16-bin
+    partial (np.bincount over all channel bytes), so the exchange
+    carries 16 rows per block regardless of image count.  Value-exact:
+    the oracle inlines the generator-side total histogram (pixel math,
+    never the codec), pinning decode + binning over every byte of the
+    corpus."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.images import read_synth_images
+    from ..stages.image_ops import decode_image
+
+    def partial(b: pa.Table) -> pa.Table:
+        payloads = b["bytes"].to_pylist()
+        ws = b["w"].to_numpy()
+        hs = b["h"].to_numpy()
+        fmts = b["fmt"].to_pylist()
+        hist = np.zeros(16, dtype=np.int64)
+        for i, payload in enumerate(payloads):
+            px = decode_image(payload, int(ws[i]), int(hs[i]), fmts[i])
+            hist += np.bincount(px.ravel() >> 4, minlength=16)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(16, dtype=np.int64)),
+                "n": pa.array(hist),
+            }
+        )
+
+    ds = read_synth_images(PIXHIST_N)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=256)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def _build_pixel_histogram_sql(n_images: int = PIXHIST_N) -> str:
+    from ..sources.images import _base_pixels
+
+    hist = np.zeros(16, dtype=np.int64)
+    for i in range(n_images):
+        hist += np.bincount(_base_pixels(i).ravel() >> 4, minlength=16)
+    rows = ",\n      ".join(
+        f"(CAST({b} AS BIGINT), CAST({int(n)} AS BIGINT))"
+        for b, n in enumerate(hist)
+    )
+    return f"""
+    SELECT * FROM (VALUES
+      {rows}
+    ) AS expected(bin, n)
+"""
 
 
 IMAGE_NEARDUP_N = 2000
@@ -4895,6 +5021,89 @@ Q_DIST_JOIN_SQL = f"""
 """
 
 
+def q_cube_sales(sf_dir: str):
+    """CUBE / full grouping-sets aggregate: all FOUR levels —
+    (flag, status), (flag), (status), grand total — from ONE scan and
+    ONE shuffle.  Same multi-level-partials shape as rollup_sales
+    (coarser levels derive from each block's finest partial, sentinel
+    'ALL' for cubed-away keys); the exchange carries ≤
+    (|flags|+1)·(|statuses|+1) rows per block."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = np.floor(batch["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        price_c = _cents(batch["l_extendedprice"].to_numpy())
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pa.array(qty),
+                "price_c": pa.array(price_c),
+                "n": pa.array(np.ones(len(qty), dtype=np.int64)),
+            }
+        )
+
+        def agg(tbl: pa.Table, keys: list[str]) -> pa.Table:
+            g = pa.TableGroupBy(tbl, keys).aggregate(
+                [("qty", "sum"), ("price_c", "sum"), ("n", "sum")]
+            )
+            cols = {k: g[k] for k in keys}
+            for rolled in ("l_returnflag", "l_linestatus"):
+                if rolled not in keys:
+                    cols[rolled] = pa.array(["ALL"] * g.num_rows)
+            cols["n"] = g["n_sum"]
+            cols["sum_qty"] = g["qty_sum"]
+            cols["sum_price_c"] = g["price_c_sum"]
+            names = ["l_returnflag", "l_linestatus", "n", "sum_qty", "sum_price_c"]
+            return pa.table({k: cols[k] for k in names})
+
+        finest = agg(t, ["l_returnflag", "l_linestatus"])
+        mid = pa.table(
+            {
+                "l_returnflag": finest["l_returnflag"],
+                "l_linestatus": finest["l_linestatus"],
+                "qty": finest["sum_qty"],
+                "price_c": finest["sum_price_c"],
+                "n": finest["n"],
+            }
+        )
+        return pa.concat_tables(
+            [
+                finest,
+                agg(mid, ["l_returnflag"]),
+                agg(mid, ["l_linestatus"]),
+                agg(mid, []),
+            ]
+        )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price_c", alias_name="sum_price_c"),
+        )
+    )
+
+
+Q_CUBE_SALES_SQL = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_price_c
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_rollup_sales(sf_dir: str):
     """ROLLUP / grouping-sets aggregate: lineitem quantity + revenue
     totals at three levels — (returnflag, linestatus), (returnflag),
@@ -5647,6 +5856,7 @@ def build_queries():
         "poly_join_big": q_poly_join_big,
         "dissolve": q_dissolve,
         "spatial_knn": q_spatial_knn,
+        "nearest_facility": q_nearest_facility,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_window": q_events_window,
@@ -5681,6 +5891,7 @@ def build_queries():
         "image_features": q_image_features,
         "image_quality": q_image_quality,
         "image_pyramid": q_image_pyramid,
+        "pixel_histogram": q_pixel_histogram,
         "image_near_dup": q_image_near_dup,
         "image_sim_topk": q_image_sim,
         "video_frames": q_video_frames,
@@ -5715,6 +5926,7 @@ def build_queries():
         "vocab_topk": q_vocab_topk,
         "tfidf_topterms": q_tfidf_topterms,
         "rollup_sales": q_rollup_sales,
+        "cube_sales": q_cube_sales,
         "group_quantiles": q_group_quantiles,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
@@ -5753,6 +5965,7 @@ def build_oracle_sql():
         "image_features": image_features_sql,
         "image_quality": image_quality_sql,
         "image_pyramid": image_pyramid_sql,
+        "pixel_histogram": _build_pixel_histogram_sql(),
         "video_frames": video_frames_sql,
         "audio_features": audio_features_sql,
         "clip_area": Q_CLIP_AREA_SQL,
@@ -5763,6 +5976,7 @@ def build_oracle_sql():
         "poly_join_big": Q_POLY_JOIN_BIG_SQL,
         "dissolve": Q_DISSOLVE_SQL,
         "spatial_knn": Q_SPATIAL_KNN_SQL,
+        "nearest_facility": Q_NEAREST_FACILITY_SQL,
         "pricing_summary": Q_PRICING_SQL,
         "top_customers": Q_TOP_CUSTOMERS_SQL,
         "events_window": Q_EVENTS_WINDOW_SQL,
@@ -5823,6 +6037,7 @@ def build_oracle_sql():
         "vocab_topk": Q_VOCAB_TOPK_SQL,
         "tfidf_topterms": Q_TFIDF_SQL,
         "rollup_sales": Q_ROLLUP_SALES_SQL,
+        "cube_sales": Q_CUBE_SALES_SQL,
         "group_quantiles": Q_GROUP_QUANTILES_SQL,
         "anti_join": Q_ANTI_JOIN_SQL,
         "semi_join": Q_SEMI_JOIN_SQL,
