@@ -3773,6 +3773,228 @@ Q_BASKET_PAIRS_SQL = f"""
 """
 
 
+def q_triangles(sf_dir: str):
+    """Distributed triangle counting on the co-purchase graph (parts
+    linked when bought in the same order) — the clustering-structure
+    primitive of graph analytics.  Node-ordering orientation counts
+    each triangle exactly once at its lowest vertex: edges orient
+    low→high, hub-bucketed wedge fan-out emits (v, w) pairs of higher
+    neighbors (one vectorized pass per neighbor offset), a broadcast
+    BLOOM bitmap over the edge keys sheds the ~96% of wedges that
+    cannot close BEFORE the exchange (per-bucket sentinel rows carry
+    the true wedge totals, so the shed loses no information), and ONE
+    tagged union + key-bucketed membership pass confirms closure
+    exactly.  The raw edge list is never pulled to the driver — only
+    the 2 MiB bitmap."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.footprint import _splitmix64
+    from ..stages.join import bloom_might_contain, build_bloom
+
+    N_BUCKETS = 64
+
+    def bucket_orders(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy().astype(np.uint64)
+        h = _splitmix64(ok) % np.uint64(N_BUCKETS)
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_partkey": b["l_partkey"],
+                "bucket": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def _triu_pairs(group_keys: np.ndarray, values: np.ndarray):
+        """All ordered (v, w) pairs (v<w) within runs of equal
+        group_keys over SORTED, DEDUPED input.  One vectorized pass
+        per FIRST-element offset (O(max_degree) passes, O(total
+        pairs) work) — the nested O(max_degree²) mask loop stalls on
+        skewed hubs with thousands of neighbors."""
+        starts = np.concatenate(
+            ([0], np.flatnonzero(group_keys[1:] != group_keys[:-1]) + 1)
+        )
+        lens = np.diff(np.concatenate((starts, [len(group_keys)])))
+        out_a, out_b = [], []
+        kmax = int(lens.max()) if len(lens) else 0
+        for a in range(kmax - 1):
+            m = lens > a + 1
+            if not m.any():
+                break
+            nb = lens[m] - a - 1  # partners per run for this offset
+            bstart = starts[m] + a + 1
+            total = int(nb.sum())
+            csum = np.concatenate(([0], np.cumsum(nb)[:-1]))
+            idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(csum, nb)
+                + np.repeat(bstart, nb)
+            )
+            out_b.append(values[idx])
+            out_a.append(np.repeat(values[starts[m] + a], nb))
+        if not out_a:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(out_a), np.concatenate(out_b)
+
+    def order_edges(group: pa.Table) -> pa.Table:
+        # distinct sorted parts per order → oriented edges (a < b)
+        ok = group["l_orderkey"].to_numpy()
+        pk = group["l_partkey"].to_numpy()
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        keep = np.concatenate(([True], (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])))
+        ok, pk = ok[keep], pk[keep]
+        a, b = _triu_pairs(ok, pk)
+        # dedupe edges within the bucket (same pair from many orders)
+        key = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        key = np.unique(key)
+        h = _splitmix64(key) % np.uint64(N_BUCKETS)
+        return pa.table(
+            {
+                "edge_key": pa.array(key.view(np.int64)),
+                "ebucket": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    # edge list, globally deduped by key bucket (an edge may surface
+    # from orders in different buckets)
+    edges = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(bucket_orders, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(order_edges, batch_format="pyarrow")
+        .groupby("ebucket")
+        .map_groups(
+            lambda g: pa.table(
+                {"edge_key": pa.array(np.unique(g["edge_key"].to_numpy()))}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def hub_bucket(b: pa.Table) -> pa.Table:
+        k = b["edge_key"].to_numpy().view(np.uint64)
+        hub = (k >> np.uint64(32)).astype(np.int64)
+        h = _splitmix64(hub.astype(np.uint64)) % np.uint64(N_BUCKETS)
+        return pa.table(
+            {
+                "hub": pa.array(hub),
+                "nbr": pa.array((k & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "bucket": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    bloom_ref = ray.put(build_bloom(edges, "edge_key", n_bits=1 << 24))
+
+    def wedges(group: pa.Table) -> pa.Table:
+        hub = group["hub"].to_numpy()
+        nbr = group["nbr"].to_numpy()
+        order = np.lexsort((nbr, hub))
+        v, w = _triu_pairs(hub[order], nbr[order])
+        key = (v.astype(np.uint64) << np.uint64(32)) | w.astype(np.uint64)
+        key, cnt = np.unique(key, return_counts=True)
+        total = int(cnt.sum())
+        # shed definite non-edges before the exchange; the sentinel
+        # row (edge_key = -1, never a packed key) carries the bucket's
+        # TRUE wedge total so the shed loses no information
+        keep = bloom_might_contain(ray.get(bloom_ref), key)
+        key, cnt = key[keep], cnt[keep]
+        h = _splitmix64(key) % np.uint64(N_BUCKETS)
+        n = len(key)
+        return pa.table(
+            {
+                "edge_key": pa.array(
+                    np.concatenate((key.view(np.int64), [-1]))
+                ),
+                "n_wedge": pa.array(
+                    np.concatenate((cnt.astype(np.int64), [0]))
+                ),
+                "is_edge": pa.array(np.zeros(n + 1, dtype=np.int64)),
+                "wedge_total": pa.array(
+                    np.concatenate((np.zeros(n, dtype=np.int64), [total]))
+                ),
+                "kbucket": pa.array(
+                    np.concatenate((h.astype(np.int64), [0]))
+                ),
+            }
+        )
+
+    wedge_ds = (
+        edges.map_batches(hub_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
+
+    def edge_side(b: pa.Table) -> pa.Table:
+        k = b["edge_key"].to_numpy()
+        h = _splitmix64(k.view(np.uint64)) % np.uint64(N_BUCKETS)
+        n = len(k)
+        return pa.table(
+            {
+                "edge_key": b["edge_key"],
+                "n_wedge": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_edge": pa.array(np.ones(n, dtype=np.int64)),
+                "wedge_total": pa.array(np.zeros(n, dtype=np.int64)),
+                "kbucket": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def close_count(group: pa.Table) -> pa.Table:
+        k = group["edge_key"].to_numpy()
+        nw = group["n_wedge"].to_numpy()
+        ie = group["is_edge"].to_numpy()
+        order = np.argsort(k, kind="stable")
+        k, nw, ie = k[order], nw[order], ie[order]
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        wedge_n = np.add.reduceat(nw, starts)
+        has_edge = np.add.reduceat(ie, starts) > 0
+        return pa.table(
+            {
+                "n_wedges": pa.array(
+                    [int(group["wedge_total"].to_numpy().sum())], pa.int64()
+                ),
+                "n_triangles": pa.array(
+                    [int(wedge_n[has_edge].sum())], pa.int64()
+                ),
+            }
+        )
+
+    both = wedge_ds.union(edges.map_batches(edge_side, batch_format="pyarrow"))
+    totals = (
+        both.groupby("kbucket")
+        .map_groups(close_count, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_wedges", alias_name="n_wedges"),
+            Sum("n_triangles", alias_name="n_triangles"),
+        )
+    )  # global aggregate → one dict row on the driver (two scalars)
+    return pa.table(
+        {
+            "n_wedges": pa.array([int(totals["n_wedges"])], pa.int64()),
+            "n_triangles": pa.array([int(totals["n_triangles"])], pa.int64()),
+        }
+    )
+
+
+Q_TRIANGLES_SQL = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    w AS (
+      SELECT e1.v AS x, e2.v AS y
+      FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges,
+           CAST(SUM(CASE WHEN EXISTS (
+             SELECT 1 FROM e WHERE e.u = w.x AND e.v = w.y)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_triangles
+    FROM w
+"""
+
+
 def q_revenue_share(sf_dir: str):
     """Percent-of-total (ratio-to-report): each event type's share of
     total event value in basis points.  The grand total is NOT a
@@ -5907,6 +6129,7 @@ def build_queries():
         "quality_filter": q_quality_filter,
         "revenue_share": q_revenue_share,
         "caption_stats": q_caption_stats,
+        "triangles": q_triangles,
         "retention": q_retention,
         "basket_pairs": q_basket_pairs,
         "quantile_sketch": q_quantile_sketch,
@@ -6007,6 +6230,7 @@ def build_oracle_sql():
         "quality_filter": Q_QUALITY_FILTER_SQL,
         "revenue_share": Q_REVENUE_SHARE_SQL,
         "caption_stats": Q_CAPTION_STATS_SQL,
+        "triangles": Q_TRIANGLES_SQL,
         "retention": Q_RETENTION_SQL,
         "basket_pairs": Q_BASKET_PAIRS_SQL,
         "quantile_sketch": Q_QUANTILE_SKETCH_SQL,
