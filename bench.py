@@ -136,7 +136,11 @@ def bench_list():
         "cube_sales",
         "nearest_facility",
         "pixel_histogram",
-        "safe_split",
+        # safe_split and triangles stay out of the headline: the
+        # former embeds the dedup_components fixpoint (round-dominated
+        # at toy scale, see note above), the latter is the 49M-wedge
+        # graph workload (~15 s alone at sf0.1) — benched standalone
+        # in BASELINE.md instead of skewing the suite total
     ):
         fn = Q.build_queries()[name]
         items.append((name, lambda fn=fn: _consume(fn(sf))))
