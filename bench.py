@@ -86,6 +86,7 @@ def bench_list():
         "audio_features",
         "regex_tokens",
         "range_join",
+        "range_join_big",
         "dissolve",
         "fingerprints",
         "embedding_near_dup",

@@ -1503,6 +1503,106 @@ Q_ASOF_JOIN_SQL = """
 _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
 
 
+def q_range_join_big(sf_dir: str):
+    """Big×big range join — the scale path the broadcast variant
+    documents: BOTH sides stream as Datasets (no ray.put of the
+    interval table).  Temporal PBSM: each event lands in its single
+    home hour-bucket, each interval replicates to every bucket it
+    spans, ONE groupby(bucket) co-locates them, and the per-bucket
+    kernel does a chunked vectorized containment — each pair emits
+    exactly once because the event's home bucket is unique.  Same
+    oracle as range_join (identical answer, different physical plan —
+    use this one when the interval side outgrows a worker heap)."""
+    from ray.data.aggregate import Count, Sum
+
+    B_US = 3_600_000_000  # 1-hour buckets
+
+    def interval_rows(batch: pa.Table) -> pa.Table:
+        sk = batch["s_suppkey"].to_numpy()
+        start = _EPOCH_2024_US + ((sk * 7919) % 720) * 3_600_000_000
+        end = start + (1 + sk % 6) * 3_600_000_000
+        # replicate each interval to every bucket it spans (vectorized
+        # repeat over per-row bucket counts)
+        b0 = start // B_US
+        nb = end // B_US - b0 + 1
+        total = int(nb.sum())
+        rep = np.repeat(np.arange(len(sk), dtype=np.int64), nb)
+        csum = np.concatenate(([0], np.cumsum(nb)[:-1]))
+        local = np.arange(total, dtype=np.int64) - np.repeat(csum, nb)
+        return pa.table(
+            {
+                "bucket": pa.array(b0[rep] + local, pa.int64()),
+                "ts_us": pa.array(np.zeros(total, dtype=np.int64)),
+                "value_c": pa.array(np.zeros(total, dtype=np.int64)),
+                "interval_id": pa.array(sk[rep], pa.int64()),
+                "start_us": pa.array(start[rep], pa.int64()),
+                "end_us": pa.array(end[rep], pa.int64()),
+                "side": pa.array(np.ones(total, dtype=np.int8)),
+            }
+        )
+
+    def point_rows(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(ts)
+        return pa.table(
+            {
+                "bucket": pa.array(ts // B_US, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "value_c": pa.array(_cents(batch["value"].to_numpy())),
+                "interval_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "start_us": pa.array(np.zeros(n, dtype=np.int64)),
+                "end_us": pa.array(np.zeros(n, dtype=np.int64)),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        pts = group.filter(pa.array(side == 0))
+        ivs = group.filter(pa.array(side == 1))
+        empty = pa.schema(
+            [pa.field("s_suppkey", pa.int64()), pa.field("value_c", pa.int64())]
+        ).empty_table()
+        if pts.num_rows == 0 or ivs.num_rows == 0:
+            return empty
+        ts = pts["ts_us"].to_numpy()
+        vc = pts["value_c"].to_numpy()
+        iid = ivs["interval_id"].to_numpy()
+        s = ivs["start_us"].to_numpy()
+        e = ivs["end_us"].to_numpy()
+        out = []
+        chunk = max(1, MAX_CONTAIN_MATRIX // max(1, len(ts)))
+        for lo in range(0, len(iid), chunk):
+            hi = min(lo + chunk, len(iid))
+            inside = (ts[None, :] >= s[lo:hi, None]) & (
+                ts[None, :] <= e[lo:hi, None]
+            )
+            ii, pp = np.nonzero(inside)
+            out.append(
+                pa.table(
+                    {
+                        "s_suppkey": pa.array(iid[lo + ii], pa.int64()),
+                        "value_c": pa.array(vc[pp], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out) if out else empty
+
+    points = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        point_rows, batch_format="pyarrow"
+    )
+    intervals = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        interval_rows, batch_format="pyarrow"
+    )
+    return (
+        points.union(intervals)
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value_c"))
+    )
+
+
 def q_range_join(sf_dir: str):
     """Range (interval) join — a custom operator Ray Data lacks:
     events are matched into deterministic supplier maintenance windows
@@ -6094,6 +6194,7 @@ def build_queries():
         "hash_sample": q_hash_sample,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "range_join_big": q_range_join_big,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "dedup_apply": q_dedup_apply,
@@ -6215,6 +6316,7 @@ def build_oracle_sql():
         "hash_sample": Q_HASH_SAMPLE_SQL,
         "asof_join": Q_ASOF_JOIN_SQL,
         "range_join": Q_RANGE_JOIN_SQL,
+        "range_join_big": Q_RANGE_JOIN_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "dedup_components": Q_DEDUP_COMPONENTS_SQL,
         "dedup_apply": Q_DEDUP_APPLY_SQL,
