@@ -1704,15 +1704,10 @@ Q_DEDUP_EXACT_SQL = """
 """
 
 
-def q_dedup_components(sf_dir: str):
-    """Connected components over a deterministic document-similarity
-    graph: docs are chained (consecutive doc_id) within (lang,
-    n_tokens) groups and within (source, n_chars % 10) groups — two
-    cross-cutting relations whose union forms multi-hop components.
-    Engine: distributed min-label propagation + pointer jumping
-    (stages/dedup.connected_components — labels never touch the
-    driver); oracle: DuckDB recursive CTE."""
-    from ..stages.dedup import connected_components
+def _dedup_edge_union(sf_dir: str):
+    """The deterministic document-similarity edge set shared by
+    dedup_components and pagerank: consecutive doc_id chains within
+    (lang, n_tokens) groups and within (source, n_chars % 10) groups."""
 
     def chain(group: pa.Table) -> pa.Table:
         ids = np.sort(group["doc_id"].to_numpy())
@@ -1759,7 +1754,20 @@ def q_dedup_components(sf_dir: str):
         .groupby(["source", "chars_mod"])
         .map_groups(chain, batch_format="pyarrow")
     )
-    comps = connected_components(e1.union(e2))
+    return e1.union(e2)
+
+
+def q_dedup_components(sf_dir: str):
+    """Connected components over a deterministic document-similarity
+    graph: docs are chained (consecutive doc_id) within (lang,
+    n_tokens) groups and within (source, n_chars % 10) groups — two
+    cross-cutting relations whose union forms multi-hop components.
+    Engine: distributed min-label propagation + pointer jumping
+    (stages/dedup.connected_components — labels never touch the
+    driver); oracle: DuckDB recursive CTE."""
+    from ..stages.dedup import connected_components
+
+    comps = connected_components(_dedup_edge_union(sf_dir))
     return comps.map_batches(
         lambda b: pa.table({"doc_id": b["node"], "component": b["component"]}),
         batch_format="pyarrow",
@@ -3871,6 +3879,211 @@ Q_BASKET_PAIRS_SQL = f"""
     SELECT pa_, pb_, n FROM p
     ORDER BY n DESC, pa_, pb_ LIMIT {COOC_TOP}
 """
+
+
+PR_BASE = 150_000  # (1-d)·10^6 with d=0.85, in integer micro-units
+PR_ROUNDS = 2
+
+
+def q_pagerank(sf_dir: str):
+    """Integer PageRank (2 rounds, d=0.85) over the symmetric
+    document-similarity graph — the iterative weighted-propagation
+    primitive, made hash-exact by doing EVERYTHING in integer
+    micro-units: score₀ = 10⁶, each round score(u) = 150000 +
+    Σ_in floor(floor(score_v / deg_v) · 17 / 20).  Per round: one
+    bucketed shuffle joins scores to out-edges, one node-bucketed
+    vectorized reduceat sums the contributions — the same exchange
+    shape as connected_components, scores never touch the driver."""
+    from ..stages.footprint import _splitmix64
+    from ..stages.join import shuffle_hash_join
+
+    N_BUCKETS = 64
+
+    # deterministic edges: the consecutive-doc chains used by
+    # dedup_components (both relations).  PageRank is multiplicity-
+    # sensitive (degrees!), so the two relations' edge sets are
+    # DEDUPED (bucketed unique over the packed pair key — the SQL
+    # mirror's UNION does the same) before symmetrizing.
+    comps_edges = _dedup_edge_union(sf_dir)
+
+    def pack_bucket(b: pa.Table) -> pa.Table:
+        key = (b["doc_a"].to_numpy().astype(np.uint64) << np.uint64(32)) | b[
+            "doc_b"
+        ].to_numpy().astype(np.uint64)
+        h = _splitmix64(key) % np.uint64(N_BUCKETS)
+        return pa.table(
+            {
+                "edge_key": pa.array(key.view(np.int64)),
+                "bucket": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def uniq_sym(group: pa.Table) -> pa.Table:
+        key = np.unique(group["edge_key"].to_numpy()).view(np.uint64)
+        a = (key >> np.uint64(32)).astype(np.int64)
+        c = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate((a, c))),
+                "dst": pa.array(np.concatenate((c, a))),
+            }
+        )
+
+    edges = (
+        comps_edges.map_batches(pack_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(uniq_sym, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def src_bucket(b: pa.Table) -> pa.Table:
+        h = _splitmix64(b["src"].to_numpy().astype(np.uint64)) % np.uint64(N_BUCKETS)
+        return b.append_column("bucket", pa.array(h.astype(np.int64)))
+
+    def degrees(group: pa.Table) -> pa.Table:
+        s = np.sort(group["src"].to_numpy())
+        starts = np.concatenate(([0], np.flatnonzero(s[1:] != s[:-1]) + 1))
+        return pa.table(
+            {
+                "src": pa.array(s[starts], pa.int64()),
+                "deg": pa.array(
+                    np.diff(np.concatenate((starts, [len(s)]))).astype(np.int64)
+                ),
+            }
+        )
+
+    deg = (
+        edges.map_batches(src_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(degrees, batch_format="pyarrow")
+        .materialize()
+    )
+
+    i64 = pa.int64()
+    scores = deg.map_batches(
+        lambda b: pa.table(
+            {"src": b["src"], "score": pa.array(np.full(b.num_rows, 1_000_000, dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    edge_schema = pa.schema([("src", i64), ("dst", i64)])
+    sd_schema = pa.schema([("src", i64), ("score", i64), ("deg", i64)])
+
+    import ray.data as rd
+
+    for _ in range(PR_ROUNDS):
+        sd = shuffle_hash_join(
+            scores,
+            deg,
+            "src",
+            ["score"],
+            ["deg"],
+            n_buckets=N_BUCKETS,
+            left_schema=pa.schema([("src", i64), ("score", i64)]),
+            right_schema=pa.schema([("src", i64), ("deg", i64)]),
+        )
+        flowed = shuffle_hash_join(
+            rd.from_arrow_refs(edges.to_arrow_refs()),
+            sd,
+            "src",
+            ["dst"],
+            ["score", "deg"],
+            n_buckets=N_BUCKETS,
+            left_schema=edge_schema,
+            right_schema=sd_schema,
+        )
+
+        def contrib(b: pa.Table) -> pa.Table:
+            sc = b["score"].to_numpy()
+            dg = b["deg"].to_numpy()
+            c = ((sc // dg) * 17) // 20
+            h = _splitmix64(b["dst"].to_numpy().astype(np.uint64)) % np.uint64(
+                N_BUCKETS
+            )
+            return pa.table(
+                {
+                    "node": b["dst"],
+                    "c": pa.array(c.astype(np.int64)),
+                    "bucket": pa.array(h.astype(np.int64)),
+                }
+            )
+
+        def fold(group: pa.Table) -> pa.Table:
+            n = group["node"].to_numpy()
+            c = group["c"].to_numpy()
+            order = np.argsort(n, kind="stable")
+            n, c = n[order], c[order]
+            starts = np.concatenate(([0], np.flatnonzero(n[1:] != n[:-1]) + 1))
+            return pa.table(
+                {
+                    "src": pa.array(n[starts], pa.int64()),
+                    "score": pa.array(
+                        PR_BASE + np.add.reduceat(c, starts).astype(np.int64)
+                    ),
+                }
+            )
+
+        scores = (
+            flowed.map_batches(contrib, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(fold, batch_format="pyarrow")
+            .materialize()
+        )
+        scores = rd.from_arrow_refs(scores.to_arrow_refs())
+
+    return scores.map_batches(
+        lambda b: pa.table({"doc_id": b["src"], "score": b["score"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _build_pagerank_sql() -> str:
+    # two unrolled integer rounds over the same symmetric edge set the
+    # components oracle derives
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    e1 AS (
+      SELECT lag(doc_id) OVER (PARTITION BY lang, n_tokens ORDER BY doc_id) AS a,
+             doc_id AS b
+      FROM s
+    ),
+    e2 AS (
+      SELECT lag(doc_id) OVER (PARTITION BY source, n_chars % 10 ORDER BY doc_id) AS a,
+             doc_id AS b
+      FROM s
+    ),
+    edges AS (
+      SELECT a, b FROM e1 WHERE a IS NOT NULL
+      UNION
+      SELECT a, b FROM e2 WHERE a IS NOT NULL
+    ),
+    sym AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+    s0 AS (SELECT src, CAST(1000000 AS BIGINT) AS score FROM deg),
+    s1 AS (
+      SELECT sym.dst AS src,
+             {PR_BASE} + CAST(SUM(((s0.score // deg.deg) * 17) // 20) AS BIGINT)
+               AS score
+      FROM sym JOIN s0 ON s0.src = sym.src JOIN deg ON deg.src = sym.src
+      GROUP BY sym.dst
+    ),
+    s2 AS (
+      SELECT sym.dst AS src,
+             {PR_BASE} + CAST(SUM(((s1.score // deg.deg) * 17) // 20) AS BIGINT)
+               AS score
+      FROM sym JOIN s1 ON s1.src = sym.src JOIN deg ON deg.src = sym.src
+      GROUP BY sym.dst
+    )
+    SELECT src AS doc_id, score FROM s2
+"""
+
+
+Q_PAGERANK_SQL = _build_pagerank_sql()
 
 
 def q_triangles(sf_dir: str):
@@ -6231,6 +6444,7 @@ def build_queries():
         "revenue_share": q_revenue_share,
         "caption_stats": q_caption_stats,
         "triangles": q_triangles,
+        "pagerank": q_pagerank,
         "retention": q_retention,
         "basket_pairs": q_basket_pairs,
         "quantile_sketch": q_quantile_sketch,
@@ -6333,6 +6547,7 @@ def build_oracle_sql():
         "revenue_share": Q_REVENUE_SHARE_SQL,
         "caption_stats": Q_CAPTION_STATS_SQL,
         "triangles": Q_TRIANGLES_SQL,
+        "pagerank": Q_PAGERANK_SQL,
         "retention": Q_RETENTION_SQL,
         "basket_pairs": Q_BASKET_PAIRS_SQL,
         "quantile_sketch": Q_QUANTILE_SKETCH_SQL,
