@@ -3881,6 +3881,89 @@ Q_BASKET_PAIRS_SQL = f"""
 """
 
 
+def q_group_regression(sf_dir: str):
+    """Per-group least-squares trend (value vs time) from exact
+    integer moments: each block folds to (n, Σx, Σy, Σxy, Σx²) per
+    event type — the five-scalar state that makes distributed
+    regression a pure Sum-shuffle.  The slope is reported as the
+    exact integer fraction (n·Σxy − Σx·Σy) / (n·Σx² − Σx²-bar):
+    no division ever happens, so the result is hash-exact.  x = hours
+    since the 2024 epoch (small ints keep every moment in int64)."""
+    from ray.data.aggregate import Sum
+
+    def moments(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        x = (ts - _EPOCH_2024_US) // 3_600_000_000
+        y = _cents(b["value"].to_numpy())
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+            }
+        )
+        agg = pa.TableGroupBy(t, "event_type").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum"), ("sxx", "sum")]
+        )
+        return agg.rename_columns(["event_type", "n", "sx", "sy", "sxy", "sxx"])
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    merged = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy()
+        sx = b["sx"].to_numpy()
+        sy = b["sy"].to_numpy()
+        sxy = b["sxy"].to_numpy()
+        sxx = b["sxx"].to_numpy()
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": pa.array(n),
+                "slope_num": pa.array(n * sxy - sx * sy),
+                "slope_den": pa.array(n * sxx - sx * sx),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+Q_GROUP_REGRESSION_SQL = f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM (
+        SELECT event_type,
+               (epoch_us(ts) - {_EPOCH_2024_US}) // 3600000000 AS x,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events
+      )
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+    FROM m
+"""
+
+
 PR_BASE = 150_000  # (1-d)·10^6 with d=0.85, in integer micro-units
 PR_ROUNDS = 2
 
@@ -3935,9 +4018,15 @@ def q_pagerank(sf_dir: str):
         .map_groups(uniq_sym, batch_format="pyarrow")
         .materialize()
     )
+    import ray.data as rd
+
+    # per-round bucket/task count scales with the graph (see
+    # connected_components): each bucket is a task per round
+    nb = int(min(64, max(2, edges.count() // 65536)))
+    edges = rd.from_arrow_refs(edges.repartition(nb).materialize().to_arrow_refs())
 
     def src_bucket(b: pa.Table) -> pa.Table:
-        h = _splitmix64(b["src"].to_numpy().astype(np.uint64)) % np.uint64(N_BUCKETS)
+        h = _splitmix64(b["src"].to_numpy().astype(np.uint64)) % np.uint64(nb)
         return b.append_column("bucket", pa.array(h.astype(np.int64)))
 
     def degrees(group: pa.Table) -> pa.Table:
@@ -3970,8 +4059,6 @@ def q_pagerank(sf_dir: str):
     edge_schema = pa.schema([("src", i64), ("dst", i64)])
     sd_schema = pa.schema([("src", i64), ("score", i64), ("deg", i64)])
 
-    import ray.data as rd
-
     for _ in range(PR_ROUNDS):
         sd = shuffle_hash_join(
             scores,
@@ -3979,7 +4066,7 @@ def q_pagerank(sf_dir: str):
             "src",
             ["score"],
             ["deg"],
-            n_buckets=N_BUCKETS,
+            n_buckets=nb,
             left_schema=pa.schema([("src", i64), ("score", i64)]),
             right_schema=pa.schema([("src", i64), ("deg", i64)]),
         )
@@ -3989,7 +4076,7 @@ def q_pagerank(sf_dir: str):
             "src",
             ["dst"],
             ["score", "deg"],
-            n_buckets=N_BUCKETS,
+            n_buckets=nb,
             left_schema=edge_schema,
             right_schema=sd_schema,
         )
@@ -3998,9 +4085,7 @@ def q_pagerank(sf_dir: str):
             sc = b["score"].to_numpy()
             dg = b["deg"].to_numpy()
             c = ((sc // dg) * 17) // 20
-            h = _splitmix64(b["dst"].to_numpy().astype(np.uint64)) % np.uint64(
-                N_BUCKETS
-            )
+            h = _splitmix64(b["dst"].to_numpy().astype(np.uint64)) % np.uint64(nb)
             return pa.table(
                 {
                     "node": b["dst"],
@@ -4084,6 +4169,167 @@ def _build_pagerank_sql() -> str:
 
 
 Q_PAGERANK_SQL = _build_pagerank_sql()
+
+
+BFS_ROUNDS = 4
+
+
+def q_bfs_depth(sf_dir: str):
+    """Multi-source BFS: hop distance (≤ 4) from the seed set
+    (doc_id % 50 == 0) over the deduped symmetric similarity graph —
+    the blast-radius / influence-frontier primitive.  Min-plus label
+    propagation with the components' exchange shape: per round, one
+    bucketed join flows dist+1 along out-edges and one node-bucketed
+    vectorized min folds; only reached nodes materialize.  Exact by
+    construction (4 full rounds ≡ 4-hop closure) and mirrored by a
+    depth-bounded recursive CTE."""
+    import ray.data as rd
+
+    from ..stages.footprint import _splitmix64
+    from ..stages.join import shuffle_hash_join
+
+    N_BUCKETS = 64
+    comps_edges = _dedup_edge_union(sf_dir)
+
+    def pack_bucket(b: pa.Table) -> pa.Table:
+        key = (b["doc_a"].to_numpy().astype(np.uint64) << np.uint64(32)) | b[
+            "doc_b"
+        ].to_numpy().astype(np.uint64)
+        h = _splitmix64(key) % np.uint64(N_BUCKETS)
+        return pa.table(
+            {
+                "edge_key": pa.array(key.view(np.int64)),
+                "bucket": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def uniq_sym(group: pa.Table) -> pa.Table:
+        key = np.unique(group["edge_key"].to_numpy()).view(np.uint64)
+        a = (key >> np.uint64(32)).astype(np.int64)
+        c = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate((a, c))),
+                "dst": pa.array(np.concatenate((c, a))),
+            }
+        )
+
+    edges = (
+        comps_edges.map_batches(pack_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(uniq_sym, batch_format="pyarrow")
+        .materialize()
+    )
+    # per-round bucket/task count scales with the graph (as
+    # connected_components does): every bucket is a task per round, so
+    # a tiny graph at 64 buckets pays ~200 near-empty tasks per round
+    nb = int(min(64, max(2, edges.count() // 65536)))
+    edges = rd.from_arrow_refs(edges.repartition(nb).materialize().to_arrow_refs())
+
+    def node_bucket(b: pa.Table, col: str) -> pa.Table:
+        h = _splitmix64(b[col].to_numpy().astype(np.uint64)) % np.uint64(nb)
+        return b.append_column("bucket", pa.array(h.astype(np.int64)))
+
+    def min_fold(group: pa.Table) -> pa.Table:
+        n = group["src"].to_numpy()
+        d = group["dist"].to_numpy()
+        order = np.lexsort((d, n))
+        n, d = n[order], d[order]
+        starts = np.concatenate(([0], np.flatnonzero(n[1:] != n[:-1]) + 1))
+        return pa.table(
+            {
+                "src": pa.array(n[starts], pa.int64()),
+                "dist": pa.array(d[starts], pa.int64()),
+            }
+        )
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        s = np.unique(b["src"].to_numpy())
+        s = s[s % 50 == 0]
+        return pa.table(
+            {
+                "src": pa.array(s, pa.int64()),
+                "dist": pa.array(np.zeros(len(s), dtype=np.int64)),
+            }
+        )
+
+    labels = (
+        edges.map_batches(seed_rows, batch_format="pyarrow")
+        .map_batches(lambda b: node_bucket(b, "src"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(min_fold, batch_format="pyarrow")
+        .materialize()
+    )
+    labels = rd.from_arrow_refs(labels.to_arrow_refs())
+
+    i64 = pa.int64()
+    for _ in range(BFS_ROUNDS):
+        flowed = shuffle_hash_join(
+            rd.from_arrow_refs(edges.to_arrow_refs()),
+            labels,
+            "src",
+            ["dst"],
+            ["dist"],
+            n_buckets=nb,
+            left_schema=pa.schema([("src", i64), ("dst", i64)]),
+            right_schema=pa.schema([("src", i64), ("dist", i64)]),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b["dst"],
+                    "dist": pa.array(
+                        b["dist"].to_numpy(zero_copy_only=False) + 1, pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(flowed)
+            .map_batches(lambda b: node_bucket(b, "src"), batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(min_fold, batch_format="pyarrow")
+            .materialize()
+        )
+        labels = rd.from_arrow_refs(labels.to_arrow_refs())
+
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["src"], "dist": b["dist"]}),
+        batch_format="pyarrow",
+    )
+
+
+Q_BFS_DEPTH_SQL = f"""
+    WITH RECURSIVE s AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    e1 AS (
+      SELECT lag(doc_id) OVER (PARTITION BY lang, n_tokens ORDER BY doc_id) AS a,
+             doc_id AS b
+      FROM s
+    ),
+    e2 AS (
+      SELECT lag(doc_id) OVER (PARTITION BY source, n_chars % 10 ORDER BY doc_id) AS a,
+             doc_id AS b
+      FROM s
+    ),
+    edges AS (
+      SELECT a, b FROM e1 WHERE a IS NOT NULL
+      UNION
+      SELECT a, b FROM e2 WHERE a IS NOT NULL
+    ),
+    sym AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
+    r(node, d) AS (
+      SELECT DISTINCT src, 0 FROM sym WHERE src % 50 = 0
+      UNION
+      SELECT sym.dst, r.d + 1 FROM r JOIN sym ON sym.src = r.node
+      WHERE r.d < {BFS_ROUNDS}
+    )
+    SELECT node AS doc_id, CAST(MIN(d) AS BIGINT) AS dist
+    FROM r GROUP BY node
+"""
 
 
 def q_triangles(sf_dir: str):
@@ -6445,6 +6691,8 @@ def build_queries():
         "caption_stats": q_caption_stats,
         "triangles": q_triangles,
         "pagerank": q_pagerank,
+        "group_regression": q_group_regression,
+        "bfs_depth": q_bfs_depth,
         "retention": q_retention,
         "basket_pairs": q_basket_pairs,
         "quantile_sketch": q_quantile_sketch,
@@ -6548,6 +6796,8 @@ def build_oracle_sql():
         "caption_stats": Q_CAPTION_STATS_SQL,
         "triangles": Q_TRIANGLES_SQL,
         "pagerank": Q_PAGERANK_SQL,
+        "group_regression": Q_GROUP_REGRESSION_SQL,
+        "bfs_depth": Q_BFS_DEPTH_SQL,
         "retention": Q_RETENTION_SQL,
         "basket_pairs": Q_BASKET_PAIRS_SQL,
         "quantile_sketch": Q_QUANTILE_SKETCH_SQL,
