@@ -137,6 +137,7 @@ def bench_list():
         "cube_sales",
         "nearest_facility",
         "pixel_histogram",
+        "image_augment",
         "group_regression",
         # safe_split and triangles stay out of the headline: the
         # former embeds the dedup_components fixpoint (round-dominated

@@ -2634,6 +2634,25 @@ def q_image_pyramid(sf_dir: str):
     )
 
 
+AUG_N = 1200
+
+
+def q_image_augment(sf_dir: str):
+    """Training-augmentation fan-out: real decode → deterministic
+    flip/rot90 variants → integer checksums, two rows per image.  The
+    preprocessing stage a vision trainer runs per epoch; payloads drop
+    inside the actor stage.  Value-exact: generator-side per-variant
+    checksums (pixel math, never the codec) pin decode + each
+    rearrangement bit-for-bit."""
+    from ..sources.images import read_synth_images
+    from ..stages.image_ops import DecodeAugment
+
+    ds = read_synth_images(AUG_N)
+    return ds.map_batches(
+        DecodeAugment(), batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+
 PIXHIST_N = 1500
 
 
@@ -6674,6 +6693,7 @@ def build_queries():
         "image_quality": q_image_quality,
         "image_pyramid": q_image_pyramid,
         "pixel_histogram": q_pixel_histogram,
+        "image_augment": q_image_augment,
         "image_near_dup": q_image_near_dup,
         "image_sim_topk": q_image_sim,
         "video_frames": q_video_frames,
@@ -6745,6 +6765,9 @@ def build_oracle_sql():
     )
     image_quality_sql = _values_oracle_sql(expected_quality_stats(2000))
     image_pyramid_sql = _values_oracle_sql(expected_pyramid(PYRAMID_N, levels=2))
+    from ..sources.images import expected_augmented
+
+    image_augment_sql = _values_oracle_sql(expected_augmented(AUG_N))
     video_frames_sql = _values_oracle_sql(expected_frame_features(500, stride=2))
     audio_features_sql = _values_oracle_sql(expected_audio_features(1000))
     return {
@@ -6752,6 +6775,7 @@ def build_oracle_sql():
         "image_quality": image_quality_sql,
         "image_pyramid": image_pyramid_sql,
         "pixel_histogram": _build_pixel_histogram_sql(),
+        "image_augment": image_augment_sql,
         "video_frames": video_frames_sql,
         "audio_features": audio_features_sql,
         "clip_area": Q_CLIP_AREA_SQL,

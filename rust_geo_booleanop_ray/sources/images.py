@@ -209,6 +209,44 @@ def expected_pyramid(n_images: int, levels: int = 2, seed: int = 42) -> pa.Table
     )
 
 
+AUG_VARIANTS = ("flip_h", "rot90")
+
+
+def augment_pixels(pixels: np.ndarray, variant: str) -> np.ndarray:
+    """Deterministic training augmentations (pure pixel rearrangements
+    — bytes preserved, order changed, so the position-weighted
+    checksum pins them exactly)."""
+    if variant == "flip_h":
+        return pixels[:, ::-1]
+    if variant == "rot90":
+        return np.rot90(pixels)
+    raise ValueError(variant)
+
+
+def expected_augmented(n_images: int, seed: int = 42) -> pa.Table:
+    """Generator-side expected (image_id, variant, lw, lh, checksum)
+    per augmentation — pixel math, never the codec."""
+    ids, variants, lws, lhs, checks = [], [], [], [], []
+    for i in range(n_images):
+        px = _base_pixels(i, seed)
+        for v in AUG_VARIANTS:
+            a = augment_pixels(px, v)
+            ids.append(f"img-{i:08d}")
+            variants.append(v)
+            lhs.append(a.shape[0])
+            lws.append(a.shape[1])
+            checks.append(int(pix_checksum(a)))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "variant": pa.array(variants, pa.string()),
+            "lw": pa.array(lws, pa.int64()),
+            "lh": pa.array(lhs, pa.int64()),
+            "checksum": pa.array(checks, pa.int64()),
+        }
+    )
+
+
 def quality_stats(pixels: np.ndarray) -> tuple[int, int, int]:
     """Integer-exact image-quality signals for an (h, w, 3) uint8 image:
     brightness (Σ bytes), contrast proxy (Σ bytes²) and edge energy

@@ -273,6 +273,49 @@ class DecodePyramid:
         )
 
 
+class DecodeAugment:
+    """Actor-pool stage: decode payload → deterministic augmentation
+    variants (horizontal flip, 90° rotation) → integer checksums —
+    the training-augmentation fan-out, pinned per (image, variant) by
+    a generator-side expected-values oracle.  Payloads drop in-stage;
+    at a real deployment the variant pixels would re-encode to the
+    output sink here (same actor, no extra exchange)."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        from ..sources.images import AUG_VARIANTS, augment_pixels, pix_checksum
+
+        self._variants = AUG_VARIANTS
+        self._aug = augment_pixels
+        self._checksum = pix_checksum
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        out_id, out_v, out_w, out_h, out_ck = [], [], [], [], []
+        for i, payload in enumerate(payloads):
+            px = decode_image(payload, int(ws[i]), int(hs[i]), fmts[i], self.strict)
+            for v in self._variants:
+                a = self._aug(px, v)
+                out_id.append(ids[i])
+                out_v.append(v)
+                out_h.append(a.shape[0])
+                out_w.append(a.shape[1])
+                out_ck.append(int(self._checksum(a)))
+        return pa.table(
+            {
+                "image_id": pa.array(out_id, pa.string()),
+                "variant": pa.array(out_v, pa.string()),
+                "lw": pa.array(out_w, pa.int64()),
+                "lh": pa.array(out_h, pa.int64()),
+                "checksum": pa.array(out_ck, pa.int64()),
+            }
+        )
+
+
 class DecodeFeatures:
     """Actor-pool stage: decode payload → per-image features.
 

@@ -158,3 +158,25 @@ def test_pyramid_decode_matches_generator():
     d = box_downsample2(px)
     assert d.shape == (2, 2, 3)
     assert d[0, 0].tolist() == [(1 + 2 + 3 + 5) // 4, (2 + 3 + 4 + 6) // 4, (3 + 4 + 5 + 7) // 4]
+
+
+def test_augment_decode_matches_generator():
+    from rust_geo_booleanop_ray.sources.images import (
+        augment_pixels,
+        expected_augmented,
+    )
+    from rust_geo_booleanop_ray.stages.image_ops import DecodeAugment
+
+    t = synth_image_batch(np.arange(33))
+    out = DecodeAugment()(t)
+    want = expected_augmented(33)
+    got = sorted(zip(*(out[c].to_pylist() for c in out.column_names)))
+    exp = sorted(zip(*(want[c].to_pylist() for c in want.column_names)))
+    assert got == exp
+    # rearrangement-only invariants: byte multiset preserved, dims swap
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    f = augment_pixels(px, "flip_h")
+    r = augment_pixels(px, "rot90")
+    assert sorted(f.ravel()) == sorted(px.ravel())
+    assert r.shape == (3, 2, 3)
+    assert (f[:, 0] == px[:, -1]).all()
