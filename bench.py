@@ -84,6 +84,7 @@ def bench_list():
         "tile_coverage",
         "video_frames",
         "audio_features",
+        "scene_stats",
         "regex_tokens",
         "range_join",
         "range_join_big",

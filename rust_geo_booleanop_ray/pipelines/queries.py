@@ -3120,6 +3120,23 @@ def _build_poly_clip_quads_sql(n_images: int = 2000, px: int = 16) -> str:
 Q_POLY_CLIP_QUADS_SQL = _build_poly_clip_quads_sql()
 
 
+def q_scene_stats(sf_dir: str):
+    """Video motion profiling / scene-change signal: per-video Σ and
+    max of absolute inter-frame differences through the REAL frame
+    decode (raw and length-prefixed-PNG payloads) — the curation
+    signal that separates static clips from pans and cuts.  One row
+    out per video; payloads drop inside the actor stage.  Value-exact
+    via generator-side expected motion integers (pixel math, never
+    the codec)."""
+    from ..sources.videos import read_synth_videos
+    from ..stages.video_ops import SceneStats
+
+    ds = read_synth_videos(500)
+    return ds.map_batches(
+        SceneStats, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+
+
 def q_video_frames(sf_dir: str):
     """Video frame sampling: every 2nd frame of each synthetic clip →
     (video_id, frame_idx, frame_phash, frame_checksum) rows.  Raw and
@@ -6697,6 +6714,7 @@ def build_queries():
         "image_near_dup": q_image_near_dup,
         "image_sim_topk": q_image_sim,
         "video_frames": q_video_frames,
+        "scene_stats": q_scene_stats,
         "audio_features": q_audio_features,
         "tile_coverage": q_tile_coverage,
         "tile_coverage_rects": q_tile_coverage_rects,
@@ -6769,6 +6787,9 @@ def build_oracle_sql():
 
     image_augment_sql = _values_oracle_sql(expected_augmented(AUG_N))
     video_frames_sql = _values_oracle_sql(expected_frame_features(500, stride=2))
+    from ..sources.videos import expected_scene_stats
+
+    scene_stats_sql = _values_oracle_sql(expected_scene_stats(500))
     audio_features_sql = _values_oracle_sql(expected_audio_features(1000))
     return {
         "image_features": image_features_sql,
@@ -6777,6 +6798,7 @@ def build_oracle_sql():
         "pixel_histogram": _build_pixel_histogram_sql(),
         "image_augment": image_augment_sql,
         "video_frames": video_frames_sql,
+        "scene_stats": scene_stats_sql,
         "audio_features": audio_features_sql,
         "clip_area": Q_CLIP_AREA_SQL,
         "tile_assign": Q_TILE_ASSIGN_SQL,

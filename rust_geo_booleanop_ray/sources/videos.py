@@ -191,3 +191,28 @@ def expected_audio_features(n_clips: int, seed: int = 42) -> pa.Table:
             "zero_crossings": pa.array(zcs, pa.int64()),
         }
     )
+
+
+def expected_scene_stats(n_videos: int) -> pa.Table:
+    """Generator-side expected per-video motion profile — Σ and max of
+    absolute inter-frame differences (integer-exact), recomputed from
+    _video_pixels directly, never through the frame codec."""
+    vids, nt, ms, mm = [], [], [], []
+    for i in range(n_videos):
+        w = int(_VID_SIZES[i % 3])
+        h = int(_VID_SIZES[(i // 3) % 3])
+        n_frames = 4 + (i % 5)
+        frames = _video_pixels(i, w, h, n_frames).astype(np.int64)
+        d = np.abs(frames[1:] - frames[:-1]).sum(axis=(1, 2, 3))
+        vids.append(f"vid-{i:08d}")
+        nt.append(n_frames - 1)
+        ms.append(int(d.sum()))
+        mm.append(int(d.max()))
+    return pa.table(
+        {
+            "video_id": pa.array(vids, pa.string()),
+            "n_transitions": pa.array(nt, pa.int64()),
+            "motion_sum": pa.array(ms, pa.int64()),
+            "max_motion": pa.array(mm, pa.int64()),
+        }
+    )

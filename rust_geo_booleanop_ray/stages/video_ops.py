@@ -114,3 +114,34 @@ class AudioFeatures:
                 "zero_crossings": pa.array(zero_crossings, pa.int64()),
             }
         )
+
+
+class SceneStats:
+    """Actor-pool stage: decode frames → per-video motion profile
+    (Σ / max of absolute inter-frame differences, integer-exact) —
+    the scene-change / motion-energy signal a video curation pipeline
+    filters on.  One row out per video; payloads drop in-stage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        nfs = batch["n_frames"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        nt, ms, mm = [], [], []
+        for i, payload in enumerate(payloads):
+            frames = decode_frames(
+                payload, int(ws[i]), int(hs[i]), int(nfs[i]), fmts[i]
+            ).astype(np.int64)
+            d = np.abs(frames[1:] - frames[:-1]).sum(axis=(1, 2, 3))
+            nt.append(len(d))
+            ms.append(int(d.sum()))
+            mm.append(int(d.max()))
+        return pa.table(
+            {
+                "video_id": batch["video_id"],
+                "n_transitions": pa.array(nt, pa.int64()),
+                "motion_sum": pa.array(ms, pa.int64()),
+                "max_motion": pa.array(mm, pa.int64()),
+            }
+        )

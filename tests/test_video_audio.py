@@ -115,3 +115,20 @@ def test_expected_values_oracles_match_stages_and_detect_corruption():
     assert px[i] != px[j]
     px[i], px[j] = px[j], px[i]
     assert pix_checksum(px.reshape(-1, 1, 1)) != clean
+
+
+def test_scene_stats_matches_generator():
+    from rust_geo_booleanop_ray.sources.videos import (
+        expected_scene_stats,
+        synth_video_batch,
+    )
+    from rust_geo_booleanop_ray.stages.video_ops import SceneStats
+
+    import numpy as np
+
+    t = synth_video_batch(np.arange(30))
+    out = SceneStats()(t)
+    want = expected_scene_stats(30)
+    got = sorted(zip(*(out[c].to_pylist() for c in out.column_names)))
+    exp = sorted(zip(*(want[c].to_pylist() for c in want.column_names)))
+    assert got == exp
