@@ -99,6 +99,7 @@ def bench_list():
         "running_total",
         "hll_distinct",
         "cms_counts",
+        "kmv_overlap",
         "gram_matrix",
         "spatial_antijoin",
         "vocab_topk",

@@ -5359,6 +5359,121 @@ def _splitmix64_ctes(
     hsh{s} AS (SELECT {carry_cols}, xor(z, z // 2147483648) AS h FROM z2{s})"""
 
 
+KMV_K = 256
+
+
+def q_kmv_overlap(sf_dir: str):
+    """KMV / bottom-k theta-sketch SET OPERATIONS: estimated distinct
+    clickers, purchasers, their union and Jaccard overlap — the
+    audience-overlap question sketches exist for, answered from two
+    256-value sketches instead of two full user sets.  Per-block
+    combiner keeps each side's bottom-k distinct hashes; ONE tiny
+    groupby(side) merge; the driver receives ≤ 2k hashes (bounded
+    regardless of input size) and finishes with integer arithmetic —
+    the oracle mirrors the sketch itself, splitmix64 in HUGEINT."""
+    from ..stages.footprint import _splitmix64
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["event_type"], value_set=pa.array(["click", "purchase"]))
+        k = b.filter(keep)
+        side = pc.equal(k["event_type"], "click").to_numpy(zero_copy_only=False)
+        u = k["user_id"].to_numpy().astype(np.uint64)
+        h = _splitmix64(u)
+        out_s, out_h = [], []
+        for s in (0, 1):
+            hs = np.unique(h[side == bool(s)])[:KMV_K]
+            out_s.append(np.full(len(hs), s, dtype=np.int64))
+            out_h.append(hs.view(np.int64))
+        return pa.table(
+            {
+                "side": pa.array(np.concatenate(out_s)),
+                "h": pa.array(np.concatenate(out_h)),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        hs = np.unique(group["h"].to_numpy().view(np.uint64))[:KMV_K]
+        return pa.table(
+            {
+                "side": group["side"].slice(0, 1),
+                "h": pa.array([hs.view(np.int64).tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("side")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    # driver-side finish over ≤ 2k UNSIGNED hash values (python ints)
+    mask = (1 << 64) - 1
+    rows = {
+        r["side"]: {v & mask for v in r["h"]} for r in merged.take_all()
+    }
+    a = rows.get(1, set())  # clickers
+    b = rows.get(0, set())  # purchasers
+
+    def est(sk: set) -> int:
+        if len(sk) < KMV_K:
+            return len(sk)
+        return (KMV_K - 1) * (1 << 64) // max(sk)
+
+    union_sk = set(sorted(a | b)[:KMV_K])
+    overlap = sum(1 for x in union_sk if x in a and x in b)
+    return pa.table(
+        {
+            "est_click": pa.array([est(a)], pa.int64()),
+            "est_purchase": pa.array([est(b)], pa.int64()),
+            "est_union": pa.array([est(union_sk)], pa.int64()),
+            "jaccard_pct": pa.array(
+                [100 * overlap // max(1, len(union_sk))], pa.int64()
+            ),
+        }
+    )
+
+
+def _build_kmv_sql() -> str:
+    """SQL mirror of the KMV sketch arithmetic (splitmix64 in HUGEINT,
+    unsigned ordering, bottom-k cuts, small-sketch exact fallback)."""
+    return f"""
+    WITH src AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    {_splitmix64_ctes("src", "user_id", "event_type")},
+    a AS (SELECT DISTINCT h FROM hsh WHERE event_type = 'click'
+          ORDER BY h LIMIT {KMV_K}),
+    b AS (SELECT DISTINCT h FROM hsh WHERE event_type = 'purchase'
+          ORDER BY h LIMIT {KMV_K}),
+    u AS (SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b)
+          ORDER BY h LIMIT {KMV_K}),
+    stats AS (
+      SELECT
+        (SELECT COUNT(*) FROM a) AS na,
+        (SELECT MAX(h) FROM a) AS ka,
+        (SELECT COUNT(*) FROM b) AS nb,
+        (SELECT MAX(h) FROM b) AS kb,
+        (SELECT COUNT(*) FROM u) AS nu,
+        (SELECT MAX(h) FROM u) AS ku,
+        (SELECT COUNT(*) FROM u
+         WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)) AS ov
+    )
+    SELECT
+      CAST(CASE WHEN na < {KMV_K} THEN na
+           ELSE ({KMV_K - 1}::HUGEINT * 18446744073709551616::HUGEINT) // ka
+           END AS BIGINT) AS est_click,
+      CAST(CASE WHEN nb < {KMV_K} THEN nb
+           ELSE ({KMV_K - 1}::HUGEINT * 18446744073709551616::HUGEINT) // kb
+           END AS BIGINT) AS est_purchase,
+      CAST(CASE WHEN nu < {KMV_K} THEN nu
+           ELSE ({KMV_K - 1}::HUGEINT * 18446744073709551616::HUGEINT) // ku
+           END AS BIGINT) AS est_union,
+      CAST(100 * ov // greatest(1, nu) AS BIGINT) AS jaccard_pct
+    FROM stats
+"""
+
+
 def q_hll_distinct(sf_dir: str):
     """Approximate COUNT(DISTINCT user_id) per event_type via the
     mergeable 64-register sketch (stages/sketch.py).  The shuffle moves
@@ -6741,6 +6856,7 @@ def build_queries():
         "running_total": q_running_total,
         "event_gaps": q_event_gaps,
         "hll_distinct": q_hll_distinct,
+        "kmv_overlap": q_kmv_overlap,
         "cms_counts": q_cms_counts,
         "gram_matrix": q_gram_matrix,
         "dim_stats": q_dim_stats,
@@ -6865,6 +6981,7 @@ def build_oracle_sql():
         "running_total": Q_RUNNING_TOTAL_SQL,
         "event_gaps": Q_EVENT_GAPS_SQL,
         "hll_distinct": Q_HLL_DISTINCT_SQL,
+        "kmv_overlap": _build_kmv_sql(),
         "cms_counts": Q_CMS_COUNTS_SQL,
         "gram_matrix": Q_GRAM_MATRIX_SQL,
         "dim_stats": Q_DIM_STATS_SQL,

@@ -264,3 +264,18 @@ def test_pivot_partial_matches_long_aggregation():
             m = (g == grp) & (cat == c)
             assert got[int(grp)][f"n_{c}"] == int(m.sum())
             assert got[int(grp)][f"v_{c}_c"] == int(val[m].sum())
+
+
+def test_kmv_estimator_accuracy(ray_session):
+    """Above the sketch size the KMV estimate must land near the true
+    distinct count (standard error ~1/sqrt(k) ≈ 6% at k=256); below it
+    the estimate is exactly the distinct count."""
+    from rust_geo_booleanop_ray.pipelines.queries import q_kmv_overlap  # noqa: F401
+    from rust_geo_booleanop_ray.stages.footprint import _splitmix64
+
+    K = 256
+    n_true = 20_000
+    h = np.sort(_splitmix64(np.arange(n_true, dtype=np.uint64)))
+    kth = int(h[K - 1])
+    est = (K - 1) * (1 << 64) // kth
+    assert abs(est - n_true) / n_true < 0.25
