@@ -141,6 +141,8 @@ def bench_list():
         "pixel_histogram",
         "image_augment",
         "group_regression",
+        "quartile_label",
+        "focal_sum",
         # safe_split and triangles stay out of the headline: the
         # former embeds the dedup_components fixpoint (round-dominated
         # at toy scale, see note above), the latter is the 49M-wedge

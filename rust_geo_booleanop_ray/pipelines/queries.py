@@ -5676,6 +5676,105 @@ Q_GRAM_MATRIX_SQL = f"""
 CELL_ROLLUP_LEVELS = (2, 3, 4)
 
 
+FOCAL_RES = 4
+
+
+def q_focal_sum(sf_dir: str):
+    """Focal / neighborhood statistics: each res-4 cell's customer
+    count plus its 3×3 neighborhood total — the raster-smoothing
+    (heatmap / kernel-density-lite) op.  Per-block partial counts per
+    cell, then each (cell, n) partial FANS OUT to the 9 cells whose
+    neighborhoods it contributes to (vectorized; edge cells clamp), so
+    ONE groupby(cell) Sum yields both the self count and the focal
+    total without a second join or shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.cells import cell_encode, cell_xy
+
+    n_side = 2**FOCAL_RES
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = _customer_point_batch(b)
+        cells = cell_encode(p["px"].to_numpy(), p["py"].to_numpy(), FOCAL_RES)
+        uniq, counts = np.unique(cells, return_counts=True)
+        cx, cy = cell_xy(uniq)
+        cx = cx.astype(np.int64)
+        cy = cy.astype(np.int64)
+        counts = counts.astype(np.int64)
+        out_cell, out_self, out_focal = [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = cx + dx, cy + dy
+                m = (nx >= 0) & (nx < n_side) & (ny >= 0) & (ny < n_side)
+                # re-encode neighbor cell ids through the same Morton math
+                ncell = cell_encode(
+                    -180.0 + (nx[m] + 0.5) * (360.0 / n_side),
+                    -90.0 + (ny[m] + 0.5) * (180.0 / n_side),
+                    FOCAL_RES,
+                )
+                out_cell.append(ncell.view(np.int64))
+                out_focal.append(counts[m])
+                out_self.append(
+                    counts[m] if dx == 0 and dy == 0 else np.zeros(m.sum(), np.int64)
+                )
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(out_cell), pa.int64()),
+                "n_self": pa.array(np.concatenate(out_self)),
+                "n_focal": pa.array(np.concatenate(out_focal)),
+            }
+        )
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(
+            Sum("n_self", alias_name="n_self"),
+            Sum("n_focal", alias_name="n_focal"),
+        )
+    )
+
+
+def _build_focal_sum_sql() -> str:
+    n_side = 2**FOCAL_RES
+
+    def spread(v: str) -> str:
+        return f"(({v} & 1) | (({v} & 2) << 1) | (({v} & 4) << 2) | (({v} & 8) << 3))"
+
+    def gidx(expr: str, lo: float, span: float) -> str:
+        return (
+            f"least(CAST(floor(greatest((({expr}) - {lo!r}) / {span!r}, 0.0)"
+            f" * {float(n_side)!r}) AS BIGINT), {n_side - 1})"
+        )
+
+    return f"""
+    WITH p AS ({CUSTOMER_POINT_SQL}),
+    g AS (
+      SELECT {gidx("px", -180.0, 360.0)} AS ix, {gidx("py", -90.0, 180.0)} AS iy
+      FROM p
+    ),
+    h AS (SELECT ix, iy, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY ix, iy),
+    d AS (SELECT unnest([-1, 0, 1]) AS o),
+    f AS (
+      SELECT h.ix + dx.o AS ix, h.iy + dy.o AS iy,
+             CASE WHEN dx.o = 0 AND dy.o = 0 THEN n ELSE 0 END AS n_self,
+             n AS n_focal
+      FROM h, d dx, d dy
+      WHERE h.ix + dx.o BETWEEN 0 AND {n_side - 1}
+        AND h.iy + dy.o BETWEEN 0 AND {n_side - 1}
+    )
+    SELECT (CAST({FOCAL_RES} AS BIGINT) << 58)
+             | {spread("ix")} | ({spread("iy")} << 1) AS cell,
+           CAST(SUM(n_self) AS BIGINT) AS n_self,
+           CAST(SUM(n_focal) AS BIGINT) AS n_focal
+    FROM f GROUP BY 1
+"""
+
+
+Q_FOCAL_SUM_SQL = _build_focal_sum_sql()
+
+
 def q_cell_rollup(sf_dir: str):
     """Multi-resolution spatial density rollup: customer-point counts
     per cell at res 2/3/4 in ONE pass — the tile-pyramid aggregation a
@@ -6178,6 +6277,87 @@ Q_TFIDF_SQL = """
     SELECT doc_id, term, tf, CAST(score AS BIGINT) AS score,
            CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= 3
+"""
+
+
+def q_quartile_label(sf_dir: str):
+    """Quantile binning / NTILE-by-value: global exact quartile cut
+    points of l_quantity (rank arithmetic over a tiny value
+    histogram), broadcast back over the stream to label every row,
+    then counts per (returnflag, quartile) — the two-phase
+    "small exact aggregate → broadcast → big labeling pass" pattern
+    feature binning uses.  The cut points are ≤ 50 ints on the
+    driver; the labeling pass is one vectorized compare per row."""
+    from ray.data.aggregate import Sum
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        qty = np.floor(b["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        uq, cnt = np.unique(qty, return_counts=True)
+        return pa.table(
+            {"q": pa.array(uq), "n": pa.array(cnt.astype(np.int64))}
+        )
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("q")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    rows = sorted((r["q"], r["n"]) for r in hist.take_all())  # ≤ ~50 rows
+    vals = np.array([r[0] for r in rows], dtype=np.int64)
+    cum = np.cumsum(np.array([r[1] for r in rows], dtype=np.int64))
+    tot = int(cum[-1])
+    c25 = int(vals[np.searchsorted(cum, (tot + 3) // 4)])
+    c50 = int(vals[np.searchsorted(cum, (tot + 1) // 2)])
+    c75 = int(vals[np.searchsorted(cum, (3 * tot + 3) // 4)])
+
+    def label(b: pa.Table) -> pa.Table:
+        qty = np.floor(b["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        quart = 1 + (qty > c25).astype(np.int64) + (qty > c50) + (qty > c75)
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "quartile": pa.array(quart),
+                "n": pa.array(np.ones(len(qty), dtype=np.int64)),
+            }
+        )
+        agg = pa.TableGroupBy(t, ["l_returnflag", "quartile"]).aggregate(
+            [("n", "sum")]
+        )
+        return agg.rename_columns(["l_returnflag", "quartile", "n"])
+
+    return (
+        ds.map_batches(label, batch_format="pyarrow")
+        .groupby(["l_returnflag", "quartile"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+Q_QUARTILE_LABEL_SQL = """
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS q
+      FROM lineitem
+    ),
+    h AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY q),
+    c AS (
+      SELECT q,
+             SUM(n) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT SUM(n) FROM h) AS tot
+      FROM h
+    ),
+    cuts AS (
+      SELECT MIN(CASE WHEN cum >= (tot + 3) // 4 THEN q END) AS c25,
+             MIN(CASE WHEN cum >= (tot + 1) // 2 THEN q END) AS c50,
+             MIN(CASE WHEN cum >= (3 * tot + 3) // 4 THEN q END) AS c75
+      FROM c
+    )
+    SELECT l_returnflag,
+           CAST(1 + (q > c25)::BIGINT + (q > c50)::BIGINT
+                  + (q > c75)::BIGINT AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM v, cuts
+    GROUP BY 1, 2
 """
 
 
@@ -6861,6 +7041,7 @@ def build_queries():
         "gram_matrix": q_gram_matrix,
         "dim_stats": q_dim_stats,
         "cell_rollup": q_cell_rollup,
+        "focal_sum": q_focal_sum,
         "spatial_antijoin": q_spatial_antijoin,
         "dist_join": q_dist_join,
         "vocab_topk": q_vocab_topk,
@@ -6868,6 +7049,7 @@ def build_queries():
         "rollup_sales": q_rollup_sales,
         "cube_sales": q_cube_sales,
         "group_quantiles": q_group_quantiles,
+        "quartile_label": q_quartile_label,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "left_join": q_left_join,
@@ -6986,6 +7168,7 @@ def build_oracle_sql():
         "gram_matrix": Q_GRAM_MATRIX_SQL,
         "dim_stats": Q_DIM_STATS_SQL,
         "cell_rollup": Q_CELL_ROLLUP_SQL,
+        "focal_sum": Q_FOCAL_SUM_SQL,
         "spatial_antijoin": Q_SPATIAL_ANTIJOIN_SQL,
         "dist_join": Q_DIST_JOIN_SQL,
         "vocab_topk": Q_VOCAB_TOPK_SQL,
@@ -6993,6 +7176,7 @@ def build_oracle_sql():
         "rollup_sales": Q_ROLLUP_SALES_SQL,
         "cube_sales": Q_CUBE_SALES_SQL,
         "group_quantiles": Q_GROUP_QUANTILES_SQL,
+        "quartile_label": Q_QUARTILE_LABEL_SQL,
         "anti_join": Q_ANTI_JOIN_SQL,
         "semi_join": Q_SEMI_JOIN_SQL,
         "left_join": Q_LEFT_JOIN_SQL,
