@@ -143,6 +143,8 @@ def bench_list():
         "group_regression",
         "quartile_label",
         "focal_sum",
+        "word_pairs",
+        "transitions",
         # safe_split and triangles stay out of the headline: the
         # former embeds the dedup_components fixpoint (round-dominated
         # at toy scale, see note above), the latter is the 49M-wedge

@@ -934,6 +934,78 @@ Q_SESSIONS_SQL = """
 """
 
 
+def q_transitions(sf_dir: str):
+    """Markov transition matrix: counts of consecutive event-type
+    pairs within each user's (ts, event_id)-ordered stream — the
+    behavioral-model / next-event-prediction statistic.  Users are
+    co-located by hash bucket; ONE lexsort per bucket pairs every
+    consecutive row (segment boundaries masked out), a block-local
+    pa.TableGroupBy pre-counts the ≤ |types|² pairs, and a tiny
+    Sum-shuffle finishes."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.footprint import _splitmix64
+
+    N_BUCKETS = 64
+
+    def bucket(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy().astype(np.uint64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "t": pa.array(ts, pa.int64()),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "bucket": pa.array(
+                    (_splitmix64(u) % np.uint64(N_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        ts = group["t"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        types = group["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, types = u[order], types[order]
+        same_user = u[1:] == u[:-1]
+        t = pa.table(
+            {
+                "from_type": pa.array(types[:-1][same_user], pa.string()),
+                "to_type": pa.array(types[1:][same_user], pa.string()),
+            }
+        )
+        agg = pa.TableGroupBy(t, ["from_type", "to_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["from_type", "to_type", "n"])
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+Q_TRANSITIONS_SQL = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
 def q_funnel(sf_dir: str):
     """Ordered-sequence funnel: users who did view → click → purchase
     in timestamp order, with the stage reached (1–3) — the conversion
@@ -5980,6 +6052,187 @@ Q_SPATIAL_ANTIJOIN_SQL = f"""
 """
 
 
+COOC_WORD_TOP = 30
+COOC_VOCAB = 100
+
+
+def q_word_pairs(sf_dir: str):
+    """Word co-occurrence (skip-gram statistics): the top pairs of
+    TOP-100-VOCABULARY words appearing in the same document — the
+    counting pass behind PMI / embedding training.  Phase 1 derives
+    the vocabulary exactly (vocab_topk's aggregate, deterministic
+    tie-break) and BROADCASTS the ≤100-word id map; phase 2 is the
+    basket shape: doc-bucketed dedupe of (doc, word-id) pairs,
+    offset-vectorized pair fan-out, pair-bucketed sort+reduceat merge
+    forwarding only per-bucket top-k into the bounded final sort."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.footprint import _splitmix64
+
+    N_BUCKETS = 64
+
+    def term_rows(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(pc.utf8_lower(b["text"]), "[^a-z]+")
+        n_per = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = words.combine_chunks().flatten() if isinstance(
+            words, pa.ChunkedArray
+        ) else words.flatten()
+        doc = np.repeat(b["doc_id"].to_numpy(), n_per)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "term": flat.filter(pa.array(keep)),
+            }
+        )
+
+    # phase 1: exact top-100 vocabulary (same machinery as vocab_topk)
+    def term_counts(b: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(b.select(["term"]), "term").aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["term", "n"])
+
+    terms = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        term_rows, batch_format="pyarrow"
+    )
+    vocab_rows = (
+        terms.map_batches(term_counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "term"], descending=[True, False])
+        .limit(COOC_VOCAB)
+        .take_all()
+    )  # ≤ 100 rows on the driver, then broadcast
+    vocab = [r["term"] for r in vocab_rows]
+    vocab_ref = ray.put({w: i for i, w in enumerate(vocab)})
+
+    def bucket(b: pa.Table) -> pa.Table:
+        vmap = ray.get(vocab_ref)
+        ids = np.array(
+            [vmap.get(t, -1) for t in b["term"].to_pylist()], dtype=np.int64
+        )
+        keep = ids >= 0
+        doc = b["doc_id"].to_numpy()[keep]
+        h = _splitmix64(doc.astype(np.uint64)) % np.uint64(N_BUCKETS)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "wid": pa.array(ids[keep]),
+                "bucket": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def _triu(group_keys, values):
+        starts = np.concatenate(
+            ([0], np.flatnonzero(group_keys[1:] != group_keys[:-1]) + 1)
+        )
+        lens = np.diff(np.concatenate((starts, [len(group_keys)])))
+        out_a, out_b = [], []
+        kmax = int(lens.max()) if len(lens) else 0
+        for a in range(kmax - 1):
+            m = lens > a + 1
+            if not m.any():
+                break
+            nb = lens[m] - a - 1
+            bstart = starts[m] + a + 1
+            total = int(nb.sum())
+            csum = np.concatenate(([0], np.cumsum(nb)[:-1]))
+            idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(csum, nb)
+                + np.repeat(bstart, nb)
+            )
+            out_b.append(values[idx])
+            out_a.append(np.repeat(values[starts[m] + a], nb))
+        if not out_a:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return np.concatenate(out_a), np.concatenate(out_b)
+
+    def doc_pairs(group: pa.Table) -> pa.Table:
+        doc = group["doc_id"].to_numpy()
+        wid = group["wid"].to_numpy()
+        order = np.lexsort((wid, doc))
+        doc, wid = doc[order], wid[order]
+        keep = np.concatenate(
+            ([True], (doc[1:] != doc[:-1]) | (wid[1:] != wid[:-1]))
+        )
+        doc, wid = doc[keep], wid[keep]
+        a, b_ = _triu(doc, wid)
+        key = a * COOC_VOCAB + b_
+        key, cnt = np.unique(key, return_counts=True)
+        h = _splitmix64(key.astype(np.uint64)) % np.uint64(N_BUCKETS)
+        return pa.table(
+            {
+                "pair_key": pa.array(key),
+                "n": pa.array(cnt.astype(np.int64)),
+                "pbucket": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        vmap = ray.get(vocab_ref)
+        inv = list(vmap)  # insertion order == id order
+        k = group["pair_key"].to_numpy()
+        n = group["n"].to_numpy()
+        order = np.argsort(k, kind="stable")
+        k, n = k[order], n[order]
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        tot = np.add.reduceat(n, starts)
+        uk = k[starts]
+        # decode to LEXICOGRAPHIC (word_a < word_b) pair order and cut
+        # top-k with the same tie-break the final global sort uses —
+        # an id-order cut could drop a boundary tie the lexicographic
+        # order keeps
+        pairs = [
+            tuple(sorted((inv[v // COOC_VOCAB], inv[v % COOC_VOCAB])))
+            for v in uk
+        ]
+        wa = np.array([p_[0] for p_ in pairs], dtype=object)
+        wb = np.array([p_[1] for p_ in pairs], dtype=object)
+        top = np.lexsort((wb, wa, -tot))[:COOC_WORD_TOP]
+        return pa.table(
+            {
+                "word_a": pa.array(wa[top], pa.string()),
+                "word_b": pa.array(wb[top], pa.string()),
+                "n": pa.array(tot[top].astype(np.int64)),
+            }
+        )
+
+    return (
+        terms.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(doc_pairs, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(merge_topk, batch_format="pyarrow")
+        .sort(["n", "word_a", "word_b"], descending=[True, False, False])
+        .limit(COOC_WORD_TOP)
+    )
+
+
+Q_WORD_PAIRS_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ),
+    tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+    vocab AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tt GROUP BY term ORDER BY n DESC, term LIMIT {COOC_VOCAB}
+    ),
+    dv AS (SELECT DISTINCT tt.doc_id, tt.term FROM tt JOIN vocab USING (term)),
+    p AS (
+      SELECT a.term AS word_a, b.term AS word_b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM dv a JOIN dv b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+    )
+    SELECT word_a, word_b, n FROM p
+    ORDER BY n DESC, word_a, word_b LIMIT {COOC_WORD_TOP}
+"""
+
+
 def q_vocab_topk(sf_dir: str):
     """Vocabulary building: top-50 corpus terms by total occurrences —
     the canonical map-reduce word count.  One vectorized RE2 pass per
@@ -6980,6 +7233,7 @@ def build_queries():
         "distinct_users": q_distinct_users,
         "user_journey": q_user_journey,
         "funnel": q_funnel,
+        "transitions": q_transitions,
         "price_histogram": q_price_histogram,
         "hash_sample": q_hash_sample,
         "asof_join": q_asof_join,
@@ -7045,6 +7299,7 @@ def build_queries():
         "spatial_antijoin": q_spatial_antijoin,
         "dist_join": q_dist_join,
         "vocab_topk": q_vocab_topk,
+        "word_pairs": q_word_pairs,
         "tfidf_topterms": q_tfidf_topterms,
         "rollup_sales": q_rollup_sales,
         "cube_sales": q_cube_sales,
@@ -7118,6 +7373,7 @@ def build_oracle_sql():
         "distinct_users": Q_DISTINCT_USERS_SQL,
         "user_journey": Q_USER_JOURNEY_SQL,
         "funnel": Q_FUNNEL_SQL,
+        "transitions": Q_TRANSITIONS_SQL,
         "price_histogram": Q_PRICE_HISTOGRAM_SQL,
         "hash_sample": Q_HASH_SAMPLE_SQL,
         "asof_join": Q_ASOF_JOIN_SQL,
@@ -7172,6 +7428,7 @@ def build_oracle_sql():
         "spatial_antijoin": Q_SPATIAL_ANTIJOIN_SQL,
         "dist_join": Q_DIST_JOIN_SQL,
         "vocab_topk": Q_VOCAB_TOPK_SQL,
+        "word_pairs": Q_WORD_PAIRS_SQL,
         "tfidf_topterms": Q_TFIDF_SQL,
         "rollup_sales": Q_ROLLUP_SALES_SQL,
         "cube_sales": Q_CUBE_SALES_SQL,
