@@ -2405,15 +2405,16 @@ Q_MINHASH_SQL = _build_minhash_sql()
 
 def q_minhash_near_dup(sf_dir: str):
     """MinHash+LSH near-dup candidate pairs over documents (est_jaccard
-    ≥ 0.5); value-exact vs the full SQL pipeline mirror."""
-    from ..stages.dedup import LshCandidatePairs, MinHasher, lsh_band_explode
+    ≥ 0.5); value-exact vs the full SQL pipeline mirror.  The candidate
+    stage is the BUCKETED kernel (hash(band key) % 64 shuffle + one
+    lexsort/run-boundary pass per bucket) — never one Python group call
+    per distinct band bucket (cardinality ~8×docs at scale)."""
+    from ..stages.dedup import MinHasher, lsh_band_explode, minhash_candidate_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(MinHasher(), batch_format="pyarrow", concurrency=2)
     exploded = sigs.map_batches(lsh_band_explode, batch_format="pyarrow")
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        LshCandidatePairs(threshold=0.5), batch_format="pyarrow"
-    )
+    pairs = minhash_candidate_pairs(exploded, threshold=0.5)
     from ..stages.dedup import pair_reduce
 
     return pair_reduce(pairs, "doc_a", "doc_b", "est_jaccard", how="max")
@@ -2490,16 +2491,15 @@ Q_SIMHASH_PAIRS_SQL = _build_simhash_pairs_sql()
 
 def q_simhash_pairs(sf_dir: str):
     """SimHash hamming≤3 near-dup pairs (band blocking); value-exact
-    vs the full SQL mirror (Q_SIMHASH_PAIRS_SQL)."""
-    from ..stages.dedup import SimHasher, SimhashPairs, simhash_band_explode
-    from ray.data.aggregate import Min
+    vs the full SQL mirror (Q_SIMHASH_PAIRS_SQL).  Candidate stage is
+    the bucketed kernel — one vectorized lexsort/popcount pass per
+    shuffle bucket, never per distinct band value."""
+    from ..stages.dedup import SimHasher, hamming_candidate_pairs, simhash_band_explode
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     hashed = ds.map_batches(SimHasher(), batch_format="pyarrow", concurrency=2)
     exploded = hashed.map_batches(simhash_band_explode, batch_format="pyarrow")
-    pairs = exploded.groupby(["band_id", "band_val"]).map_groups(
-        SimhashPairs(max_hamming=3), batch_format="pyarrow"
-    )
+    pairs = hamming_candidate_pairs(exploded, max_hamming=3)
     from ..stages.dedup import pair_reduce
 
     return pair_reduce(pairs, "doc_a", "doc_b", "hamming", how="min")
@@ -2606,12 +2606,20 @@ Q_EMBEDDING_NEAR_DUP_SQL = _build_embedding_near_dup_sql()
 
 
 def q_martinez_fixtures(sf_dir: str):
-    """The full reference fixture corpus through the Ray boolean stage;
-    per-case structural metrics (deterministic, golden-derived)."""
+    """The full reference fixture corpus through the Ray boolean stage.
+
+    Emits (case_id, op_tag, n_polys, n_vertices, result_hash) per
+    fixture×op, where result_hash fingerprints the ENGINE result's
+    canonical compact-GeoJSON serialization.  The oracle inlines the
+    same columns derived from the GOLDEN expected geometries
+    (sources/fixture_pairs.py::golden_expected_table), so the driver's
+    hash-exact comparison IS the bit-for-bit conformance gate over
+    /root/reference/tests/fixtures/generic_test_cases — the flagship
+    kernel verification, now driver-visible."""
     import ray.data as rd
 
     from ..sources.arrow_geom import arrow_to_mps
-    from ..sources.fixture_pairs import fixture_pairs_table
+    from ..sources.fixture_pairs import fixture_pairs_table, mp_conformance_hash
 
     table = fixture_pairs_table()
     ds = rd.from_arrow(table)
@@ -2621,7 +2629,6 @@ def q_martinez_fixtures(sf_dir: str):
 
     def metrics(batch: pa.Table) -> pa.Table:
         mps = arrow_to_mps(batch["result"])
-        exp = arrow_to_mps(batch["expected"])
         return pa.table(
             {
                 "case_id": batch["case_id"],
@@ -2630,8 +2637,8 @@ def q_martinez_fixtures(sf_dir: str):
                 "n_vertices": pa.array(
                     [sum(len(r) for p in m for r in p) for m in mps], pa.int64()
                 ),
-                "matches_golden": pa.array(
-                    [m == e for m, e in zip(mps, exp)], pa.bool_()
+                "result_hash": pa.array(
+                    [mp_conformance_hash(m) for m in mps], pa.int64()
                 ),
             }
         )
@@ -2809,10 +2816,8 @@ def q_image_near_dup(sf_dir: str):
     phashes (pixel math, never the codec) and mirrors the banding +
     bit_count(xor) verify in SQL, so driver equality pins the decode
     path AND the pairing pipeline."""
-    from ray.data.aggregate import Min
-
     from ..sources.images import read_synth_neardup_images
-    from ..stages.dedup import SimhashPairs
+    from ..stages.dedup import hamming_candidate_pairs
     from ..stages.image_ops import DecodePhash
 
     ds = read_synth_neardup_images(IMAGE_NEARDUP_N)
@@ -2820,14 +2825,12 @@ def q_image_near_dup(sf_dir: str):
         DecodePhash(), batch_format="pyarrow", batch_size=256, concurrency=2
     )
     exploded = hashed.map_batches(_phash_band_explode, batch_format="pyarrow")
-    pairs = exploded.groupby(["band_id", "band_val"]).map_groups(
-        SimhashPairs(
-            max_hamming=IMAGE_NEARDUP_MAX_HAMMING,
-            key_col="img_idx",
-            sig_col="phash",
-            out_cols=("img_a", "img_b"),
-        ),
-        batch_format="pyarrow",
+    pairs = hamming_candidate_pairs(
+        exploded,
+        max_hamming=IMAGE_NEARDUP_MAX_HAMMING,
+        key_col="img_idx",
+        sig_col="phash",
+        out_cols=("img_a", "img_b"),
     )
     from ..stages.dedup import pair_reduce
 
@@ -5007,78 +5010,119 @@ def q_ngram_dedup(sf_dir: str):
     """N-gram Jaccard near-dup pairs: MinHash LSH proposes candidates
     (deterministic — the oracle reproduces the exact candidate set),
     the exact 5-gram Jaccard verifies ≥ 0.5 (integer percent,
-    half-up) — value-exact vs the SQL mirror."""
-    from ray.data.aggregate import Max
+    half-up) — value-exact vs the SQL mirror.
 
+    Fully distributed, nothing on the driver: the candidate stage is
+    the bucketed LSH kernel, duplicate pairs merge via ``pair_reduce``
+    (one packed-int64 bucket shuffle), and the verify join never pulls
+    texts to the driver — each pair explodes to (doc_id, pair_key,
+    slot), ONE bucketed hash join attaches the corpus text to each
+    slot, and a pair_key-bucketed regroup evaluates the exact Jaccard
+    inside the bucket workers.  Two shuffles total, each O(candidates),
+    regardless of corpus size."""
     from ..stages.dedup import (
-        LshCandidatePairs,
         MinHasher,
         lsh_band_explode,
+        minhash_candidate_pairs,
         ngram_jaccard_pct,
+        pair_reduce,
     )
+    from ..stages.footprint import _splitmix64
+    from ..stages.join import shuffle_hash_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sigs = ds.map_batches(MinHasher(), batch_format="pyarrow", concurrency=2)
     exploded = sigs.map_batches(lsh_band_explode, batch_format="pyarrow")
-    cand = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        LshCandidatePairs(threshold=0.3), batch_format="pyarrow"
-    )
-    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
-    )
+    cand = minhash_candidate_pairs(exploded, threshold=0.3)
+    cand = pair_reduce(cand, "doc_a", "doc_b", "est_jaccard", how="max")
 
-    # Candidate pairs are tiny relative to the corpus; pull them to the
-    # driver, then stream the corpus ONCE to extract only the texts the
-    # verify stage needs, and broadcast that small subset.  (Broadcasting
-    # the full text column would materialize the whole table — wrong at
-    # scale; this stays O(candidates).)
-    import ray
-    import ray.data as rd
+    def explode_pairs(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy().astype(np.uint64)
+        bb = b["doc_b"].to_numpy().astype(np.uint64)
+        key = ((a << np.uint64(32)) | bb).view(np.int64)
+        n = len(a)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([a, bb]).astype(np.int64), pa.int64()
+                ),
+                "pair_key": pa.array(np.concatenate([key, key]), pa.int64()),
+                "slot": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int64), np.ones(n, np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
 
-    cand_t = pa.Table.from_pylist(cand.take_all())
-    if cand_t.num_rows == 0:
-        return pa.schema(
+    pair_docs = cand.map_batches(explode_pairs, batch_format="pyarrow")
+    joined = shuffle_hash_join(
+        pair_docs,
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        "doc_id",
+        ["pair_key", "slot"],
+        ["text"],
+        left_schema=pa.schema(
             [
-                pa.field("doc_a", pa.int64()),
-                pa.field("doc_b", pa.int64()),
-                pa.field("jaccard_pct", pa.int64()),
+                pa.field("doc_id", pa.int64()),
+                pa.field("pair_key", pa.int64()),
+                pa.field("slot", pa.int64()),
             ]
-        ).empty_table()
-    needed = pc.unique(
-        pa.chunked_array(
-            list(cand_t["doc_a"].chunks) + list(cand_t["doc_b"].chunks)
-        ).combine_chunks()
+        ),
+        right_schema=pa.schema(
+            [pa.field("doc_id", pa.int64()), pa.field("text", pa.string())]
+        ),
     )
-    needed_ref = ray.put(needed)
 
-    def pick(batch: pa.Table) -> pa.Table:
-        # Vectorized membership on the big (corpus) side — never a
-        # per-row Python loop in this stage.
-        want = ray.get(needed_ref)
-        return batch.filter(pc.is_in(batch["doc_id"], value_set=want))
+    N_BUCKETS = 64
 
-    subset = (
-        _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(pick, batch_format="pyarrow")
-        .take_all()
-    )
-    texts_ref = ray.put({r["doc_id"]: r["text"] for r in subset})
+    def add_pair_bucket(b: pa.Table) -> pa.Table:
+        k = b["pair_key"].to_numpy().view(np.uint64)
+        return pa.table(
+            {
+                "pair_key": b["pair_key"],
+                "slot": b["slot"],
+                "text": b["text"],
+                "vbucket": pa.array(
+                    (_splitmix64(k) % np.uint64(N_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
-        a = batch["doc_a"].to_pylist()
-        b = batch["doc_b"].to_pylist()
-        jacc = [ngram_jaccard_pct(texts[x], texts[y]) for x, y in zip(a, b)]
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        k = group["pair_key"].to_numpy()
+        slot = group["slot"].to_numpy()
+        order = np.lexsort((slot, k))
+        k = k[order]
+        texts = group["text"].take(pa.array(order)).to_pylist()
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        # every pair_key carries exactly its two slots (both docs exist
+        # in the corpus); the exact shingle-set Jaccard is inherent
+        # per-pair work, run here inside the bucket worker — bounded by
+        # candidates/bucket, never on the driver
+        jac = np.empty(len(starts), dtype=np.int64)
+        for i, s in enumerate(starts):
+            jac[i] = ngram_jaccard_pct(texts[s], texts[s + 1])
+        uk = k[starts].view(np.uint64)
         out = pa.table(
             {
-                "doc_a": batch["doc_a"],
-                "doc_b": batch["doc_b"],
-                "jaccard_pct": pa.array(jacc, pa.int64()),
+                "doc_a": pa.array(
+                    (uk >> np.uint64(32)).astype(np.int64), pa.int64()
+                ),
+                "doc_b": pa.array(
+                    (uk & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()
+                ),
+                "jaccard_pct": pa.array(jac, pa.int64()),
             }
         )
         return out.filter(pc.greater_equal(out["jaccard_pct"], 50))
 
-    return rd.from_arrow(cand_t).map_batches(verify, batch_format="pyarrow")
+    return (
+        joined.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("vbucket")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+    )
 
 
 # ------------------------------------------------------- big×big join
@@ -5323,28 +5367,57 @@ Q_GROUPED_TOPK_SQL = """
 
 def q_running_total(sf_dir: str):
     """Cumulative per-key window: running spend per user ordered by
-    (ts, event_id).  groupby(user_id) co-locates each key's rows; the
-    per-group kernel is one lexsort + cumsum — the classic ordered
-    window op (SUM OVER ROWS UNBOUNDED PRECEDING) the reference lacks.
-    user_id is the partition key at scale; per-user history is small."""
+    (ts, event_id) — SUM OVER ROWS UNBOUNDED PRECEDING, the classic
+    ordered window op the reference lacks.  user_id cardinality is
+    ~rows at 100 TB, so the kernel is user-hash BUCKETED (64 buckets,
+    the sessionize shape): one lexsort per bucket orders EVERY user's
+    history at once and a segment-rebased cumsum (cumsum minus each
+    segment's starting offset) computes all running totals in one
+    vectorized pass — never one Python group call per user."""
+    N_BUCKETS = 64
 
-    def running(group: pa.Table) -> pa.Table:
-        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        eid = group["event_id"].to_numpy()
-        val_c = _cents(group["value"].to_numpy())
-        order = np.lexsort((eid, ts))
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
+        u = b["user_id"].to_numpy().astype(np.uint64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         return pa.table(
             {
-                "user_id": pa.array(
-                    np.full(len(eid), group["user_id"][0].as_py(), dtype=np.int64)
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "t": pa.array(ts, pa.int64()),
+                "value_c": pa.array(_cents(b["value"].to_numpy()), pa.int64()),
+                "bucket": pa.array(
+                    (_splitmix64(u) % np.uint64(N_BUCKETS)).astype(np.int64)
                 ),
-                "event_id": pa.array(eid[order]),
-                "running_c": pa.array(np.cumsum(val_c[order])),
+            }
+        )
+
+    def running_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        t = group["t"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        v = group["value_c"].to_numpy()
+        order = np.lexsort((eid, t, u))
+        u, eid, v = u[order], eid[order], v[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        cs = np.cumsum(v)
+        seg = np.cumsum(new_user) - 1
+        base = (cs - v)[new_user]  # running sum before each segment
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "running_c": pa.array(cs - base[seg], pa.int64()),
             }
         )
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-    return ds.groupby("user_id").map_groups(running, batch_format="pyarrow")
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(running_bucket, batch_format="pyarrow")
+    )
 
 
 Q_RUNNING_TOTAL_SQL = """
@@ -5358,34 +5431,58 @@ Q_RUNNING_TOTAL_SQL = """
 
 def q_event_gaps(sf_dir: str):
     """LAG window: per-user inter-event gap in microseconds (first
-    event: −1 sentinel) and the previous event's id.  Same
-    partition-by-key scale shape as running_total — one lexsort +
-    shift per group, no per-row Python; per-user history is the
-    documented group-size assumption."""
+    event: −1 sentinel) and the previous event's id.  Same bucketed
+    shape as running_total — user-hash buckets, ONE lexsort per bucket
+    over every user's history, vectorized shift with the user-boundary
+    rows masked to the sentinel.  No per-distinct-user Python call."""
+    N_BUCKETS = 64
 
-    def gaps(group: pa.Table) -> pa.Table:
-        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        eid = group["event_id"].to_numpy()
-        order = np.lexsort((eid, ts))
-        ts, eid = ts[order], eid[order]
-        gap = np.empty(len(ts), dtype=np.int64)
-        prev = np.empty(len(ts), dtype=np.int64)
-        gap[0], prev[0] = -1, -1
-        gap[1:] = ts[1:] - ts[:-1]
-        prev[1:] = eid[:-1]
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
+        u = b["user_id"].to_numpy().astype(np.uint64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         return pa.table(
             {
-                "user_id": pa.array(
-                    np.full(len(eid), group["user_id"][0].as_py(), dtype=np.int64)
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "t": pa.array(ts, pa.int64()),
+                "bucket": pa.array(
+                    (_splitmix64(u) % np.uint64(N_BUCKETS)).astype(np.int64)
                 ),
-                "event_id": pa.array(eid),
-                "prev_event_id": pa.array(prev),
-                "gap_us": pa.array(gap),
+            }
+        )
+
+    def gaps_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        t = group["t"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        order = np.lexsort((eid, t, u))
+        u, t, eid = u[order], t[order], eid[order]
+        n = len(t)
+        gap = np.empty(n, dtype=np.int64)
+        prev = np.empty(n, dtype=np.int64)
+        gap[0], prev[0] = -1, -1
+        gap[1:] = t[1:] - t[:-1]
+        prev[1:] = eid[:-1]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap[new_user] = -1
+        prev[new_user] = -1
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "prev_event_id": pa.array(prev, pa.int64()),
+                "gap_us": pa.array(gap, pa.int64()),
             }
         )
 
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
-    return ds.groupby("user_id").map_groups(gaps, batch_format="pyarrow")
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(gaps_bucket, batch_format="pyarrow")
+    )
 
 
 Q_EVENT_GAPS_SQL = """
@@ -7344,7 +7441,14 @@ def build_oracle_sql():
 
     scene_stats_sql = _values_oracle_sql(expected_scene_stats(500))
     audio_features_sql = _values_oracle_sql(expected_audio_features(1000))
+    # golden-derived literals: the fixtures' EXPECTED geometries,
+    # canonically serialized + hashed (never engine output) — makes the
+    # bit-for-bit conformance corpus a driver-green CORRECTNESS row
+    from ..sources.fixture_pairs import golden_expected_table
+
+    martinez_fixtures_sql = _values_oracle_sql(golden_expected_table())
     return {
+        "martinez_fixtures": martinez_fixtures_sql,
         "image_features": image_features_sql,
         "image_quality": image_quality_sql,
         "image_pyramid": image_pyramid_sql,

@@ -76,3 +76,51 @@ def fixture_pairs_table(fixture_dir: str = DEFAULT_FIXTURE_DIR) -> pa.Table:
             "swap_ab_is_broken": pa.array(broken, pa.bool_()),
         }
     )
+
+
+def mp_conformance_hash(mp) -> int:
+    """64-bit fingerprint of a multipolygon's canonical serialization.
+
+    The serialization is the byte-parity compact-GeoJSON writer
+    (sinks/compact_geojson.py — byte-identical to the reference's
+    write_compact_geojson on all 45 goldens), so two multipolygons hash
+    equal iff they are bit-for-bit the same geometry.  Shared by the
+    ``martinez_fixtures`` engine query (hashing ENGINE results) and the
+    golden-derived oracle literals (hashing the fixtures' expected
+    geometries) — driver hash equality therefore IS the bit-for-bit
+    conformance gate."""
+    import hashlib
+
+    from ..sinks.compact_geojson import convert_to_feature, feature_collection_string
+
+    s = feature_collection_string([convert_to_feature(mp)])
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
+    ) - (1 << 63)
+
+
+def golden_expected_table(fixture_dir: str = DEFAULT_FIXTURE_DIR) -> pa.Table:
+    """(case_id, op_tag, n_polys, n_vertices, result_hash) derived from
+    the GOLDEN expected geometries only — never from engine output.
+    These rows become the VALUES literals of
+    ``oracle_sql()['martinez_fixtures']``; tests/test_conformance.py
+    asserts they equal the golden serialization, so the driver's
+    hash-exact comparison pins the whole fixture corpus
+    (/root/reference/tests/src/generic_test_cases.rs:45-94)."""
+    case_ids, op_tags, n_polys, n_vertices, hashes = [], [], [], [], []
+    for case in load_fixture_dir(fixture_dir):
+        for exp in case.expected:
+            case_ids.append(case.name)
+            op_tags.append(exp.op_tag)
+            n_polys.append(len(exp.result))
+            n_vertices.append(sum(len(r) for p in exp.result for r in p))
+            hashes.append(mp_conformance_hash(exp.result))
+    return pa.table(
+        {
+            "case_id": pa.array(case_ids, pa.string()),
+            "op_tag": pa.array(op_tags, pa.string()),
+            "n_polys": pa.array(n_polys, pa.int64()),
+            "n_vertices": pa.array(n_vertices, pa.int64()),
+            "result_hash": pa.array(hashes, pa.int64()),
+        }
+    )

@@ -56,3 +56,41 @@ def test_generic_case(filename, kernel_name, kernel):
 
 def test_corpus_is_present():
     assert len(_cases()) >= 45
+
+
+def test_martinez_fixtures_oracle_literals_are_golden_derived():
+    """The driver-green `martinez_fixtures` CORRECTNESS row is only a
+    conformance gate if the SQL literals provably derive from the
+    golden fixtures: recompute (case, op, n_polys, n_vertices,
+    result_hash) from the fixture files' EXPECTED geometries and assert
+    both that the oracle-literal table equals that recomputation and
+    that the engine kernel reproduces every hash bit-for-bit."""
+    from rust_geo_booleanop_ray.sources.fixture_pairs import (
+        golden_expected_table,
+        mp_conformance_hash,
+    )
+
+    golden = golden_expected_table()
+    rows = {
+        (r["case_id"], r["op_tag"]): r for r in golden.to_pylist()
+    }
+    n_checked = 0
+    for fn in _cases():
+        case = load_fixture(os.path.join(FIXTURE_DIR, fn))
+        for exp in case.expected:
+            r = rows[(case.name, exp.op_tag)]
+            assert r["n_polys"] == len(exp.result)
+            assert r["n_vertices"] == sum(
+                len(ring) for p in exp.result for ring in p
+            )
+            # literal == serialization of the GOLDEN geometry
+            assert r["result_hash"] == mp_conformance_hash(exp.result)
+            # and the engine reproduces it bit-for-bit
+            result = apply_test_operation(
+                boolean_op, case.subject, case.clipping, exp.op_tag
+            )
+            assert mp_conformance_hash(result) == r["result_hash"], (
+                f"{fn} / {exp.op_tag}: engine hash != golden hash"
+            )
+            n_checked += 1
+    assert n_checked == golden.num_rows >= 78
