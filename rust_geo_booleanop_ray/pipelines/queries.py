@@ -2791,6 +2791,27 @@ def _build_pixel_histogram_sql(n_images: int = PIXHIST_N) -> str:
 """
 
 
+JPEG_RT_N = 600
+
+
+def q_jpeg_roundtrip(sf_dir: str):
+    """The LOSSY codec path: mixed-format corpus (raw / png / baseline
+    JPEG at JPEG_QUALITY, real pure-numpy DCT+Huffman codec) → actor-pool
+    decode → per-row reconstruction invariant (psnr centi-dB vs the
+    re-synthesized original, decoded-pixel checksum, PSNR≥40dB
+    verdict — BASELINE.json input_hint).  Value-exact: the oracle
+    inlines driver-side literals computed by the SAME generator +
+    codec math (sources/images.py::roundtrip_metrics), so driver
+    equality pins the distributed decode of genuinely lossy bytes."""
+    from ..sources.images import read_synth_lossy_images
+    from ..stages.image_ops import DecodeRoundtrip
+
+    ds = read_synth_lossy_images(JPEG_RT_N)
+    return ds.map_batches(
+        DecodeRoundtrip(), batch_format="pyarrow", batch_size=128, concurrency=2
+    )
+
+
 IMAGE_NEARDUP_N = 2000
 IMAGE_NEARDUP_MAX_HAMMING = 6
 
@@ -7359,6 +7380,7 @@ def build_queries():
         "image_augment": q_image_augment,
         "image_near_dup": q_image_near_dup,
         "image_sim_topk": q_image_sim,
+        "jpeg_roundtrip": q_jpeg_roundtrip,
         "video_frames": q_video_frames,
         "scene_stats": q_scene_stats,
         "audio_features": q_audio_features,
@@ -7447,8 +7469,12 @@ def build_oracle_sql():
     from ..sources.fixture_pairs import golden_expected_table
 
     martinez_fixtures_sql = _values_oracle_sql(golden_expected_table())
+    from ..sources.images import expected_roundtrip
+
+    jpeg_roundtrip_sql = _values_oracle_sql(expected_roundtrip(JPEG_RT_N))
     return {
         "martinez_fixtures": martinez_fixtures_sql,
+        "jpeg_roundtrip": jpeg_roundtrip_sql,
         "image_features": image_features_sql,
         "image_quality": image_quality_sql,
         "image_pyramid": image_pyramid_sql,

@@ -451,3 +451,146 @@ def expected_decode_features(n_images: int, seed: int = 42) -> pa.Table:
             "pix_checksum": pa.array(checks, pa.int64()),
         }
     )
+
+
+# ----------------------------------------------------- lossy (jpeg) corpus
+
+# quality 94: every jpeg row in the corpus reconstructs above the
+# input_hint's 40 dB bar (measured min 41.7 dB over 600 rows) while
+# staying genuinely lossy (finite PSNR on ~all rows; noise content
+# still degrades hard — see tests/test_jpeg.py)
+JPEG_QUALITY = 94
+_LOSSY_SIZES = np.array([16, 20, 24, 32, 40], dtype=np.int32)
+
+
+def lossy_base_pixels(i: int) -> np.ndarray:
+    """Deterministic smooth content (sinusoid + gradient channels) for
+    the lossy corpus.  Photographic-like low-frequency energy, so
+    baseline JPEG at JPEG_QUALITY round-trips above the input_hint's
+    PSNR ≥ 40 dB bar — unlike the noise corpus, which is
+    incompressible by design.  Pure function of the index (no RNG), so
+    the engine can re-synthesize the ORIGINAL pixels from image_id to
+    measure the true reconstruction error."""
+    w = int(_LOSSY_SIZES[i % len(_LOSSY_SIZES)])
+    h = int(_LOSSY_SIZES[(i // 5) % len(_LOSSY_SIZES)])
+    yy, xx = np.mgrid[0:h, 0:w]
+    xx = xx.astype(np.float64)
+    yy = yy.astype(np.float64)
+    fx = 1.0 + (i % 3)
+    fy = 1.0 + ((i // 3) % 3)
+    ph = (i % 17) * 0.37
+    r = 127.5 + 127.5 * np.sin(2.0 * np.pi * fx * xx / w + ph)
+    g = 127.5 + 127.5 * np.cos(2.0 * np.pi * fy * yy / h - ph)
+    b = (xx + 2.0 * yy) * 255.0 / (w + 2.0 * h - 3.0)
+    px = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(px + 0.5), 0, 255).astype(np.uint8)
+
+
+def _lossy_fmt(i: int) -> str:
+    """Mixed-format tagging: half the rows are lossy jpeg, the rest
+    exercise the lossless codecs through the same pipeline."""
+    if i % 4 == 0:
+        return "raw"
+    if i % 4 == 1:
+        return "png"
+    return "jpeg"
+
+
+def synth_lossy_batch(indices: np.ndarray) -> pa.Table:
+    """Rows of the mixed-format corpus (pure function of the index).
+    jpeg payloads go through the REAL baseline encoder
+    (functions/jpeg.py) at JPEG_QUALITY — genuinely lossy bytes."""
+    from ..functions.jpeg import encode_jpeg
+    from ..functions.png import encode_png
+
+    indices = np.asarray(indices, dtype=np.int64)
+    ids, payloads, fmts, ws, hs, captions, phashes = [], [], [], [], [], [], []
+    for j in range(len(indices)):
+        i = int(indices[j])
+        px = lossy_base_pixels(i)
+        fmt = _lossy_fmt(i)
+        if fmt == "jpeg":
+            payload = encode_jpeg(px, quality=JPEG_QUALITY)
+        elif fmt == "png":
+            payload = encode_png(px)
+        else:
+            payload = px.tobytes()
+        ids.append(f"jpg-{i:08d}")
+        payloads.append(payload)
+        fmts.append(fmt)
+        hs.append(px.shape[0])
+        ws.append(px.shape[1])
+        captions.append(
+            f"{CAPTION_SUBJECTS[i % 5]} {CAPTION_PLACES[(i // 5) % 7]} "
+            f"{CAPTION_EXTRAS[(i // 35) % 5]} #{i}"
+        )
+        phashes.append(_phash64(px))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "w": pa.array(np.asarray(ws, dtype=np.int32), pa.int32()),
+            "h": pa.array(np.asarray(hs, dtype=np.int32), pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+        }
+    )
+
+
+def read_synth_lossy_images(n_images: int, override_num_blocks: int | None = None):
+    """Streaming Ray Data source for the mixed-format lossy corpus."""
+    import ray.data as rd
+
+    if override_num_blocks is None:
+        override_num_blocks = max(8, min(256, n_images // 4096))
+    ds = rd.range(n_images, override_num_blocks=override_num_blocks)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return synth_lossy_batch(batch["id"].to_numpy())
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
+
+
+def roundtrip_metrics(i: int) -> tuple[str, int, int, int]:
+    """(fmt, psnr_cb, pix_checksum, pass_40db) for corpus row ``i`` —
+    the encode→decode→compare math shared VERBATIM by the engine stage
+    (distributed, payload from the table) and the oracle literal
+    builder (driver-side), so driver equality pins the lossy decode
+    path end-to-end.  psnr_cb is PSNR in integer centi-dB (half-up;
+    capped at 99999 for bit-exact lossless round trips)."""
+    from ..functions.jpeg import decode_jpeg, encode_jpeg
+    from ..stages.image_ops import psnr
+
+    px = lossy_base_pixels(i)
+    fmt = _lossy_fmt(i)
+    if fmt == "jpeg":
+        decoded = decode_jpeg(encode_jpeg(px, quality=JPEG_QUALITY))
+    else:
+        decoded = px  # png/raw decode bit-exactly
+    p = psnr(px, decoded)
+    psnr_cb = 99999 if np.isinf(p) else int(np.floor(p * 100.0 + 0.5))
+    return fmt, psnr_cb, int(pix_checksum(decoded)), int(psnr_cb >= 4000)
+
+
+def expected_roundtrip(n_images: int) -> pa.Table:
+    """Oracle literals for the jpeg_roundtrip query: per-row PSNR
+    (centi-dB), decoded-pixel checksum and the ≥40 dB verdict, computed
+    driver-side from the generator's pixel math + the same codec."""
+    ids, fmts, cbs, checks, passes = [], [], [], [], []
+    for i in range(n_images):
+        fmt, cb, ck, ok = roundtrip_metrics(i)
+        ids.append(f"jpg-{i:08d}")
+        fmts.append(fmt)
+        cbs.append(cb)
+        checks.append(ck)
+        passes.append(ok)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "fmt": pa.array(fmts, pa.string()),
+            "psnr_cb": pa.array(cbs, pa.int64()),
+            "pix_checksum": pa.array(checks, pa.int64()),
+            "pass_40db": pa.array(passes, pa.int64()),
+        }
+    )

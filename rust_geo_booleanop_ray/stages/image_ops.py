@@ -4,8 +4,10 @@ Multimodal columns are opaque ``binary`` payloads with typed metadata
 (w, h, fmt).  ``fmt="raw"`` decodes via numpy frombuffer; ``fmt="png"``
 decodes for REAL through the pure-numpy PNG codec (functions/png.py —
 zlib inflate + per-scanline None/Sub/Up/Average/Paeth reconstruction;
-no external image library).  Formats without a codec in this
-environment (e.g. jpeg) raise ``ImageCodecNotAvailable``.
+no external image library); ``fmt="jpeg"`` decodes through the
+pure-numpy baseline JPEG codec (functions/jpeg.py — Huffman + DCT, the
+real LOSSY path).  Formats without a codec raise
+``ImageCodecNotAvailable``.
 
 Per-row invariant vs the reference behavior (BASELINE.json input_hint):
 decoded-pixel allclose (exact for the lossless raw/png paths; PSNR ≥
@@ -50,6 +52,15 @@ def decode_image(payload: bytes, w: int, h: int, fmt: str, strict: bool = False)
         if px.shape[2] == 2:  # gray+alpha → replicate luma, drop alpha
             return np.repeat(px[:, :, :1], 3, axis=2)
         return px[:, :, :3]  # RGBA → drop alpha
+    if fmt == "jpeg":
+        from ..functions.jpeg import decode_jpeg
+
+        px = decode_jpeg(payload)
+        if px.shape[0] != h or px.shape[1] != w:
+            raise ValueError(
+                f"JPEG dims {px.shape[1]}x{px.shape[0]} disagree with metadata {w}x{h}"
+            )
+        return px
     raise ImageCodecNotAvailable(f"no codec for fmt={fmt!r} in this environment")
 
 
@@ -175,6 +186,55 @@ class ImageSimMerge:
         out = group.take(pa.array(order.astype(np.int64)))
         return out.append_column(
             "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
+
+
+class DecodeRoundtrip:
+    """Actor-pool stage: decode a (possibly LOSSY) payload, re-
+    synthesize the generator's original pixels from image_id, and emit
+    the per-row reconstruction invariant (BASELINE.json input_hint):
+    PSNR in integer centi-dB (99999 = bit-exact), the decoded-pixel
+    checksum, and the PSNR ≥ 40 dB verdict.  jpeg rows exercise the
+    real baseline DCT+Huffman codec (functions/jpeg.py); png/raw rows
+    must come back bit-exact.  Payloads drop in-stage — 5 small
+    columns leave the actor."""
+
+    def __init__(self):
+        from ..sources.images import lossy_base_pixels, pix_checksum
+
+        self._orig = lossy_base_pixels
+        self._checksum = pix_checksum
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        idxs = pc_.cast(
+            pc_.utf8_slice_codeunits(batch["image_id"], 4, 12), pa.int64()
+        ).to_numpy()
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        n = len(payloads)
+        cbs = np.empty(n, dtype=np.int64)
+        checks = np.empty(n, dtype=np.int64)
+        passes = np.empty(n, dtype=np.int64)
+        for i, payload in enumerate(payloads):
+            decoded = decode_image(payload, int(ws[i]), int(hs[i]), fmts[i])
+            orig = self._orig(int(idxs[i]))
+            p = psnr(orig, decoded)
+            cb = 99999 if np.isinf(p) else int(np.floor(p * 100.0 + 0.5))
+            cbs[i] = cb
+            checks[i] = self._checksum(decoded)
+            passes[i] = int(cb >= 4000)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "fmt": batch["fmt"],
+                "psnr_cb": pa.array(cbs, pa.int64()),
+                "pix_checksum": pa.array(checks, pa.int64()),
+                "pass_40db": pa.array(passes, pa.int64()),
+            }
         )
 
 

@@ -94,6 +94,8 @@ def test_decode_image_contract():
     with pytest.raises(ValueError, match="disagree"):
         decode_image(encode_png(px), 7, 8, "png")
     with pytest.raises(ImageCodecNotAvailable):
+        decode_image(b"\x00" * 16, 2, 2, "webp")  # no codec for webp
+    with pytest.raises(ValueError):  # jpeg HAS a codec; truncated stream
         decode_image(b"\xff\xd8\xff", 2, 2, "jpeg")
     # non-RGB PNGs are normalized to 3 channels
     rgba = _rand((5, 5, 4), seed=12)
