@@ -3736,7 +3736,13 @@ def q_skyline(sf_dir: str):
     partial = ds.map_batches(prep, batch_format="pyarrow").map_batches(
         local_skyline, batch_format="pyarrow"
     )
-    return partial.repartition(1).map_batches(local_skyline, batch_format="pyarrow")
+    # batch_size=None pinned explicitly: the final merge is only
+    # correct if the whole repartition(1) block arrives as ONE batch
+    # (a bounded default would compute the frontier per-chunk and leak
+    # false survivors silently)
+    return partial.repartition(1).map_batches(
+        local_skyline, batch_format="pyarrow", batch_size=None
+    )
 
 
 Q_SKYLINE_SQL = """
@@ -3932,26 +3938,18 @@ def q_basket_pairs(sf_dir: str):
             ([True], (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1]))
         )
         ok, pk = ok[keep], pk[keep]
-        starts = np.concatenate(
-            ([0], np.flatnonzero(ok[1:] != ok[:-1]) + 1)
-        )
-        lens = np.diff(np.concatenate((starts, [len(ok)])))
-        out_a, out_b = [], []
-        kmax = int(lens.max()) if len(lens) else 0
-        for a in range(kmax - 1):
-            for b_ in range(a + 1, kmax):
-                m = lens > b_
-                out_a.append(pk[starts[m] + a])
-                out_b.append(pk[starts[m] + b_])
-        if not out_a:
+        # shared O(max_basket)-pass fan-out (scale-shape rule: never
+        # the nested O(max_basket²) offset loop — hot baskets stall it)
+        a_arr, b_arr = triu_pairs_in_runs(ok, pk)
+        if len(a_arr) == 0:
             return pa.schema(
                 [pa.field("pair_key", pa.int64()), pa.field("n", pa.int64())]
             ).empty_table()
         # pack the pair into ONE int64 (partkeys < 2^31): Ray's sort
         # aggregate over a single int column is far faster than the
         # two-column key path, which dominated this query's wall time
-        key = (np.concatenate(out_a).astype(np.uint64) << np.uint64(32)) | (
-            np.concatenate(out_b).astype(np.uint64)
+        key = (a_arr.astype(np.uint64) << np.uint64(32)) | b_arr.astype(
+            np.uint64
         )
         t = pa.table({"pair_key": pa.array(key.view(np.int64))})
         agg = pa.TableGroupBy(t, "pair_key").aggregate([([], "count_all")])
@@ -4464,6 +4462,39 @@ Q_BFS_DEPTH_SQL = f"""
 """
 
 
+def triu_pairs_in_runs(group_keys: np.ndarray, values: np.ndarray):
+    """All ordered (v, w) pairs (v<w) within runs of equal group_keys
+    over SORTED, DEDUPED input.  One vectorized pass per FIRST-element
+    offset (O(max_degree) passes, O(total pairs) work) — the nested
+    O(max_degree²) mask loop stalls on skewed hubs/baskets with
+    thousands of members.  Shared by triangles, word_pairs-style
+    fan-outs and basket_pairs (the repo scale-shape rule)."""
+    starts = np.concatenate(
+        ([0], np.flatnonzero(group_keys[1:] != group_keys[:-1]) + 1)
+    )
+    lens = np.diff(np.concatenate((starts, [len(group_keys)])))
+    out_a, out_b = [], []
+    kmax = int(lens.max()) if len(lens) else 0
+    for a in range(kmax - 1):
+        m = lens > a + 1
+        if not m.any():
+            break
+        nb = lens[m] - a - 1  # partners per run for this offset
+        bstart = starts[m] + a + 1
+        total = int(nb.sum())
+        csum = np.concatenate(([0], np.cumsum(nb)[:-1]))
+        idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(csum, nb)
+            + np.repeat(bstart, nb)
+        )
+        out_b.append(values[idx])
+        out_a.append(np.repeat(values[starts[m] + a], nb))
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 def q_triangles(sf_dir: str):
     """Distributed triangle counting on the co-purchase graph (parts
     linked when bought in the same order) — the clustering-structure
@@ -4496,36 +4527,7 @@ def q_triangles(sf_dir: str):
             }
         )
 
-    def _triu_pairs(group_keys: np.ndarray, values: np.ndarray):
-        """All ordered (v, w) pairs (v<w) within runs of equal
-        group_keys over SORTED, DEDUPED input.  One vectorized pass
-        per FIRST-element offset (O(max_degree) passes, O(total
-        pairs) work) — the nested O(max_degree²) mask loop stalls on
-        skewed hubs with thousands of neighbors."""
-        starts = np.concatenate(
-            ([0], np.flatnonzero(group_keys[1:] != group_keys[:-1]) + 1)
-        )
-        lens = np.diff(np.concatenate((starts, [len(group_keys)])))
-        out_a, out_b = [], []
-        kmax = int(lens.max()) if len(lens) else 0
-        for a in range(kmax - 1):
-            m = lens > a + 1
-            if not m.any():
-                break
-            nb = lens[m] - a - 1  # partners per run for this offset
-            bstart = starts[m] + a + 1
-            total = int(nb.sum())
-            csum = np.concatenate(([0], np.cumsum(nb)[:-1]))
-            idx = (
-                np.arange(total, dtype=np.int64)
-                - np.repeat(csum, nb)
-                + np.repeat(bstart, nb)
-            )
-            out_b.append(values[idx])
-            out_a.append(np.repeat(values[starts[m] + a], nb))
-        if not out_a:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-        return np.concatenate(out_a), np.concatenate(out_b)
+    _triu_pairs = triu_pairs_in_runs  # module-level shared kernel
 
     def order_edges(group: pa.Table) -> pa.Table:
         # distinct sorted parts per order → oriented edges (a < b)
@@ -6926,7 +6928,8 @@ Q_LEFT_JOIN_SQL = """
 
 
 def q_full_join(sf_dir: str):
-    """Full OUTER equi-join: a customer SUBSET (every third custkey —
+    """Full OUTER equi-join: a customer SUBSET (custkeys whose low two
+    bits are zero, ~every fourth —
     a stand-in for a partially-loaded dimension) against URGENT
     orders.  Keeps matched products, subset customers with no urgent
     order (null order columns) AND urgent orders whose customer is

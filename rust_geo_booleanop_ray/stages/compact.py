@@ -49,7 +49,16 @@ def latest_by_key(ds, key: str, order_cols, out_cols=None):
     maximum of ``order_cols`` wins.  ``out_cols`` projects the result
     (default: all columns).  One shuffle, ≤ one row per (block, key)
     on the wire."""
-    cols = None if out_cols is None else [key] + [c for c in out_cols if c != key]
+    # the partial sorts on order_cols, so they must survive the
+    # projection even when out_cols omits them (kept-through columns
+    # are dropped only from the FINAL select below)
+    cols = (
+        None
+        if out_cols is None
+        else [key]
+        + [c for c in order_cols if c != key]
+        + [c for c in out_cols if c != key and c not in order_cols]
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         if cols is not None:
@@ -59,8 +68,14 @@ def latest_by_key(ds, key: str, order_cols, out_cols=None):
     def merge(group: pa.Table) -> pa.Table:
         return last_per_key(group, key, order_cols)
 
-    return (
+    out = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(key)
         .map_groups(merge, batch_format="pyarrow")
     )
+    if out_cols is not None:
+        final = [key] + [c for c in out_cols if c != key]
+        out = out.map_batches(
+            lambda b: b.select(final), batch_format="pyarrow"
+        )
+    return out

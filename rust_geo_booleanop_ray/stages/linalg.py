@@ -83,6 +83,8 @@ def build_dim_stats(ds, col: str, dim: int) -> dict:
     def accumulate_block(state, block):
         t = pa.table(block) if not isinstance(block, pa.Table) else block
         q = quantize_embeddings(t[col])
+        if len(q) == 0:  # empty block: min/max(axis=0) would raise
+            return state
         out = state.copy()
         out[0] += q.sum(axis=0)
         out[1] = np.minimum(out[1], q.min(axis=0))
