@@ -73,6 +73,7 @@ def bench_list():
         "image_quality",
         "image_near_dup",
         "image_sim_topk",
+        "jpeg_roundtrip",
         "revenue_by_nation",
         "order_priority",
         "quality_filter",

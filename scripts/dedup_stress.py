@@ -28,7 +28,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-VOCAB = [f"tok{i:03d}" for i in range(400)]
+# diverse 6-hex tokens over a 4096-word vocabulary: two random docs
+# share ~0.1 tokens, so baseline 5-gram Jaccard is ~0 and the pair
+# set is dominated by the PLANTED dups (a shared-prefix vocab like
+# tokNNN keeps baseline Jaccard ~0.15 and drowns the corpus in
+# accidental candidates)
+VOCAB = [f"{(i * 2654435761) % (1 << 24):06x}" for i in range(4096)]
 
 
 def main(argv=None) -> int:
@@ -69,6 +74,17 @@ def main(argv=None) -> int:
 
     n = args.n_docs
 
+    M64 = (1 << 64) - 1
+
+    def mix(x: int) -> int:
+        # splitmix64-style finalizer: dup-target choice must NOT share
+        # factors with i (a bare (i*C) % (i//20) is 0 for every
+        # i ≡ 0 mod 20 — one 6250-member clique, 19.6M pairs)
+        x = (x + 0x9E3779B97F4A7C15) & M64
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & M64
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & M64
+        return x ^ (x >> 31)
+
     def gen(batch: pa.Table) -> pa.Table:
         # deterministic corpus: 15% exact dups of an earlier unique
         # doc, 5% near-dups (one token swapped), the rest unique
@@ -83,9 +99,9 @@ def main(argv=None) -> int:
             base = i
             if i >= 40:
                 if kind < 3:
-                    base = ((i * 2654435761) % (i // 20)) * 20 + 4
+                    base = (mix(i) % (i // 20)) * 20 + 4
                 elif kind == 3:
-                    base = ((i * 40503) % (i // 20)) * 20 + 4
+                    base = (mix(i * 3 + 1) % (i // 20)) * 20 + 4
             rng = (base * 2654435761) % (1 << 32)
             toks = [
                 VOCAB[(rng // (k + 1) + base * (k + 3)) % len(VOCAB)]
