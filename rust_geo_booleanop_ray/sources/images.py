@@ -575,13 +575,18 @@ def roundtrip_metrics(i: int) -> tuple[str, int, int, int]:
 
 def expected_roundtrip(n_images: int) -> pa.Table:
     """Oracle literals for the jpeg_roundtrip query: per-row PSNR
-    (centi-dB), decoded-pixel checksum and the ≥40 dB verdict, computed
+    (centi-dB), decoded-pixel checksum, the ≥40 dB verdict AND the
+    caption (input_hint: caption equality per row), computed
     driver-side from the generator's pixel math + the same codec."""
-    ids, fmts, cbs, checks, passes = [], [], [], [], []
+    ids, fmts, caps, cbs, checks, passes = [], [], [], [], [], []
     for i in range(n_images):
         fmt, cb, ck, ok = roundtrip_metrics(i)
         ids.append(f"jpg-{i:08d}")
         fmts.append(fmt)
+        caps.append(
+            f"{CAPTION_SUBJECTS[i % 5]} {CAPTION_PLACES[(i // 5) % 7]} "
+            f"{CAPTION_EXTRAS[(i // 35) % 5]} #{i}"
+        )
         cbs.append(cb)
         checks.append(ck)
         passes.append(ok)
@@ -589,6 +594,7 @@ def expected_roundtrip(n_images: int) -> pa.Table:
         {
             "image_id": pa.array(ids, pa.string()),
             "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array(caps, pa.string()),
             "psnr_cb": pa.array(cbs, pa.int64()),
             "pix_checksum": pa.array(checks, pa.int64()),
             "pass_40db": pa.array(passes, pa.int64()),

@@ -231,6 +231,10 @@ class DecodeRoundtrip:
             {
                 "image_id": batch["image_id"],
                 "fmt": batch["fmt"],
+                # caption travels with the row through the decode stage
+                # and is oracle-compared verbatim — the input_hint's
+                # "caption equality per row" half of the invariant
+                "caption": batch["caption"],
                 "psnr_cb": pa.array(cbs, pa.int64()),
                 "pix_checksum": pa.array(checks, pa.int64()),
                 "pass_40db": pa.array(passes, pa.int64()),
