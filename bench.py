@@ -62,6 +62,8 @@ def bench_list():
         "mode_event",
         "hash_sample",
         "dedup_exact",
+        "normalized_dedup",
+        "bottomk_sample",
         "text_stats",
         "ann_topk",
         "ann_ivf",
@@ -92,6 +94,7 @@ def bench_list():
         "dissolve",
         "fingerprints",
         "embedding_near_dup",
+        "mutual_nn",
         # dedup_components stays out of the headline: its label-
         # propagation fixpoint is round-dominated at toy scale
         # (fixed per-execution scheduling cost × ~8 rounds, not data

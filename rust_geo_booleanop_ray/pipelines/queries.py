@@ -1776,6 +1776,143 @@ Q_DEDUP_EXACT_SQL = """
 """
 
 
+def q_normalized_dedup(sf_dir: str):
+    """Canonicalize-then-dedup: trim / lowercase / collapse space runs
+    (the text canonicalization every training-data pipeline runs before
+    exact dedup, so trivial whitespace/case variants collapse), then
+    the bucketed exact-dedup merge — representative (min doc_id),
+    group size and normalized length per distinct normalized text.
+    Normalization is vectorized Arrow kernels (utf8_trim/lower +
+    RE2 replace); the merge shuffle is hash-bucketed, never grouped by
+    the ~rows-cardinality text hash itself."""
+    from ..stages.dedup import DEDUP_BUCKETS, content_hash_batch
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.replace_substring_regex(
+            pc.utf8_lower(pc.utf8_trim(batch["text"], " ")),
+            pattern=" +",
+            replacement=" ",
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hashed = content_hash_batch(batch)
+        n_chars = pc.utf8_length(batch["text"])
+        agg = pa.TableGroupBy(
+            pa.table(
+                {
+                    "content_hash": hashed["content_hash"],
+                    "doc_id": batch["doc_id"],
+                    "n_chars": n_chars,
+                }
+            ),
+            "content_hash",
+        ).aggregate([("doc_id", "min"), ("doc_id", "count"), ("n_chars", "min")])
+        h = agg["content_hash"].to_numpy().view(np.uint64)
+        return pa.table(
+            {
+                "content_hash": agg["content_hash"],
+                "doc_id": agg["doc_id_min"].cast(pa.int64()),
+                "n": agg["doc_id_count"].cast(pa.int64()),
+                "n_chars": agg["n_chars_min"].cast(pa.int64()),
+                "bucket": pa.array(
+                    (h % np.uint64(DEDUP_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        h = group["content_hash"].to_numpy()
+        d = group["doc_id"].to_numpy()
+        n = group["n"].to_numpy()
+        c = group["n_chars"].to_numpy()
+        order = np.lexsort((d, h))
+        h, d, n, c = h[order], d[order], n[order], c[order]
+        starts = np.concatenate(([0], np.flatnonzero(h[1:] != h[:-1]) + 1))
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts], pa.int64()),
+                "n": pa.array(np.add.reduceat(n, starts).astype(np.int64)),
+                "n_chars": pa.array(
+                    np.minimum.reduceat(c, starts).astype(np.int64)
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        ds.map_batches(norm, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+Q_NORMALIZED_DEDUP_SQL = """
+    WITH nrm AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text, ' ')), ' +', ' ', 'g') AS t
+      FROM documents
+    )
+    SELECT MIN(doc_id) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(length(t) AS BIGINT) AS n_chars
+    FROM nrm GROUP BY t
+"""
+
+
+BOTTOMK_K = 200
+
+
+def q_bottomk_sample(sf_dir: str):
+    """Fixed-size uniform sample WITHOUT replacement via bottom-k of
+    splitmix64 priorities — the mergeable distributed sampling
+    primitive (hash_sample gives a fixed RATE; training-data curation
+    usually wants a fixed COUNT).  Each block keeps its local bottom-k
+    (the partial is trivially mergeable: bottom-k of bottom-ks is the
+    global bottom-k), one final merge on a single block.  Deterministic
+    across engines and block layouts."""
+    from ..stages.footprint import _splitmix64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy().astype(np.uint64)
+        pri = _splitmix64(keys)
+        k = min(BOTTOMK_K, len(pri))
+        idx = np.argsort(pri, kind="stable")[:k]
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"].take(pa.array(idx)),
+                "pri": pa.array(pri[idx].view(np.int64), pa.int64()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        pri = batch["pri"].to_numpy().view(np.uint64)
+        idx = np.argsort(pri, kind="stable")[: min(BOTTOMK_K, len(pri))]
+        return batch.take(pa.array(idx))
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        # batch_size=None: the global cut is only correct over the
+        # whole merged block as ONE batch
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _build_bottomk_sql() -> str:
+    ctes = _splitmix64_ctes("orders", "o_orderkey", "o_orderkey")
+    return f"""
+    WITH {ctes}
+    SELECT o_orderkey,
+           CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+                    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                AS BIGINT) AS pri
+    FROM hsh ORDER BY h LIMIT {BOTTOMK_K}
+"""
+
+
 def _dedup_edge_union(sf_dir: str):
     """The deterministic document-similarity edge set shared by
     dedup_components and pagerank: consecutive doc_id chains within
@@ -2603,6 +2740,102 @@ def _build_embedding_near_dup_sql() -> str:
 
 
 Q_EMBEDDING_NEAR_DUP_SQL = _build_embedding_near_dup_sql()
+
+
+def q_mutual_nn(sf_dir: str):
+    """Reciprocal-nearest-neighbor ("best buddy") pairs within sign-LSH
+    buckets: each vector's nearest neighbor by EXACT integer squared-L2
+    over fixed-point quantized embeddings; a pair survives iff each is
+    the other's nearest.  The mutual-NN criterion is the standard
+    high-precision near-dup verifier (one-sided NN over-pairs hubs).
+    Integer distances (floor(x·1000+0.5) quantization, the Gram/dim
+    stats convention) make the RANKING itself exact across engines —
+    a float cosine rank could flip on a one-ulp difference.  Buckets
+    are the bounded 256-ary sign-LSH partition (never an all-pairs
+    scan); ties break on (d2, vec_id), mirrored in the SQL window."""
+    from ..stages.dedup import EmbeddingLshBucket
+    from ..stages.linalg import quantize_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    bucketed = ds.map_batches(
+        EmbeddingLshBucket(n_bits=8), batch_format="pyarrow", concurrency=2
+    )
+
+    def mutual_in_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                pa.field("vec_a", pa.int64()),
+                pa.field("vec_b", pa.int64()),
+                pa.field("d2", pa.int64()),
+            ]
+        ).empty_table()
+        if group.num_rows < 2:
+            return empty
+        ids = group["vec_id"].to_numpy()
+        q = quantize_embeddings(group["embedding"])
+        uniq, pos = np.unique(ids, return_index=True)
+        q = q[pos]
+        n = len(uniq)
+        if n < 2:
+            return empty
+        # rows sorted by vec_id (np.unique), so the FIRST minimum in a
+        # row is the smallest-vec_id tie — the SQL (d2, vec_id) order
+        sq = (q * q).sum(axis=1)
+        big = np.iinfo(np.int64).max
+        nn = np.empty(n, dtype=np.int64)
+        nnd = np.empty(n, dtype=np.int64)
+        chunk = max(1, (1 << 22) // n)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            d2 = sq[lo:hi, None] + sq[None, :] - 2 * (q[lo:hi] @ q.T)
+            d2[np.arange(lo, hi) - lo, np.arange(lo, hi)] = big  # no self
+            nn[lo:hi] = d2.argmin(axis=1)
+            nnd[lo:hi] = d2[np.arange(hi - lo), nn[lo:hi]]
+        i = np.arange(n)
+        mutual = (nn[nn] == i) & (i < nn)
+        if not mutual.any():
+            return empty
+        return pa.table(
+            {
+                "vec_a": pa.array(uniq[mutual], pa.int64()),
+                "vec_b": pa.array(uniq[nn[mutual]], pa.int64()),
+                "d2": pa.array(nnd[mutual], pa.int64()),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(
+        mutual_in_bucket, batch_format="pyarrow"
+    )
+
+
+def _build_mutual_nn_sql() -> str:
+    bucket = _sign_bucket_expr(n_bits=8, seed=13)
+    d2 = " + ".join(
+        f"(a.q[{d}]-b.q[{d}])*(a.q[{d}]-b.q[{d}])" for d in range(1, GRAM_DIM + 1)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
+    eb AS (
+      SELECT vec_id, {bucket} AS bucket,
+             list_transform(embedding,
+                            x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
+      FROM e
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, {d2} AS d2
+      FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT src, dst, d2,
+             row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rnk
+      FROM pairs
+    ),
+    nn AS (SELECT src, dst, d2 FROM r WHERE rnk = 1)
+    SELECT x.src AS vec_a, x.dst AS vec_b, CAST(x.d2 AS BIGINT) AS d2
+    FROM nn x JOIN nn y ON x.dst = y.src AND y.dst = x.src AND x.src < y.src
+"""
 
 
 def q_martinez_fixtures(sf_dir: str):
@@ -7361,6 +7594,8 @@ def build_queries():
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,
         "dedup_exact": q_dedup_exact,
+        "normalized_dedup": q_normalized_dedup,
+        "bottomk_sample": q_bottomk_sample,
         "dedup_components": q_dedup_components,
         "dedup_apply": q_dedup_apply,
         "safe_split": q_safe_split,
@@ -7375,6 +7610,7 @@ def build_queries():
         "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
         "embedding_near_dup": q_embedding_near_dup,
+        "mutual_nn": q_mutual_nn,
         "martinez_fixtures": q_martinez_fixtures,
         "image_features": q_image_features,
         "image_quality": q_image_quality,
@@ -7478,6 +7714,9 @@ def build_oracle_sql():
     return {
         "martinez_fixtures": martinez_fixtures_sql,
         "jpeg_roundtrip": jpeg_roundtrip_sql,
+        "normalized_dedup": Q_NORMALIZED_DEDUP_SQL,
+        "bottomk_sample": _build_bottomk_sql(),
+        "mutual_nn": _build_mutual_nn_sql(),
         "image_features": image_features_sql,
         "image_quality": image_quality_sql,
         "image_pyramid": image_pyramid_sql,
