@@ -76,6 +76,7 @@ def bench_list():
         "image_near_dup",
         "image_sim_topk",
         "jpeg_roundtrip",
+        "jpeg_quality_sweep",
         "revenue_by_nation",
         "order_priority",
         "quality_filter",
@@ -131,6 +132,7 @@ def bench_list():
         "funnel",
         "dim_stats",
         "cell_rollup",
+        "cell_compact",
         # dedup_apply embeds the dedup_components fixpoint and inherits
         # its round-dominated toy-scale latency (see note above)
         "revenue_share",

@@ -3045,6 +3045,81 @@ def q_jpeg_roundtrip(sf_dir: str):
     )
 
 
+JPEG_SWEEP_N = 200
+JPEG_SWEEP_QUALITIES = (60, 80, 95)
+
+
+def q_jpeg_quality_sweep(sf_dir: str):
+    """Rate–distortion sweep: every image encoded at three JPEG
+    qualities INSIDE the map stage (the distributed transcode a
+    storage-budget pass runs), emitting (quality, payload bytes, PSNR
+    centi-dB) per variant — 3 rows of 32 bytes per image leave the
+    stage, never pixels.  Exercises the pure-numpy ENCODER (DCT,
+    quantization, Huffman, byte stuffing) distributed, where
+    jpeg_roundtrip exercises the decoder.  Value-exact: oracle inlines
+    driver-side literals from the identical generator+codec math."""
+    import ray.data as rd
+
+    from ..sources.images import lossy_base_pixels
+    from ..stages.image_ops import psnr
+
+    def sweep(batch: pa.Table) -> pa.Table:
+        from ..functions.jpeg import decode_jpeg, encode_jpeg
+
+        idx = batch["id"].to_numpy()
+        out_id, out_q, out_b, out_cb = [], [], [], []
+        for i in idx:
+            i = int(i)
+            px = lossy_base_pixels(i)
+            for q in JPEG_SWEEP_QUALITIES:
+                data = encode_jpeg(px, quality=q)
+                p = psnr(px, decode_jpeg(data))
+                out_id.append(i)
+                out_q.append(q)
+                out_b.append(len(data))
+                out_cb.append(
+                    99999 if np.isinf(p) else int(np.floor(p * 100.0 + 0.5))
+                )
+        return pa.table(
+            {
+                "img_idx": pa.array(out_id, pa.int64()),
+                "quality": pa.array(out_q, pa.int64()),
+                "n_bytes": pa.array(out_b, pa.int64()),
+                "psnr_cb": pa.array(out_cb, pa.int64()),
+            }
+        )
+
+    ds = rd.range(JPEG_SWEEP_N, override_num_blocks=8)
+    return ds.map_batches(sweep, batch_format="pyarrow", batch_size=32)
+
+
+def _build_jpeg_sweep_sql() -> str:
+    from ..functions.jpeg import decode_jpeg, encode_jpeg
+    from ..sources.images import lossy_base_pixels
+    from ..stages.image_ops import psnr
+
+    ids, qs, bs, cbs = [], [], [], []
+    for i in range(JPEG_SWEEP_N):
+        px = lossy_base_pixels(i)
+        for q in JPEG_SWEEP_QUALITIES:
+            data = encode_jpeg(px, quality=q)
+            p = psnr(px, decode_jpeg(data))
+            ids.append(i)
+            qs.append(q)
+            bs.append(len(data))
+            cbs.append(99999 if np.isinf(p) else int(np.floor(p * 100.0 + 0.5)))
+    return _values_oracle_sql(
+        pa.table(
+            {
+                "img_idx": pa.array(ids, pa.int64()),
+                "quality": pa.array(qs, pa.int64()),
+                "n_bytes": pa.array(bs, pa.int64()),
+                "psnr_cb": pa.array(cbs, pa.int64()),
+            }
+        )
+    )
+
+
 IMAGE_NEARDUP_N = 2000
 IMAGE_NEARDUP_MAX_HAMMING = 6
 
@@ -6271,6 +6346,94 @@ def _build_cell_rollup_sql() -> str:
 Q_CELL_ROLLUP_SQL = _build_cell_rollup_sql()
 
 
+CELL_COMPACT_RES = 4  # compact occupied res-4 cells down to res 2
+
+
+def q_cell_compact(sf_dir: str):
+    """Hierarchical cell-set compaction (the H3 ``compact`` API): the
+    DISTINCT cells occupied by customer points at res 4, with every
+    complete sibling QUARTET replaced by its parent, applied level by
+    level down to res 2 — the canonical way to store a coverage set in
+    O(boundary) instead of O(area) cells.
+
+    Scale shape: per-block distinct partials shrink the exchange to
+    unique cells per block; the groupby(cell) count is over a
+    RESOLUTION-BOUNDED key space (≤ 4^res cells — bounded by the grid,
+    never by rows, so the generic aggregate is safe); the compaction
+    kernel then runs on one block (the distinct-cell set is ≤ 4^res
+    rows by construction — document-bounded, not data-bounded).
+    Parent arithmetic is ``morton >> 2`` (stages/cells.py id layout),
+    mirrored bit-for-bit in SQL."""
+    from ..stages.cells import cell_encode, cell_res, cell_xy
+
+    R = CELL_COMPACT_RES
+
+    def partial(b: pa.Table) -> pa.Table:
+        p = _customer_point_batch(b)
+        cells = cell_encode(p["px"].to_numpy(), p["py"].to_numpy(), R)
+        return pa.table({"cell": pa.array(np.unique(cells.view(np.int64)))})
+
+    def compact(batch: pa.Table) -> pa.Table:
+        cells = np.unique(batch["cell"].to_numpy().view(np.uint64))
+        out = []
+        cur = cells
+        for lvl in range(R, 2, -1):
+            morton = cur & np.uint64((1 << 58) - 1)
+            parents = morton >> np.uint64(2)
+            uniq_p, counts = np.unique(parents, return_counts=True)
+            full = uniq_p[counts == 4]
+            keep = ~np.isin(parents, full)
+            out.append(cur[keep])
+            cur = (np.uint64(lvl - 1) << np.uint64(58)) | full
+        out.append(cur)
+        allc = np.concatenate(out)
+        return pa.table(
+            {
+                "cell": pa.array(allc.view(np.int64), pa.int64()),
+                "res": pa.array(cell_res(allc).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .count()
+        .select_columns(["cell"])
+        .repartition(1)
+        .map_batches(compact, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _build_cell_compact_sql() -> str:
+    def spread(v: str) -> str:
+        return f"(({v} & 1) | (({v} & 2) << 1) | (({v} & 4) << 2) | (({v} & 8) << 3))"
+
+    def gidx(expr: str, lo: float, span: float, n_side: int) -> str:
+        return (
+            f"least(CAST(floor(greatest((({expr}) - {lo!r}) / {span!r}, 0.0)"
+            f" * {float(n_side)!r}) AS BIGINT), {n_side - 1})"
+        )
+
+    R = CELL_COMPACT_RES
+    n_side = 2**R
+    gx = gidx("px", -180.0, 360.0, n_side)
+    gy = gidx("py", -90.0, 180.0, n_side)
+    return f"""
+    WITH pts AS ({CUSTOMER_POINT_SQL}),
+    c4 AS (SELECT DISTINCT {spread(gx)} | ({spread(gy)} << 1) AS m FROM pts),
+    f3 AS (SELECT m >> 2 AS m FROM c4 GROUP BY m >> 2 HAVING COUNT(*) = 4),
+    k4 AS (SELECT m FROM c4 WHERE m >> 2 NOT IN (SELECT m FROM f3)),
+    f2 AS (SELECT m >> 2 AS m FROM f3 GROUP BY m >> 2 HAVING COUNT(*) = 4),
+    k3 AS (SELECT m FROM f3 WHERE m >> 2 NOT IN (SELECT m FROM f2))
+    SELECT (CAST({R} AS BIGINT) << 58) | m AS cell, CAST({R} AS BIGINT) AS res FROM k4
+    UNION ALL
+    SELECT (CAST({R - 1} AS BIGINT) << 58) | m, CAST({R - 1} AS BIGINT) FROM k3
+    UNION ALL
+    SELECT (CAST({R - 2} AS BIGINT) << 58) | m, CAST({R - 2} AS BIGINT) FROM f2
+"""
+
+
 def q_dim_stats(sf_dir: str):
     """Per-dimension embedding profile (sum/min/max in quantized
     int64): the normalization-constant / clip-range / dead-dimension
@@ -7620,6 +7783,7 @@ def build_queries():
         "image_near_dup": q_image_near_dup,
         "image_sim_topk": q_image_sim,
         "jpeg_roundtrip": q_jpeg_roundtrip,
+        "jpeg_quality_sweep": q_jpeg_quality_sweep,
         "video_frames": q_video_frames,
         "scene_stats": q_scene_stats,
         "audio_features": q_audio_features,
@@ -7653,6 +7817,7 @@ def build_queries():
         "gram_matrix": q_gram_matrix,
         "dim_stats": q_dim_stats,
         "cell_rollup": q_cell_rollup,
+        "cell_compact": q_cell_compact,
         "focal_sum": q_focal_sum,
         "spatial_antijoin": q_spatial_antijoin,
         "dist_join": q_dist_join,
@@ -7717,6 +7882,8 @@ def build_oracle_sql():
         "normalized_dedup": Q_NORMALIZED_DEDUP_SQL,
         "bottomk_sample": _build_bottomk_sql(),
         "mutual_nn": _build_mutual_nn_sql(),
+        "cell_compact": _build_cell_compact_sql(),
+        "jpeg_quality_sweep": _build_jpeg_sweep_sql(),
         "image_features": image_features_sql,
         "image_quality": image_quality_sql,
         "image_pyramid": image_pyramid_sql,
