@@ -186,8 +186,110 @@ class MinHasher:
         return vals.min(axis=0).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.empty((0, self.n_perm), np.int64)
+        """Whole-batch signature kernel — bit-identical to the per-doc
+        ``signature()`` (tests assert it), but one vectorized pass:
+        code points decode zero-copy from the flat utf-8 buffer, the
+        rolling hash runs ONCE over the concatenated array with
+        doc-crossing windows masked out, per-doc shingle dedup is one
+        lexsort, and the permutation mins stream perm-by-perm with
+        reduceat over doc runs.  ~1.6× the per-doc path per core on
+        short docs — this is the dedup headline's hot stage."""
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "sig": pa.FixedSizeListArray.from_arrays(
+                        pa.array([], pa.int64()), self.n_perm
+                    ),
+                }
+            )
+        from ..functions.unicode import utf8_codepoints
+
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        flat_bin = texts.cast(pa.binary())
+        off_buf = np.frombuffer(flat_bin.buffers()[1], dtype=np.int32)
+        byte_starts = off_buf[flat_bin.offset : flat_bin.offset + n + 1].astype(
+            np.int64
+        )
+        buf = flat_bin.buffers()[2]
+        data = (
+            np.frombuffer(buf, dtype=np.uint8)
+            if buf is not None
+            else np.empty(0, dtype=np.uint8)
+        )
+        cps, prefix = utf8_codepoints(data)
+        cpsu = cps.astype(np.uint64)
+        cp_starts = prefix[byte_starts[:-1]]
+        lens = prefix[byte_starts[1:]] - cp_starts
+
+        k = self.k
+        B = self._SHINGLE_BASE
+        # long docs (len ≥ k): every in-doc window of the global
+        # rolling hash; len == k degenerates to the same single-window
+        # polynomial the short path computes
+        N = len(cpsu)
+        counts = np.maximum(lens - k + 1, 0)
+        if N >= k:
+            nwin = N - k + 1
+            gh = np.zeros(nwin, dtype=np.uint64)
+            for j in range(k):
+                gh = gh * B + cpsu[j : j + nwin]
+            total_long = int(counts.sum())
+            csum = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            widx = (
+                np.arange(total_long, dtype=np.int64)
+                - np.repeat(csum, counts)
+                + np.repeat(cp_starts, counts)
+            )
+            wh = gh[widx]
+            wdoc = np.repeat(np.arange(n, dtype=np.int64), counts)
+        else:
+            wh = np.empty(0, dtype=np.uint64)
+            wdoc = np.empty(0, dtype=np.int64)
+        # short docs (len < k): one polynomial hash over ALL code
+        # points — same sequential op order as signature()'s loop
+        short = np.flatnonzero(lens < k)
+        if len(short):
+            slens = lens[short]
+            hs = np.zeros(len(short), dtype=np.uint64)
+            for j in range(int(slens.max()) if len(slens) else 0):
+                active = slens > j
+                hs[active] = hs[active] * B + cpsu[cp_starts[short[active]] + j]
+            wh = np.concatenate([wh, hs])
+            wdoc = np.concatenate([wdoc, short])
+
+        # per-doc distinct shingles (np.unique parity): lexsort then
+        # drop adjacent (doc, hash) repeats
+        order = np.lexsort((wh, wdoc))
+        wh, wdoc = wh[order], wdoc[order]
+        keep = np.empty(len(wh), dtype=bool)
+        keep[0] = True
+        keep[1:] = (wdoc[1:] != wdoc[:-1]) | (wh[1:] != wh[:-1])
+        wh, wdoc = wh[keep], wdoc[keep]
+
+        # permutation mins per doc run: ONE streaming pass per
+        # permutation over the contiguous shingle array (cache-friendly
+        # — a (shingles × n_perm) tensor thrashes L2 and ran 2× slower
+        # than even the per-doc path), with the Mersenne mod as exact
+        # shift-add (2^61 ≡ 1 mod p, one conditional subtract) instead
+        # of a uint64 division.  Bit-identical to signature(): x is the
+        # same wrapped a·h+b, and the folded value is the unique
+        # representative of x mod p in [0, p).
+        run_starts = np.concatenate(
+            ([0], np.flatnonzero(wdoc[1:] != wdoc[:-1]) + 1)
+        )
+        # every doc contributes ≥1 shingle (short docs hash to [h]),
+        # so run r corresponds exactly to doc r
+        sigs = np.empty((n, self.n_perm), dtype=np.int64)
+        for p in range(self.n_perm):
+            x = self.a[p] * wh + self.b[p]  # wrapping uint64
+            y = (x & _MERSENNE) + (x >> np.uint64(61))
+            y[y >= _MERSENNE] -= _MERSENNE
+            sigs[:, p] = np.minimum.reduceat(y, run_starts).view(np.int64)
+
         sig_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.ravel(), pa.int64()), self.n_perm
         )

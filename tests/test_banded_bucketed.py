@@ -154,3 +154,29 @@ def test_bucketed_kernel_duplicate_ids_tolerated(ray_session):
         hamming_candidate_pairs(rd.from_arrow(t), max_hamming=3).take_all()
     )
     assert sorted((r["doc_a"], r["doc_b"]) for r in out.to_pylist()) == [(1, 2)]
+
+
+def test_minhasher_batch_kernel_matches_per_doc():
+    """The whole-batch MinHasher kernel must be bit-identical to the
+    per-doc signature() path (the oracle inlines that exact
+    arithmetic): unicode texts, short docs (< k), empty strings,
+    duplicates, k-length docs."""
+    rng = np.random.default_rng(5)
+    vocab = ["alpha", "beta", "gamma", "δέλτα", "中文词", "x", "épsilon"]
+    texts = []
+    for i in range(300):
+        n_tok = int(rng.integers(0, 9))
+        texts.append(" ".join(rng.choice(vocab, size=n_tok)) if n_tok else "")
+    texts += ["", "ab", "abcde", "abcdef", texts[5], "中文词中文"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    mh = MinHasher()
+    out = mh(t)
+    got = out["sig"].combine_chunks().values.to_numpy().reshape(len(texts), -1)
+    for i, txt in enumerate(texts):
+        want = mh.signature(txt)
+        assert (got[i] == want).all(), f"doc {i} ({txt!r}) signature mismatch"
