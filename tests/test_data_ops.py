@@ -463,6 +463,14 @@ def test_latest_by_key_matches_bruteforce(ray_session):
     rows = latest_by_key(ds, "k", ("ts", "uid")).take_all()
     got_ds = {r["k"]: (r["ts"], r["uid"], r["payload"]) for r in rows}
     assert got_ds == want
+    # out_cols OMITTING the order columns must still work (the partial
+    # sorts on them internally) and must project the final result
+    ds2 = rd.from_arrow(t).repartition(7)
+    rows2 = latest_by_key(ds2, "k", ("ts", "uid"), out_cols=["payload"]).take_all()
+    assert rows2 and set(rows2[0].keys()) == {"k", "payload"}
+    assert {r["k"]: r["payload"] for r in rows2} == {
+        k: v[2] for k, v in want.items()
+    }
 
 
 def test_salted_distinct_count_exact(ray_session):
