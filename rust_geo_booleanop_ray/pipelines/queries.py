@@ -1802,16 +1802,18 @@ def q_normalized_dedup(sf_dir: str):
             pa.table(
                 {
                     "content_hash": hashed["content_hash"],
+                    "content_hash_hi": hashed["content_hash_hi"],
                     "doc_id": batch["doc_id"],
                     "n_chars": n_chars,
                 }
             ),
-            "content_hash",
+            ["content_hash", "content_hash_hi"],
         ).aggregate([("doc_id", "min"), ("doc_id", "count"), ("n_chars", "min")])
         h = agg["content_hash"].to_numpy().view(np.uint64)
         return pa.table(
             {
                 "content_hash": agg["content_hash"],
+                "content_hash_hi": agg["content_hash_hi"],
                 "doc_id": agg["doc_id_min"].cast(pa.int64()),
                 "n": agg["doc_id_count"].cast(pa.int64()),
                 "n_chars": agg["n_chars_min"].cast(pa.int64()),
@@ -1823,12 +1825,15 @@ def q_normalized_dedup(sf_dir: str):
 
     def merge(group: pa.Table) -> pa.Table:
         h = group["content_hash"].to_numpy()
+        h2 = group["content_hash_hi"].to_numpy()
         d = group["doc_id"].to_numpy()
         n = group["n"].to_numpy()
         c = group["n_chars"].to_numpy()
-        order = np.lexsort((d, h))
-        h, d, n, c = h[order], d[order], n[order], c[order]
-        starts = np.concatenate(([0], np.flatnonzero(h[1:] != h[:-1]) + 1))
+        order = np.lexsort((d, h2, h))
+        h, h2, d, n, c = h[order], h2[order], d[order], n[order], c[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero((h[1:] != h[:-1]) | (h2[1:] != h2[:-1])) + 1)
+        )
         return pa.table(
             {
                 "doc_id": pa.array(d[starts], pa.int64()),

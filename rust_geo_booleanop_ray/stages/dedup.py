@@ -33,36 +33,51 @@ _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def content_hash_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """64-bit stable content hash (blake2b) per row."""
+    """128-bit stable content fingerprint (blake2b-16) per row, as two
+    int64 columns (content_hash, content_hash_hi).
+
+    128 bits is the scale-correct width: a 64-bit digest has a ~40%
+    chance of at least one birthday collision at 10^9 documents (and
+    certainty at 10^10), which would silently merge two DIFFERENT
+    documents in exact dedup; at 128 bits the collision probability at
+    10^12 rows is ~10^-14.  Grouping everywhere is on the PAIR; the
+    shuffle bucket derives from the low word alone (equal pairs share
+    it)."""
     texts = batch[text_col].to_pylist()
-    hashes = np.empty(len(texts), dtype=np.int64)
+    lo = np.empty(len(texts), dtype=np.int64)
+    hi = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        hashes[i] = np.int64(
-            int.from_bytes(
-                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
-            )
-            - (1 << 63)
-        )
+        d = hashlib.blake2b(t.encode("utf-8"), digest_size=16).digest()
+        lo[i] = np.int64(int.from_bytes(d[:8], "big") - (1 << 63))
+        hi[i] = np.int64(int.from_bytes(d[8:], "big") - (1 << 63))
     return pa.table(
         {
             "doc_id": batch[id_col],
-            "content_hash": pa.array(hashes, pa.int64()),
+            "content_hash": pa.array(lo, pa.int64()),
+            "content_hash_hi": pa.array(hi, pa.int64()),
         }
     )
 
 
 def exact_dedup_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: (content_hash → min doc_id, count).
+    """Per-batch combiner: (128-bit content hash → min doc_id, count).
 
     Arrow-native (``pa.TableGroupBy``) — no pandas round-trip in the
     hot partial-aggregation stage."""
     agg = pa.TableGroupBy(
-        pa.table({"content_hash": batch["content_hash"], "doc_id": batch["doc_id"]}),
-        "content_hash",
+        pa.table(
+            {
+                "content_hash": batch["content_hash"],
+                "content_hash_hi": batch["content_hash_hi"],
+                "doc_id": batch["doc_id"],
+            }
+        ),
+        ["content_hash", "content_hash_hi"],
     ).aggregate([("doc_id", "min"), ("doc_id", "count")])
     return pa.table(
         {
             "content_hash": agg["content_hash"].cast(pa.int64()),
+            "content_hash_hi": agg["content_hash_hi"].cast(pa.int64()),
             "doc_id": agg["doc_id_min"].cast(pa.int64()),
             "n": agg["doc_id_count"].cast(pa.int64()),
         }
@@ -70,11 +85,12 @@ def exact_dedup_partial(batch: pa.Table) -> pa.Table:
 
 
 def exact_dedup_merge(group: pa.Table) -> pa.Table:
-    """groupby(content_hash) merge of partials (one group per call —
-    use the bucketed variant below for rows-cardinality key spaces)."""
+    """groupby(content hash pair) merge of partials (one group per call
+    — use the bucketed variant below for rows-cardinality key spaces)."""
     return pa.table(
         {
             "content_hash": group["content_hash"].slice(0, 1),
+            "content_hash_hi": group["content_hash_hi"].slice(0, 1),
             "doc_id": pa.array([min(group["doc_id"].to_pylist())], pa.int64()),
             "n": pa.array([sum(group["n"].to_pylist())], pa.int64()),
         }
@@ -85,11 +101,12 @@ DEDUP_BUCKETS = 64
 
 
 def exact_dedup_bucket_col(t: pa.Table) -> pa.Table:
-    """Append the shuffle bucket (hash % DEDUP_BUCKETS).  Content-hash
-    cardinality is ~rows, so grouping by the hash itself would make
-    one Python group call per distinct document — the per-key
-    map_groups anti-pattern.  Bucketing keeps the exchange identical
-    (all rows of a hash share a bucket) with 64 group calls total."""
+    """Append the shuffle bucket (low hash word % DEDUP_BUCKETS).
+    Content-hash cardinality is ~rows, so grouping by the hash itself
+    would make one Python group call per distinct document — the
+    per-key map_groups anti-pattern.  Bucketing keeps the exchange
+    identical (all rows of a hash pair share a bucket — equal pairs
+    have equal low words) with 64 group calls total."""
     h = t["content_hash"].to_numpy().view(np.uint64)
     return t.append_column(
         "bucket", pa.array((h % np.uint64(DEDUP_BUCKETS)).astype(np.int64))
@@ -98,17 +115,21 @@ def exact_dedup_bucket_col(t: pa.Table) -> pa.Table:
 
 def exact_dedup_merge_bucket(group: pa.Table) -> pa.Table:
     """Vectorized per-BUCKET merge: lexsort + reduceat — C-speed min
-    doc and count per content hash, global because a hash's partials
-    all share the bucket."""
+    doc and count per 128-bit content hash, global because a hash's
+    partials all share the bucket."""
     h = group["content_hash"].to_numpy()
+    h2 = group["content_hash_hi"].to_numpy()
     d = group["doc_id"].to_numpy()
     n = group["n"].to_numpy()
-    order = np.lexsort((d, h))
-    h, d, n = h[order], d[order], n[order]
-    starts = np.concatenate(([0], np.flatnonzero(h[1:] != h[:-1]) + 1))
+    order = np.lexsort((d, h2, h))
+    h, h2, d, n = h[order], h2[order], d[order], n[order]
+    starts = np.concatenate(
+        ([0], np.flatnonzero((h[1:] != h[:-1]) | (h2[1:] != h2[:-1])) + 1)
+    )
     return pa.table(
         {
             "content_hash": pa.array(h[starts], pa.int64()),
+            "content_hash_hi": pa.array(h2[starts], pa.int64()),
             "doc_id": pa.array(d[starts], pa.int64()),
             "n": pa.array(np.add.reduceat(n, starts).astype(np.int64)),
         }

@@ -60,6 +60,7 @@ def main(argv=None) -> int:
         h = hashed["content_hash"].to_numpy().view(np.uint64)
         part = (h % np.uint64(args.n_parts)).astype(np.int64)
         out = batch.append_column("content_hash", hashed["content_hash"])
+        out = out.append_column("content_hash_hi", hashed["content_hash_hi"])
         return out.append_column("part", pa.array(part))
 
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
@@ -71,10 +72,12 @@ def main(argv=None) -> int:
         import numpy as np
 
         hashes = group["content_hash"].to_numpy()
+        hi = group["content_hash_hi"].to_numpy()
         ids = group["doc_id"].to_numpy()
-        order = np.lexsort((ids, hashes))
+        order = np.lexsort((ids, hi, hashes))
+        hs, his = hashes[order], hi[order]
         first = np.ones(len(order), dtype=bool)
-        first[1:] = hashes[order][1:] != hashes[order][:-1]
+        first[1:] = (hs[1:] != hs[:-1]) | (his[1:] != his[:-1])
         return group.take(pa.array(np.sort(order[first])))
 
     deduped = keyed_ds.groupby("part").map_groups(dedup_part, batch_format="pyarrow")
