@@ -64,6 +64,7 @@ def bench_list():
         "dedup_exact",
         "normalized_dedup",
         "bottomk_sample",
+        "grouped_sample",
         "text_stats",
         "ann_topk",
         "ann_ivf",

