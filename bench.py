@@ -75,6 +75,8 @@ def bench_list():
         "image_features",
         "image_quality",
         "image_near_dup",
+        # image_dedup_components embeds the components fixpoint and
+        # inherits its round-dominated toy-scale latency (see note below)
         "image_sim_topk",
         "jpeg_roundtrip",
         "jpeg_quality_sweep",

@@ -3347,6 +3347,44 @@ def _build_image_near_dup_sql() -> str:
 """
 
 
+def q_image_dedup_components(sf_dir: str):
+    """Connected components over the IMAGE near-dup graph: the pHash
+    banded pipeline's verified pairs (real decode → 64-bit hash →
+    bucketed band candidates) feed the same distributed min-label
+    propagation + pointer jumping the document path uses — variant
+    chains (A~B, B~C) collapse into one cluster whose canonical member
+    is the min img_idx.  The image-axis twin of dedup_components:
+    labels never touch the driver; the oracle rebuilds the identical
+    graph from generator-side phash literals and closes it with a
+    recursive CTE."""
+    from ..stages.dedup import connected_components
+
+    pairs = q_image_near_dup(sf_dir)
+    comps = connected_components(pairs, a_col="img_a", b_col="img_b")
+    return comps.map_batches(
+        lambda b: pa.table({"img_idx": b["node"], "component": b["component"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _build_image_dedup_components_sql() -> str:
+    return f"""
+    WITH RECURSIVE pr AS ({_build_image_near_dup_sql()}),
+    sym AS (
+      SELECT img_a AS node, img_b AS peer FROM pr
+      UNION
+      SELECT img_b, img_a FROM pr
+    ),
+    reach(node, label) AS (
+      SELECT node, node FROM (SELECT DISTINCT node FROM sym)
+      UNION
+      SELECT sym.node, reach.label FROM sym JOIN reach ON reach.node = sym.peer
+    )
+    SELECT node AS img_idx, CAST(MIN(label) AS BIGINT) AS component
+    FROM reach GROUP BY node
+"""
+
+
 def _values_oracle_sql(t: pa.Table) -> str:
     """Expected-values oracle: a VALUES table of generator-side
     literals (input-data math, never engine output) the driver compares
@@ -7854,6 +7892,7 @@ def build_queries():
         "pixel_histogram": q_pixel_histogram,
         "image_augment": q_image_augment,
         "image_near_dup": q_image_near_dup,
+        "image_dedup_components": q_image_dedup_components,
         "image_sim_topk": q_image_sim,
         "jpeg_roundtrip": q_jpeg_roundtrip,
         "jpeg_quality_sweep": q_jpeg_quality_sweep,
@@ -7956,6 +7995,7 @@ def build_oracle_sql():
         "bottomk_sample": _build_bottomk_sql(),
         "grouped_sample": _build_grouped_sample_sql(),
         "mutual_nn": _build_mutual_nn_sql(),
+        "image_dedup_components": _build_image_dedup_components_sql(),
         "cell_compact": _build_cell_compact_sql(),
         "jpeg_quality_sweep": _build_jpeg_sweep_sql(),
         "image_features": image_features_sql,
