@@ -136,6 +136,7 @@ def bench_list():
         "dim_stats",
         "cell_rollup",
         "cell_compact",
+        "cell_uncompact",
         # dedup_apply embeds the dedup_components fixpoint and inherits
         # its round-dominated toy-scale latency (see note above)
         "revenue_share",

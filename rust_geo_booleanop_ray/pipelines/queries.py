@@ -3385,6 +3385,68 @@ def _build_image_dedup_components_sql() -> str:
 """
 
 
+def q_image_safe_split(sf_dir: str):
+    """Leakage-safe train/test split on the IMAGE axis: every image is
+    assigned by the hash of its near-dup COMPONENT (its own index when
+    it has no variants), so visually-duplicate images never straddle
+    the split — the image twin of safe_split, the eval-contamination
+    guard a multimodal training pipeline needs.  One left-join shuffle
+    attaches the component labels; the split is a pure per-row hash."""
+    import ray.data as rd
+
+    from ..stages.join import shuffle_hash_join
+
+    comps = q_image_dedup_components(sf_dir)
+    ids = rd.range(IMAGE_NEARDUP_N).map_batches(
+        lambda b: pa.table({"img_idx": b["id"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    joined = shuffle_hash_join(
+        ids,
+        comps,
+        "img_idx",
+        [],
+        ["component"],
+        how="left",
+        left_schema=pa.schema([pa.field("img_idx", pa.int64())]),
+        right_schema=pa.schema(
+            [pa.field("img_idx", pa.int64()), pa.field("component", pa.int64())]
+        ),
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        gkey = pc.coalesce(b["component"], b["img_idx"]).to_numpy().astype(np.uint64)
+        h = ((gkey % np.uint64(4294967296)) * np.uint64(2654435761)) % np.uint64(
+            4294967296
+        )
+        train = (h % np.uint64(10)) < 8
+        return pa.table(
+            {
+                "img_idx": b["img_idx"],
+                "split": pa.array(
+                    np.where(train, "train", "test").tolist(), pa.string()
+                ),
+            }
+        )
+
+    return joined.map_batches(assign, batch_format="pyarrow")
+
+
+def _build_image_safe_split_sql() -> str:
+    return f"""
+    WITH comp AS ({_build_image_dedup_components_sql()}),
+    ids AS (SELECT unnest(range({IMAGE_NEARDUP_N})) AS img_idx),
+    j AS (
+      SELECT ids.img_idx, COALESCE(c.component, ids.img_idx) AS gkey
+      FROM ids LEFT JOIN comp c ON c.img_idx = ids.img_idx
+    )
+    SELECT CAST(img_idx AS BIGINT) AS img_idx,
+           CASE WHEN (((gkey % 4294967296) * 2654435761) % 4294967296) % 10 < 8
+                THEN 'train' ELSE 'test' END AS split
+    FROM j
+"""
+
+
 def _values_oracle_sql(t: pa.Table) -> str:
     """Expected-values oracle: a VALUES table of generator-side
     literals (input-data math, never engine output) the driver compares
@@ -6515,6 +6577,55 @@ def q_cell_compact(sf_dir: str):
     )
 
 
+def q_cell_uncompact(sf_dir: str):
+    """Inverse of cell_compact (the H3 ``uncompact`` API): expand the
+    compacted mixed-resolution cover back to uniform res-4 cells — a
+    vectorized children fan-out (morton << 2 per level, 4^Δ offsets per
+    cell).  Driver equality against the DISTINCT occupied res-4 cell
+    set proves the compact→uncompact round trip is LOSSLESS, in the
+    engine and in the oracle's independent arithmetic."""
+    R = CELL_COMPACT_RES
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy().view(np.uint64)
+        res = (cells >> np.uint64(58)).astype(np.int64)
+        morton = cells & np.uint64((1 << 58) - 1)
+        out = []
+        for r in np.unique(res):
+            m = morton[res == r]
+            d = int(R - r)
+            base = m << np.uint64(2 * d)
+            offs = np.arange(4**d, dtype=np.uint64)
+            full = (base[:, None] | offs[None, :]).ravel()
+            out.append((np.uint64(R) << np.uint64(58)) | full)
+        allc = np.concatenate(out) if out else np.empty(0, np.uint64)
+        return pa.table({"cell": pa.array(allc.view(np.int64), pa.int64())})
+
+    return q_cell_compact(sf_dir).map_batches(expand, batch_format="pyarrow")
+
+
+def _build_cell_uncompact_sql() -> str:
+    def spread(v: str) -> str:
+        return f"(({v} & 1) | (({v} & 2) << 1) | (({v} & 4) << 2) | (({v} & 8) << 3))"
+
+    def gidx(expr: str, lo: float, span: float, n_side: int) -> str:
+        return (
+            f"least(CAST(floor(greatest((({expr}) - {lo!r}) / {span!r}, 0.0)"
+            f" * {float(n_side)!r}) AS BIGINT), {n_side - 1})"
+        )
+
+    R = CELL_COMPACT_RES
+    n_side = 2**R
+    gx = gidx("px", -180.0, 360.0, n_side)
+    gy = gidx("py", -90.0, 180.0, n_side)
+    return f"""
+    WITH pts AS ({CUSTOMER_POINT_SQL})
+    SELECT DISTINCT (CAST({R} AS BIGINT) << 58)
+           | {spread(gx)} | ({spread(gy)} << 1) AS cell
+    FROM pts
+"""
+
+
 def _build_cell_compact_sql() -> str:
     def spread(v: str) -> str:
         return f"(({v} & 1) | (({v} & 2) << 1) | (({v} & 4) << 2) | (({v} & 8) << 3))"
@@ -7930,6 +8041,8 @@ def build_queries():
         "dim_stats": q_dim_stats,
         "cell_rollup": q_cell_rollup,
         "cell_compact": q_cell_compact,
+        "cell_uncompact": q_cell_uncompact,
+        "image_safe_split": q_image_safe_split,
         "focal_sum": q_focal_sum,
         "spatial_antijoin": q_spatial_antijoin,
         "dist_join": q_dist_join,
@@ -7996,6 +8109,8 @@ def build_oracle_sql():
         "grouped_sample": _build_grouped_sample_sql(),
         "mutual_nn": _build_mutual_nn_sql(),
         "image_dedup_components": _build_image_dedup_components_sql(),
+        "image_safe_split": _build_image_safe_split_sql(),
+        "cell_uncompact": _build_cell_uncompact_sql(),
         "cell_compact": _build_cell_compact_sql(),
         "jpeg_quality_sweep": _build_jpeg_sweep_sql(),
         "image_features": image_features_sql,
