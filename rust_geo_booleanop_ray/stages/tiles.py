@@ -124,10 +124,23 @@ def merge_rasters(group: pa.Table) -> pa.Table:
     px = int(group["px"][0].as_py())
     # uint32 accumulation: summing many uint16 partials must not wrap
     # (a pixel wrapping to 0 mod 65536 would silently undercount
-    # coverage_fraction); the merged wire saturates at the uint16 max
-    counts = np.zeros(px * px, dtype=np.uint32)
-    for buf in group["raster"].to_pylist():
-        counts += np.frombuffer(buf, dtype=np.uint16).astype(np.uint32)
+    # coverage_fraction); the merged wire saturates at the uint16 max.
+    # All partials of a tile are px*px uint16, so the whole group sums
+    # in ONE zero-copy reshape — no per-raster Python loop
+    arr = group["raster"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    seg = data[offs[0] : offs[-1]]
+    counts = (
+        seg.view(np.uint16).reshape(n, px * px).sum(axis=0, dtype=np.uint32)
+        if seg.size
+        else np.zeros(px * px, dtype=np.uint32)
+    )
     covered = int((counts > 0).sum())
     wire = np.minimum(counts, 65535).astype(np.uint16)
     return pa.table(
