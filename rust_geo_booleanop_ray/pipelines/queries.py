@@ -2629,6 +2629,21 @@ def q_minhash_near_dup(sf_dir: str):
     return pair_reduce(pairs, "doc_a", "doc_b", "est_jaccard", how="max")
 
 
+def q_minhash_lean(sf_dir: str):
+    """The SCALE variant of minhash_near_dup: the band exchange carries
+    (band_id, band_hash, doc_id) only — 24 B/row instead of the 536 B
+    sig-bearing row (an 8× signature duplication that dominates the
+    shuffle at 10⁹ docs; measured 8.8 GB → ~3.5 GB at 2M) — and ONE
+    bucketed join ships each signature once to its candidate pairs for
+    the deferred verify.  Same answer as the compact variant, checked
+    against the SAME full-pipeline SQL mirror."""
+    from ..stages.dedup import MinHasher, minhash_candidate_pairs_lean
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(MinHasher(), batch_format="pyarrow", concurrency=2)
+    return minhash_candidate_pairs_lean(sigs, threshold=0.5)
+
+
 def _build_simhash_pairs_sql() -> str:
     """SQL mirror of the full simhash pipeline: per-token polynomial
     hash over code points (list_reduce) + murmur finalizer (split
@@ -7992,6 +8007,7 @@ def build_queries():
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "minhash_near_dup": q_minhash_near_dup,
+        "minhash_lean": q_minhash_lean,
         "simhash_pairs": q_simhash_pairs,
         "fingerprints": q_fingerprints,
         "embedding_near_dup": q_embedding_near_dup,
@@ -8110,6 +8126,7 @@ def build_oracle_sql():
         "mutual_nn": _build_mutual_nn_sql(),
         "image_dedup_components": _build_image_dedup_components_sql(),
         "image_safe_split": _build_image_safe_split_sql(),
+        "minhash_lean": Q_MINHASH_SQL,
         "cell_uncompact": _build_cell_uncompact_sql(),
         "cell_compact": _build_cell_compact_sql(),
         "jpeg_quality_sweep": _build_jpeg_sweep_sql(),
