@@ -71,6 +71,7 @@ def bench_list():
         "ann_lsh",
         "asof_join",
         "minhash_near_dup",
+        "minhash_lean",
         "simhash_pairs",
         "image_features",
         "image_quality",

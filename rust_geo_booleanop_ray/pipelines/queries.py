@@ -2621,7 +2621,7 @@ def q_minhash_near_dup(sf_dir: str):
     from ..stages.dedup import MinHasher, lsh_band_explode, minhash_candidate_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    sigs = ds.map_batches(MinHasher(), batch_format="pyarrow", concurrency=2)
+    sigs = ds.map_batches(MinHasher(), batch_format="pyarrow")
     exploded = sigs.map_batches(lsh_band_explode, batch_format="pyarrow")
     pairs = minhash_candidate_pairs(exploded, threshold=0.5)
     from ..stages.dedup import pair_reduce
@@ -2640,7 +2640,7 @@ def q_minhash_lean(sf_dir: str):
     from ..stages.dedup import MinHasher, minhash_candidate_pairs_lean
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    sigs = ds.map_batches(MinHasher(), batch_format="pyarrow", concurrency=2)
+    sigs = ds.map_batches(MinHasher(), batch_format="pyarrow")
     return minhash_candidate_pairs_lean(sigs, threshold=0.5)
 
 
@@ -2721,7 +2721,7 @@ def q_simhash_pairs(sf_dir: str):
     from ..stages.dedup import SimHasher, hamming_candidate_pairs, simhash_band_explode
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    hashed = ds.map_batches(SimHasher(), batch_format="pyarrow", concurrency=2)
+    hashed = ds.map_batches(SimHasher(), batch_format="pyarrow")
     exploded = hashed.map_batches(simhash_band_explode, batch_format="pyarrow")
     pairs = hamming_candidate_pairs(exploded, max_hamming=3)
     from ..stages.dedup import pair_reduce
@@ -2789,7 +2789,7 @@ def q_embedding_near_dup(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     bucketed = ds.map_batches(
-        EmbeddingLshBucket(n_bits=8), batch_format="pyarrow", concurrency=2
+        EmbeddingLshBucket(n_bits=8), batch_format="pyarrow"
     )
     pairs = bucketed.groupby("bucket").map_groups(
         EmbeddingNearDupPairs(threshold=0.35), batch_format="pyarrow"
@@ -2845,7 +2845,7 @@ def q_mutual_nn(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     bucketed = ds.map_batches(
-        EmbeddingLshBucket(n_bits=8), batch_format="pyarrow", concurrency=2
+        EmbeddingLshBucket(n_bits=8), batch_format="pyarrow"
     )
 
     def mutual_in_bucket(group: pa.Table) -> pa.Table:
@@ -2979,7 +2979,7 @@ def q_image_features(sf_dir: str):
 
     ds = read_synth_images(2000)
     feats = ds.map_batches(
-        DecodeFeatures(), batch_format="pyarrow", batch_size=256, concurrency=2
+        DecodeFeatures(), batch_format="pyarrow", batch_size=256
     )
 
     def check(batch: pa.Table) -> pa.Table:
@@ -3008,7 +3008,7 @@ def q_image_quality(sf_dir: str):
 
     ds = read_synth_images(2000)
     return ds.map_batches(
-        DecodeQuality(), batch_format="pyarrow", batch_size=256, concurrency=2
+        DecodeQuality(), batch_format="pyarrow", batch_size=256
     )
 
 
@@ -3029,7 +3029,7 @@ def q_image_pyramid(sf_dir: str):
 
     ds = read_synth_images(PYRAMID_N)
     return ds.map_batches(
-        DecodePyramid(levels=2), batch_format="pyarrow", batch_size=256, concurrency=2
+        DecodePyramid(levels=2), batch_format="pyarrow", batch_size=256
     )
 
 
@@ -3048,7 +3048,7 @@ def q_image_augment(sf_dir: str):
 
     ds = read_synth_images(AUG_N)
     return ds.map_batches(
-        DecodeAugment(), batch_format="pyarrow", batch_size=256, concurrency=2
+        DecodeAugment(), batch_format="pyarrow", batch_size=256
     )
 
 
@@ -3128,7 +3128,7 @@ def q_jpeg_roundtrip(sf_dir: str):
 
     ds = read_synth_lossy_images(JPEG_RT_N)
     return ds.map_batches(
-        DecodeRoundtrip(), batch_format="pyarrow", batch_size=128, concurrency=2
+        DecodeRoundtrip(), batch_format="pyarrow", batch_size=128
     )
 
 
@@ -3238,7 +3238,7 @@ def q_image_near_dup(sf_dir: str):
 
     ds = read_synth_neardup_images(IMAGE_NEARDUP_N)
     hashed = ds.map_batches(
-        DecodePhash(), batch_format="pyarrow", batch_size=256, concurrency=2
+        DecodePhash(), batch_format="pyarrow", batch_size=256
     )
     exploded = hashed.map_batches(_phash_band_explode, batch_format="pyarrow")
     pairs = hamming_candidate_pairs(
@@ -3288,7 +3288,6 @@ def q_image_sim(sf_dir: str):
         ImageSimPartial(queries_ref, IMAGE_SIM_K),
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
     )
     return cands.groupby("query_idx").map_groups(
         ImageSimMerge(IMAGE_SIM_K), batch_format="pyarrow"
@@ -3983,7 +3982,6 @@ def q_tile_mosaic(sf_dir: str):
         DecodeQuality(keep_cols=("minx", "miny", "maxx", "maxy")),
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
     )
 
     def assign(b: pa.Table) -> pa.Table:
@@ -5366,7 +5364,7 @@ def q_lang_id(sf_dir: str):
     from ..stages.text import LangId
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    pred = ds.map_batches(LangId(), batch_format="pyarrow", concurrency=2)
+    pred = ds.map_batches(LangId(), batch_format="pyarrow")
     return (
         pred.groupby(["lang", "lang_pred"])
         .aggregate(Count(alias_name="n"))
@@ -5549,7 +5547,7 @@ def q_ngram_dedup(sf_dir: str):
     from ..stages.join import shuffle_hash_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    sigs = ds.map_batches(MinHasher(), batch_format="pyarrow", concurrency=2)
+    sigs = ds.map_batches(MinHasher(), batch_format="pyarrow")
     exploded = sigs.map_batches(lsh_band_explode, batch_format="pyarrow")
     cand = minhash_candidate_pairs(exploded, threshold=0.3)
     cand = pair_reduce(cand, "doc_a", "doc_b", "est_jaccard", how="max")

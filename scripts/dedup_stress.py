@@ -151,11 +151,12 @@ def main(argv=None) -> int:
 
     # ------------------------------------------------ minhash neardup
     t0 = time.time()
-    # cap the signature stage at half the CPUs: uncapped tasks contend
-    # with the generator + candidate stages (measured 28.7 s → 39.4 s
-    # at 32 CPUs), while the cap leaves headroom for pipeline overlap
+    # task-parallel signature stage, 4096-row batches: with the
+    # streaming whole-batch kernel this is ~1.9× the actor-pool-capped
+    # form (36.7 s → 19.3 s standalone at 2M docs, 32 CPUs); the old
+    # cap guidance predated the streaming kernel
     sigs = corpus().map_batches(
-        MinHasher(), batch_format="pyarrow", concurrency=max(4, args.num_cpus // 2)
+        MinHasher(), batch_format="pyarrow", batch_size=4096
     )
     if args.lean:
         from rust_geo_booleanop_ray.stages.dedup import minhash_candidate_pairs_lean
