@@ -81,7 +81,8 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 
 
 class DecodePhash:
-    """Actor-pool stage: decode payload → 64-bit perceptual hash only.
+    """Decode payload → 64-bit perceptual hash only (task-parallel
+    instance UDF; pass the CLASS with concurrency=N for an actor pool).
 
     The lean front half of the image near-dup pipeline — no thumbs,
     checksums or channel stats, so a dedup pass over a petabyte image
