@@ -118,6 +118,12 @@ def bench_list():
         "anti_join",
         "stratified_sample",
         "pivot_events",
+        "aspect_bucket",
+        "token_shards",
+        "data_mixture",
+        "cum_distinct",
+        "promo_revenue",
+        "returned_items",
         "left_join",
         "tfidf_topterms",
         "event_gaps",

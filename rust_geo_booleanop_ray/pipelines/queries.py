@@ -7962,6 +7962,471 @@ Q_PIVOT_EVENTS_SQL = _build_pivot_events_sql()
 # ------------------------------------------------------------------ catalog
 
 
+# ------------------------------------------------- round-4b additions
+
+
+ASPECT_N = 2000
+# diffusion-style training buckets: each aspect class maps to a fixed
+# target latent shape (the SDXL bucketing trick); classes are decided
+# with INTEGER cross-multiplication so engine and oracle agree exactly
+ASPECT_TARGETS = {
+    "square": (512, 512),
+    "wide": (576, 448),
+    "ultrawide": (640, 384),
+    "tall": (448, 576),
+    "ultratall": (384, 640),
+}
+
+
+def q_aspect_bucket(sf_dir: str):
+    """Aspect-ratio bucketing for image-model training (the SDXL /
+    diffusion bucketing step): every image is assigned an aspect class
+    by integer ratio tests (w==h square; 2w>=3h ultrawide; ...) and a
+    resolution tier by pixel count, then counted per (class, tier,
+    target shape).  Payload is shed in the FIRST map_batches — only
+    (w, h) reach the aggregate; class cardinality is ≤ 15 so the final
+    groupby is a tiny exchange.  At 10^12 images this is one streaming
+    metadata pass."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.images import read_synth_images
+
+    classes = np.asarray(list(ASPECT_TARGETS), dtype=object)
+    tgt_w = {k: v[0] for k, v in ASPECT_TARGETS.items()}
+    tgt_h = {k: v[1] for k, v in ASPECT_TARGETS.items()}
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy().astype(np.int64)
+        h = b["h"].to_numpy().astype(np.int64)
+        cls_idx = np.where(
+            w == h,
+            0,
+            np.where(
+                w > h,
+                np.where(2 * w >= 3 * h, 2, 1),
+                np.where(2 * h >= 3 * w, 4, 3),
+            ),
+        )
+        aspect = classes[cls_idx]
+        t = pa.table(
+            {
+                "aspect": pa.array(aspect, pa.string()),
+                "n": pa.array(np.ones(len(w), dtype=np.int64)),
+                "sum_pixels": pa.array(w * h),
+            }
+        )
+        agg = pa.TableGroupBy(t, "aspect").aggregate(
+            [("n", "sum"), ("sum_pixels", "sum")]
+        )
+        return agg.rename_columns(["aspect", "n", "sum_pixels"])
+
+    def attach_targets(b: pa.Table) -> pa.Table:
+        a = b["aspect"].to_pylist()
+        return b.append_column(
+            "bucket_w", pa.array([tgt_w[x] for x in a], pa.int64())
+        ).append_column("bucket_h", pa.array([tgt_h[x] for x in a], pa.int64()))
+
+    ds = read_synth_images(ASPECT_N)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("aspect")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_pixels", alias_name="sum_pixels"))
+        .map_batches(attach_targets, batch_format="pyarrow")
+    )
+
+
+def _build_aspect_bucket_sql(n: int = ASPECT_N) -> str:
+    tgt_w = "CASE aspect " + " ".join(
+        f"WHEN '{k}' THEN {v[0]}" for k, v in ASPECT_TARGETS.items()
+    ) + " END"
+    tgt_h = "CASE aspect " + " ".join(
+        f"WHEN '{k}' THEN {v[1]}" for k, v in ASPECT_TARGETS.items()
+    ) + " END"
+    return f"""
+    WITH idx AS (SELECT unnest(range({n})) AS i),
+    m AS (
+      SELECT CAST(list_extract([8,12,16,24,32], CAST(i % 5 AS INT) + 1) AS BIGINT) AS w,
+             CAST(list_extract([8,12,16,24,32], CAST((i // 3) % 5 AS INT) + 1) AS BIGINT) AS h
+      FROM idx
+    ),
+    c AS (
+      SELECT w, h,
+             CASE WHEN w = h THEN 'square'
+                  WHEN w > h AND 2*w >= 3*h THEN 'ultrawide'
+                  WHEN w > h THEN 'wide'
+                  WHEN 2*h >= 3*w THEN 'ultratall'
+                  ELSE 'tall' END AS aspect
+      FROM m
+    )
+    SELECT aspect,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(w * h) AS BIGINT) AS sum_pixels,
+           {tgt_w} AS bucket_w,
+           {tgt_h} AS bucket_h
+    FROM c GROUP BY aspect
+"""
+
+
+TOKEN_SHARD_BUDGET = 4096
+
+
+def q_token_shards(sf_dir: str):
+    """Token-budget shard packing (LLM training-data step): documents
+    are packed into fixed-token-budget shards contiguously in doc_id
+    order per source — shard = exclusive-prefix-sum(tokens) //
+    BUDGET.  Source cardinality is small (tens), so co-locating one
+    source per group is NOT the forbidden rows-cardinality pattern;
+    within a group ONE argsort + cumsum assigns every shard.  At
+    100 TB the per-source scan becomes a two-pass distributed prefix
+    sum (per-block partials, then block-offset broadcast) — same
+    math, documented here as the scale path."""
+
+    def tok_count(b: pa.Table) -> pa.Table:
+        toks = (
+            pc.list_value_length(pc.split_pattern(b["text"], " "))
+            .to_numpy()
+            .astype(np.int64)
+        )
+        return pa.table(
+            {"doc_id": b["doc_id"], "source": b["source"], "tok": pa.array(toks)}
+        )
+
+    def pack(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy()
+        t = group["tok"].to_numpy()
+        order = np.argsort(d, kind="stable")
+        d, t = d[order], t[order]
+        ex = np.cumsum(t) - t  # exclusive prefix sum
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "source": pa.array(group["source"].to_numpy(zero_copy_only=False)[order], pa.string()),
+                "tok": pa.array(t, pa.int64()),
+                "shard": pa.array(ex // TOKEN_SHARD_BUDGET, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return (
+        ds.map_batches(tok_count, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(pack, batch_format="pyarrow")
+    )
+
+
+Q_TOKEN_SHARDS_SQL = f"""
+    SELECT doc_id, source, tok,
+           CAST(COALESCE(SUM(tok) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // {TOKEN_SHARD_BUDGET} AS BIGINT) AS shard
+    FROM (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      FROM documents
+    )
+"""
+
+
+def q_data_mixture(sf_dir: str):
+    """Deterministic source-mixture resampling (the data-mixing step
+    of an LLM pipeline): each source gets a target sampling rate in
+    basis points derived from its numeric suffix; a doc survives iff
+    knuth_hash(doc_id) % 10000 < rate.  Hash-gated keep/drop is a
+    stateless vectorized filter — no shuffle until the tiny per-source
+    count aggregate.  Resampling 100 TB this way is one streaming
+    pass with a ≤ #sources-row result."""
+    from ray.data.aggregate import Sum
+
+    def mix(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy().astype(np.uint64)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        srcnum = np.array([int(s[3:]) for s in src], dtype=np.int64)
+        rate_bp = 300 + 700 * (srcnum % 10)
+        h = ((doc % np.uint64(2**32)) * np.uint64(2654435761)) % np.uint64(2**32)
+        keep = (h % np.uint64(10000)).astype(np.int64) < rate_bp
+        t = pa.table(
+            {
+                "source": pa.array(src[keep], pa.string()),
+                "n_kept": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+                "sum_chars": pa.array(b["n_chars"].to_numpy()[keep]),
+            }
+        )
+        agg = pa.TableGroupBy(t, "source").aggregate(
+            [("n_kept", "sum"), ("sum_chars", "sum")]
+        )
+        return agg.rename_columns(["source", "n_kept", "sum_chars"])
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return (
+        ds.map_batches(mix, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_kept", alias_name="n_kept"), Sum("sum_chars", alias_name="sum_chars"))
+    )
+
+
+Q_DATA_MIXTURE_SQL = """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE (((doc_id % 4294967296) * 2654435761) % 4294967296) % 10000
+          < 300 + 700 * (CAST(substr(source, 4) AS BIGINT) % 10)
+    GROUP BY source
+"""
+
+
+def q_cum_distinct(sf_dir: str):
+    """Cumulative-distinct window: per event, how many DISTINCT event
+    types its user has produced up to and including it (ordered ts,
+    event_id).  The rows-cardinality user key is hash-BUCKETED; the
+    per-bucket kernel makes two vectorized passes — one lexsort on
+    (user, type, ts, id) marks first-seen rows, a second lexsort on
+    (user, ts, id) turns the marks into a segment-rebased cumsum.  No
+    per-distinct-user Python call (CLAUDE.md scale rule)."""
+    N_BUCKETS = 64
+
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
+        u = b["user_id"].to_numpy().astype(np.uint64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "t": pa.array(ts, pa.int64()),
+                "etype": b["event_type"],
+                "bucket": pa.array(
+                    (_splitmix64(u) % np.uint64(N_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def cumdist(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        t = group["t"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        code = group["etype"].dictionary_encode().combine_chunks().indices.to_numpy()
+        # pass 1: first occurrence of each (user, type) in (ts, id) order
+        o1 = np.lexsort((eid, t, code, u))
+        u1, c1 = u[o1], code[o1]
+        first_sorted = np.concatenate(
+            ([True], (u1[1:] != u1[:-1]) | (c1[1:] != c1[:-1]))
+        )
+        first = np.empty(len(u), dtype=np.int64)
+        first[o1] = first_sorted
+        # pass 2: running sum of first-seen flags per user history
+        o2 = np.lexsort((eid, t, u))
+        u2, f2 = u[o2], first[o2]
+        new_user = np.concatenate(([True], u2[1:] != u2[:-1]))
+        cs = np.cumsum(f2)
+        seg = np.cumsum(new_user) - 1
+        base = (cs - f2)[new_user]
+        return pa.table(
+            {
+                "user_id": pa.array(u2, pa.int64()),
+                "event_id": pa.array(eid[o2], pa.int64()),
+                "n_types": pa.array(cs - base[seg], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cumdist, batch_format="pyarrow")
+    )
+
+
+Q_CUM_DISTINCT_SQL = """
+    WITH r AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types
+    FROM r
+"""
+
+
+def q_promo_revenue(sf_dir: str):
+    """Promotion-revenue share (TPC-H Q14 shape): 1997 lineitems ⋈
+    part on partkey; output is promo cents and total cents (integer —
+    the ratio is the caller's one division).  The year filter prunes
+    at the READ via an Arrow dataset filter; part ships only
+    (partkey, is_promo) into a bucket-shuffled hash join; the final
+    aggregate is a 2-column global Sum."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import shuffle_hash_join
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        ts = b["l_shipdate"].to_numpy().astype("datetime64[us]")
+        keep = (ts >= np.datetime64("1997-01-01")) & (ts < np.datetime64("1998-01-01"))
+        rev = _cents(
+            b["l_extendedprice"].to_numpy()[keep]
+            * (1.0 - b["l_discount"].to_numpy()[keep])
+        )
+        return pa.table(
+            {
+                "l_partkey": pa.array(b["l_partkey"].to_numpy()[keep]),
+                "rev_c": pa.array(rev),
+            }
+        )
+
+    def part_prep(b: pa.Table) -> pa.Table:
+        promo = pc.starts_with(b["p_type"], "PROMO")
+        return pa.table(
+            {
+                "l_partkey": b["p_partkey"],
+                "is_promo": pc.cast(promo, pa.int64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"])
+    li = li.map_batches(li_prep, batch_format="pyarrow")
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        part_prep, batch_format="pyarrow"
+    )
+    joined = shuffle_hash_join(
+        li, part, key="l_partkey", left_cols=["rev_c"], right_cols=["is_promo"]
+    )
+
+    def split_rev(b: pa.Table) -> pa.Table:
+        rev = b["rev_c"].to_numpy()
+        promo = b["is_promo"].to_numpy()
+        return pa.table(
+            {
+                "promo_rev_c": pa.array([int(rev[promo == 1].sum())], pa.int64()),
+                "total_rev_c": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    agg = joined.map_batches(split_rev, batch_format="pyarrow").aggregate(
+        Sum("promo_rev_c", alias_name="promo_rev_c"),
+        Sum("total_rev_c", alias_name="total_rev_c"),
+    )
+    # Dataset.aggregate returns a plain dict for global aggregates
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in agg.items()})
+
+
+Q_PROMO_REVENUE_SQL = """
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN
+                  CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS promo_rev_c,
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_rev_c
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+"""
+
+
+def q_returned_items(sf_dir: str):
+    """Top-20 customers by RETURNED revenue (TPC-H Q10 shape): the
+    returnflag filter sheds ~2/3 of lineitem in the first batch pass;
+    revenue partials pre-aggregate per orderkey before the orderkey
+    join; custkey is rows-cardinality so the per-customer merge is
+    hash-BUCKETED (top_customers shape: reduceat totals + per-bucket
+    top-20 guard), the global sort sees ≤ 64×20 rows, and name/nation
+    attach by broadcast."""
+    import pyarrow.parquet as pq
+
+    from ..stages.footprint import _splitmix64
+    from ..stages.join import broadcast_join, shuffle_hash_join
+
+    N_BUCKETS = 64
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_orderkey": pa.array(b["l_orderkey"].to_numpy()[keep]),
+                "rev_c": pa.array(
+                    _cents(
+                        b["l_extendedprice"].to_numpy()[keep]
+                        * (1.0 - b["l_discount"].to_numpy()[keep])
+                    )
+                ),
+            }
+        )
+        agg = pa.TableGroupBy(t, "l_orderkey").aggregate([("rev_c", "sum")])
+        return agg.rename_columns(["l_orderkey", "rev_c"])
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": b["o_custkey"], "rev_c": b["rev_c"]})
+        agg = pa.TableGroupBy(t, "o_custkey").aggregate([("rev_c", "sum")])
+        agg = agg.rename_columns(["o_custkey", "rev_c"])
+        h = _splitmix64(agg["o_custkey"].to_numpy().astype(np.uint64))
+        return agg.append_column(
+            "bucket", pa.array((h % np.uint64(N_BUCKETS)).astype(np.int64))
+        )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        k = group["o_custkey"].to_numpy()
+        s = group["rev_c"].to_numpy()
+        order = np.argsort(k, kind="stable")
+        k, s = k[order], s[order]
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        tot = np.add.reduceat(s, starts)
+        uk = k[starts]
+        top = np.lexsort((uk, -tot))[:20]
+        return pa.table(
+            {
+                "c_custkey": pa.array(uk[top], pa.int64()),
+                "revenue_c": pa.array(tot[top].astype(np.int64)),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    rev = li.map_batches(rev_partial, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow"
+    )
+    joined = shuffle_hash_join(
+        rev, orders, key="l_orderkey", left_cols=["rev_c"], right_cols=["o_custkey"]
+    )
+    per_cust = (
+        joined.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge_topk, batch_format="pyarrow")
+    )
+    top = per_cust.sort(["revenue_c", "c_custkey"], descending=[True, False]).limit(20)
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nation = nation.rename_columns(["c_nationkey", "n_name"])
+    out = broadcast_join(top, cust, "c_custkey", ["c_name", "c_nationkey"])
+    out = broadcast_join(out, nation, "c_nationkey", ["n_name"])
+    return out.select_columns(["c_custkey", "c_name", "n_name", "revenue_c"])
+
+
+Q_RETURNED_ITEMS_SQL = """
+    WITH rev AS (
+      SELECT o.o_custkey AS c_custkey,
+             SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS revenue_c
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY o.o_custkey
+    )
+    SELECT r.c_custkey, c.c_name, n.n_name, CAST(r.revenue_c AS BIGINT) AS revenue_c
+    FROM rev r
+    JOIN customer c ON c.c_custkey = r.c_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY r.revenue_c DESC, r.c_custkey
+    LIMIT 20
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -8075,6 +8540,12 @@ def build_queries():
         "buffer_dissolve": q_buffer_dissolve,
         "stratified_sample": q_stratified_sample,
         "pivot_events": q_pivot_events,
+        "aspect_bucket": q_aspect_bucket,
+        "token_shards": q_token_shards,
+        "data_mixture": q_data_mixture,
+        "cum_distinct": q_cum_distinct,
+        "promo_revenue": q_promo_revenue,
+        "returned_items": q_returned_items,
     }
 
 
@@ -8227,4 +8698,10 @@ def build_oracle_sql():
         "pivot_events": Q_PIVOT_EVENTS_SQL,
         "image_near_dup": _build_image_near_dup_sql(),
         "image_sim_topk": _build_image_sim_sql(),
+        "aspect_bucket": _build_aspect_bucket_sql(),
+        "token_shards": Q_TOKEN_SHARDS_SQL,
+        "data_mixture": Q_DATA_MIXTURE_SQL,
+        "cum_distinct": Q_CUM_DISTINCT_SQL,
+        "promo_revenue": Q_PROMO_REVENUE_SQL,
+        "returned_items": Q_RETURNED_ITEMS_SQL,
     }

@@ -1,0 +1,110 @@
+"""Round-4b operator additions: aspect bucketing, token-shard packing,
+data mixture, cumulative-distinct window, promo revenue, returned
+items — local invariants (the value-exact DuckDB gate covers the
+distributed paths)."""
+
+import numpy as np
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_aspect_bucket_partitions_all_images(ray_session):
+    from rust_geo_booleanop_ray.pipelines.queries import (
+        ASPECT_N,
+        ASPECT_TARGETS,
+        q_aspect_bucket,
+    )
+
+    t = pa.Table.from_pylist(q_aspect_bucket(SF).take_all())
+    assert sum(t["n"].to_pylist()) == ASPECT_N
+    for aspect, bw, bh in zip(
+        t["aspect"].to_pylist(), t["bucket_w"].to_pylist(), t["bucket_h"].to_pylist()
+    ):
+        assert (bw, bh) == ASPECT_TARGETS[aspect]
+    # wide classes map to landscape targets, tall to portrait
+    for a, (bw, bh) in ASPECT_TARGETS.items():
+        if "wide" in a:
+            assert bw > bh
+        elif "tall" in a:
+            assert bw < bh
+
+
+def test_token_shards_pack_contiguously(ray_session):
+    from rust_geo_booleanop_ray.pipelines.queries import (
+        TOKEN_SHARD_BUDGET,
+        q_token_shards,
+    )
+
+    t = pa.Table.from_pylist(q_token_shards(SF).take_all())
+    src = np.array(t["source"].to_pylist())
+    doc = t["doc_id"].to_numpy()
+    tok = t["tok"].to_numpy()
+    shard = t["shard"].to_numpy()
+    for s in np.unique(src):
+        m = src == s
+        order = np.argsort(doc[m])
+        sh, tk = shard[m][order], tok[m][order]
+        # shard ids are nondecreasing in doc order and start at 0
+        assert sh[0] == 0
+        assert np.all(np.diff(sh) >= 0)
+        # exclusive prefix sum reproduces the shard assignment
+        ex = np.cumsum(tk) - tk
+        assert np.array_equal(sh, ex // TOKEN_SHARD_BUDGET)
+
+
+def test_data_mixture_rates_match_hash_gate(ray_session):
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import q_data_mixture
+
+    t = pa.Table.from_pylist(q_data_mixture(SF).take_all())
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    doc = docs["doc_id"].to_numpy().astype(np.uint64)
+    src = np.array(docs["source"].to_pylist())
+    srcnum = np.array([int(s[3:]) for s in src])
+    h = ((doc % np.uint64(2**32)) * np.uint64(2654435761)) % np.uint64(2**32)
+    kept = (h % np.uint64(10000)).astype(np.int64) < 300 + 700 * (srcnum % 10)
+    expected = {s: int(kept[src == s].sum()) for s in np.unique(src)}
+    got = dict(zip(t["source"].to_pylist(), t["n_kept"].to_pylist()))
+    assert got == {k: v for k, v in expected.items() if v > 0}
+
+
+def test_cum_distinct_monotone_and_bounded(ray_session):
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import q_cum_distinct
+
+    t = pa.Table.from_pylist(q_cum_distinct(SF).take_all())
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"])
+    n_types_true = {}
+    for u in np.unique(ev["user_id"].to_numpy()):
+        m = ev["user_id"].to_numpy() == u
+        n_types_true[int(u)] = len(set(np.array(ev["event_type"].to_pylist())[m]))
+    user = t["user_id"].to_numpy()
+    nt = t["n_types"].to_numpy()
+    assert t.num_rows == ev.num_rows
+    # the max cumulative count per user equals the user's distinct-type count
+    for u in np.unique(user):
+        m = user == u
+        assert nt[m].max() == n_types_true[int(u)]
+        assert nt[m].min() >= 1
+
+
+def test_promo_revenue_bounds(ray_session):
+    from rust_geo_booleanop_ray.pipelines.queries import q_promo_revenue
+
+    t = q_promo_revenue(SF)
+    promo = t["promo_rev_c"][0].as_py()
+    total = t["total_rev_c"][0].as_py()
+    assert 0 < promo < total
+
+
+def test_returned_items_sorted_top20(ray_session):
+    from rust_geo_booleanop_ray.pipelines.queries import q_returned_items
+
+    t = pa.Table.from_pylist(q_returned_items(SF).take_all())
+    assert t.num_rows == 20
+    rev = t["revenue_c"].to_numpy()
+    assert np.all(np.diff(rev) <= 0)
+    assert set(t.column_names) == {"c_custkey", "c_name", "n_name", "revenue_c"}
