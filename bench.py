@@ -68,6 +68,7 @@ def bench_list():
         "text_stats",
         "ann_topk",
         "ann_ivf",
+        "ann_pq",
         "ann_lsh",
         "asof_join",
         "minhash_near_dup",

@@ -8427,6 +8427,79 @@ Q_RETURNED_ITEMS_SQL = """
 """
 
 
+PQ_M = 4
+PQ_K = 16
+PQ_SEED = 37
+
+
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (the 10^12-vector scale path): vectors
+    compress to PQ_M centroid codes inside map_batches — 64 floats →
+    4 bytes per row on the wire at scale — and queries rank by ADC
+    lookup-table sums.  Runs with FIXED deterministic ±1 codebooks
+    (stages/ann.py::pq_fixed_codebooks) so assignment + ADC ranking
+    are value-exact vs the SQL mirror; per-subspace k-means training
+    (pq_train) stays a separately recall-tested function."""
+    from ..stages.ann import pq_fixed_codebooks, pq_topk
+
+    books = pq_fixed_codebooks(PQ_M, PQ_K, 64, seed=PQ_SEED)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pq_topk(ds, _ann_queries(sf_dir), ANN_K, books)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def _build_ann_pq_sql() -> str:
+    """SQL mirror of fixed-codebook PQ: per-subspace signed-sum lists
+    for assignment (first-argmax via list_position of list_max), the
+    query's own lists as the ADC lookup table, score = Σ_s
+    qd_s[code_s], exact rank by (score DESC, vec_id)."""
+    from ..stages.ann import pq_fixed_codebooks
+
+    books = pq_fixed_codebooks(PQ_M, PQ_K, 64, seed=PQ_SEED)
+    m, K, sub = books.shape
+
+    def dots_list(s: int) -> str:
+        exprs = []
+        for c in range(K):
+            terms = " ".join(
+                ("+" if books[s, c, d] > 0 else "-") + f" embedding[{s * sub + d + 1}]"
+                for d in range(sub)
+            ).lstrip("+ ")
+            exprs.append("(" + terms + ")")
+        return "[\n        " + ",\n        ".join(exprs) + "\n      ]"
+
+    dots_cols = ",\n      ".join(
+        f"{dots_list(s)} AS dots{s}" for s in range(m)
+    )
+    code_cols = ", ".join(
+        f"CAST(list_position(dots{s}, list_max(dots{s})) AS INT) AS c{s}"
+        for s in range(m)
+    )
+    score = " + ".join(f"q.qd{s}[a.c{s}]" for s in range(m))
+    qd_cols = ", ".join(f"dots{s} AS qd{s}" for s in range(m))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id,
+      {dots_cols}
+      FROM e
+    ),
+    asg AS (SELECT vec_id, {code_cols} FROM d),
+    q AS (SELECT vec_id AS qid, {qd_cols} FROM d WHERE vec_id < 5),
+    cand AS (
+      SELECT q.qid AS query_id, a.vec_id, {score} AS score
+      FROM asg a, q
+    )
+    SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= {ANN_K}
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -8546,6 +8619,7 @@ def build_queries():
         "cum_distinct": q_cum_distinct,
         "promo_revenue": q_promo_revenue,
         "returned_items": q_returned_items,
+        "ann_pq": q_ann_pq,
     }
 
 
@@ -8704,4 +8778,5 @@ def build_oracle_sql():
         "cum_distinct": Q_CUM_DISTINCT_SQL,
         "promo_revenue": Q_PROMO_REVENUE_SQL,
         "returned_items": Q_RETURNED_ITEMS_SQL,
+        "ann_pq": _build_ann_pq_sql(),
     }

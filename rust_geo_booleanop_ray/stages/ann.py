@@ -257,3 +257,108 @@ def ivf_topk(embeddings_ds, queries, k: int, centroids: np.ndarray, nprobe: int 
     return cands.groupby("query_id").map_groups(
         TopKPerQuery(k), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------------------ PQ
+
+
+def pq_fixed_codebooks(
+    m: int = 4, n_centroids: int = 16, dim: int = 64, seed: int = 37
+) -> np.ndarray:
+    """Deterministic (m, K, dim//m) ±1 codebooks — the pretrained-
+    codebook stand-in that makes product quantization SQL-mirrorable
+    (same trick as ivf_fixed_centroids): every centroid of a subspace
+    shares the norm √(dim/m), so nearest-centroid assignment reduces
+    to argmax of signed coordinate sums.  Real per-subspace k-means
+    (pq_train) remains the scale path, pinned by the recall test."""
+    from .dedup import rademacher_planes
+
+    sub = dim // m
+    return np.stack(
+        [rademacher_planes(sub, n_centroids, seed + s).T.copy() for s in range(m)]
+    )
+
+
+def pq_train(
+    matrix: np.ndarray, m: int = 4, n_centroids: int = 16, iters: int = 10, seed: int = 11
+) -> np.ndarray:
+    """Per-subspace k-means on a driver-side SAMPLE (at 10^12 vectors
+    you train codebooks on ~1M sampled rows, never the full table)."""
+    n, dim = matrix.shape
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_centroids, sub))
+    for s in range(m):
+        X = matrix[:, s * sub : (s + 1) * sub]
+        cent = X[rng.choice(n, size=n_centroids, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_centroids):
+                members = X[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode(vecs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Vectors → (n, m) centroid codes.  With equal-norm (±1)
+    codebooks argmin-distance == argmax of the signed sums; first
+    max wins (numpy argmax semantics, mirrored by list_position)."""
+    n, dim = vecs.shape
+    m, k, sub = codebooks.shape
+    X = vecs.reshape(n, m, sub)
+    scores = np.einsum("nms,mks->nmk", X, codebooks)
+    return np.argmax(scores, axis=2)
+
+
+def pq_topk(embeddings_ds, queries, k: int, codebooks: np.ndarray):
+    """Product-quantization ANN (the 10^12-vector scale path): each
+    vector is compressed to m small centroid codes INSIDE map_batches
+    (64 floats → m bytes on the wire at scale); queries rank candidates
+    by asymmetric-distance lookups (ADC) into an m×K table of exact
+    query-centroid dot products.  With equal-norm codebooks, ADC
+    ordering by approximate distance equals descending Σ_s ⟨q_s,
+    C_s[code_s]⟩ — the form the SQL oracle replays.
+
+    PARTITIONING ASSUMPTION: none — one streaming pass over the
+    vectors plus the standard tiny per-query merge; codebooks + LUTs
+    broadcast once via ray.put."""
+    import ray
+
+    query_ids, qmat = queries
+    m, K, sub = codebooks.shape
+    Q = qmat.reshape(len(query_ids), m, sub)
+    lut = np.einsum("qms,mks->qmk", Q, codebooks)  # (Q, m, K)
+    lut_ref = ray.put(lut)
+    books_ref = ray.put(codebooks)
+    qid_arr = np.asarray(query_ids, dtype=np.int64)
+
+    def encode_score(batch: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        tbl = ray.get(lut_ref)
+        vecs = _embedding_matrix(batch["embedding"]).astype(np.float64)
+        ids = batch["vec_id"].to_numpy()
+        codes = pq_encode(vecs, books)  # (n, m)
+        scores = np.zeros((len(qid_arr), len(ids)))
+        for s in range(books.shape[0]):
+            scores += tbl[:, s, codes[:, s]]
+        # partial top-k per query before the exchange
+        kk = min(k, len(ids))
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        out_q = np.repeat(qid_arr, kk)
+        out_v = ids[part.ravel()]
+        out_s = np.take_along_axis(scores, part, axis=1).ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cands = embeddings_ds.map_batches(encode_score, batch_format="pyarrow")
+    return cands.groupby("query_id").map_groups(
+        TopKPerQuery(k), batch_format="pyarrow"
+    )

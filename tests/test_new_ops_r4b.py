@@ -108,3 +108,52 @@ def test_returned_items_sorted_top20(ray_session):
     rev = t["revenue_c"].to_numpy()
     assert np.all(np.diff(rev) <= 0)
     assert set(t.column_names) == {"c_custkey", "c_name", "n_name", "revenue_c"}
+
+
+def test_pq_encode_is_nearest_centroid(ray_session):
+    """pq_encode's argmax-of-signed-sums equals brute-force nearest-
+    centroid assignment (equal-norm codebooks make them equivalent)."""
+    from rust_geo_booleanop_ray.stages.ann import pq_encode, pq_fixed_codebooks
+
+    books = pq_fixed_codebooks(4, 16, 64, seed=37)
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 64))
+    codes = pq_encode(vecs, books)
+    X = vecs.reshape(200, 4, 16)
+    for s in range(4):
+        d2 = ((X[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        assert np.array_equal(codes[:, s], np.argmin(d2, axis=1))
+
+
+def test_pq_ann_recall(ray_session):
+    """Trained-codebook PQ achieves nontrivial recall vs brute force
+    (random vectors are PQ's worst case — a floor, not a target)."""
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import _ann_queries
+    from rust_geo_booleanop_ray.stages.ann import (
+        brute_force_topk,
+        pq_topk,
+        pq_train,
+    )
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = _ann_queries(SF)
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])[
+        "embedding"
+    ].combine_chunks()
+    smat = emb.values.to_numpy(zero_copy_only=False).reshape(len(emb), -1)
+    books = pq_train(smat.astype(np.float64), m=4, n_centroids=16, iters=5)
+
+    truth = brute_force_topk(ds, queries, 10).take_all()
+    approx = pq_topk(ds, queries, 10, books).take_all()
+    t_by_q, a_by_q = {}, {}
+    for r in truth:
+        t_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        a_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(a_by_q.get(q, set()) & t) / len(t) for q, t in t_by_q.items()
+    ]
+    assert np.mean(recalls) >= 0.15, np.mean(recalls)
