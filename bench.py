@@ -120,6 +120,7 @@ def bench_list():
         "stratified_sample",
         "pivot_events",
         "aspect_bucket",
+        "patch_stats",
         "token_shards",
         "data_mixture",
         "cum_distinct",

@@ -8500,6 +8500,23 @@ def _build_ann_pq_sql() -> str:
 """
 
 
+PATCH_N = 1200
+
+
+def q_patch_stats(sf_dir: str):
+    """ViT patchification profile: real decode → p×p patch grid →
+    integer per-image stats (stages/image_ops.py::DecodePatches).
+    The expected-values oracle pins decode + the patch reshape kernel
+    per image; at scale the patch tensors feed the trainer from the
+    same worker and only these stats ever reach an exchange."""
+    from ..sources.images import read_synth_images
+    from ..stages.image_ops import DecodePatches
+
+    return read_synth_images(PATCH_N).map_batches(
+        DecodePatches(p=4), batch_format="pyarrow"
+    )
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -8620,6 +8637,7 @@ def build_queries():
         "promo_revenue": q_promo_revenue,
         "returned_items": q_returned_items,
         "ann_pq": q_ann_pq,
+        "patch_stats": q_patch_stats,
     }
 
 
@@ -8646,6 +8664,9 @@ def build_oracle_sql():
     from ..sources.images import expected_augmented
 
     image_augment_sql = _values_oracle_sql(expected_augmented(AUG_N))
+    from ..sources.images import expected_patch_stats
+
+    patch_stats_sql = _values_oracle_sql(expected_patch_stats(PATCH_N))
     video_frames_sql = _values_oracle_sql(expected_frame_features(500, stride=2))
     from ..sources.videos import expected_scene_stats
 
@@ -8678,6 +8699,7 @@ def build_oracle_sql():
         "image_pyramid": image_pyramid_sql,
         "pixel_histogram": _build_pixel_histogram_sql(),
         "image_augment": image_augment_sql,
+        "patch_stats": patch_stats_sql,
         "video_frames": video_frames_sql,
         "scene_stats": scene_stats_sql,
         "audio_features": audio_features_sql,

@@ -600,3 +600,47 @@ def expected_roundtrip(n_images: int) -> pa.Table:
             "pass_40db": pa.array(passes, pa.int64()),
         }
     )
+
+
+def patch_grid_stats(pixels: np.ndarray, p: int = 4) -> tuple[int, int, int, int]:
+    """ViT-style patchification stats of an (h, w, 3) uint8 image:
+    split into p×p patches (generator dims are all multiples of 4),
+    per-patch integer byte sums, then (n_patches, max_patch_sum,
+    argmax_idx row-major first-max, contrast = max−min).  Integer
+    arithmetic only — exact for engine and expected-values oracle."""
+    h, w = pixels.shape[:2]
+    gh, gw = h // p, w // p
+    sums = (
+        pixels[: gh * p, : gw * p]
+        .astype(np.int64)
+        .reshape(gh, p, gw, p, 3)
+        .sum(axis=(1, 3, 4))
+    ).ravel()
+    return (
+        int(gh * gw),
+        int(sums.max()),
+        int(np.argmax(sums)),
+        int(sums.max() - sums.min()),
+    )
+
+
+def expected_patch_stats(n_images: int, seed: int = 42, p: int = 4) -> pa.Table:
+    """Generator-side expected patch stats (input math, never engine
+    output) for the patch_stats expected-values oracle."""
+    ids, npatch, mx, am, ct = [], [], [], [], []
+    for i in range(n_images):
+        stats = patch_grid_stats(_base_pixels(i, seed), p)
+        ids.append(f"img-{i:08d}")
+        npatch.append(stats[0])
+        mx.append(stats[1])
+        am.append(stats[2])
+        ct.append(stats[3])
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "n_patches": pa.array(npatch, pa.int64()),
+            "max_patch_sum": pa.array(mx, pa.int64()),
+            "argmax_patch": pa.array(am, pa.int64()),
+            "patch_contrast": pa.array(ct, pa.int64()),
+        }
+    )

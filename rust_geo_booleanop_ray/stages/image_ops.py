@@ -430,3 +430,45 @@ class DecodeFeatures:
         out = out.append_column("pix_checksum", pa.array(checks, pa.int64()))
         out = out.append_column("thumb", pa.array(thumbs, pa.binary()))
         return out
+
+
+class DecodePatches:
+    """Instance-callable stage (task UDF): decode payload → p×p ViT
+    patch grid → per-image patch stats (count, max patch byte-sum,
+    first-argmax index, max−min contrast).  The patch tensor itself
+    never leaves the task — at a real deployment the (n_patches,
+    p·p·3) tensor feeds the trainer from the same worker; here the
+    stats pin decode + the patch reshape kernel via a generator-side
+    expected-values oracle.  One numpy reshape-sum per image, ints
+    throughout."""
+
+    def __init__(self, p: int = 4, strict: bool = False):
+        self.p = p
+        self.strict = strict
+        from ..sources.images import patch_grid_stats
+
+        self._stats = patch_grid_stats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        ids = batch["image_id"].to_pylist()
+        rows = [
+            self._stats(
+                decode_image(payload, int(ws[i]), int(hs[i]), fmts[i], self.strict),
+                self.p,
+            )
+            for i, payload in enumerate(payloads)
+        ]
+        n, mx, am, ct = zip(*rows) if rows else ((), (), (), ())
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "n_patches": pa.array(list(n), pa.int64()),
+                "max_patch_sum": pa.array(list(mx), pa.int64()),
+                "argmax_patch": pa.array(list(am), pa.int64()),
+                "patch_contrast": pa.array(list(ct), pa.int64()),
+            }
+        )

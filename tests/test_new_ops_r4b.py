@@ -157,3 +157,26 @@ def test_pq_ann_recall(ray_session):
         len(a_by_q.get(q, set()) & t) / len(t) for q, t in t_by_q.items()
     ]
     assert np.mean(recalls) >= 0.15, np.mean(recalls)
+
+
+def test_patch_stats_matches_direct_decode(ray_session):
+    """DecodePatches over the synth table equals patch_grid_stats on
+    the generator's pixels (decode parity), including PNG rows."""
+    from rust_geo_booleanop_ray.pipelines.queries import q_patch_stats
+    from rust_geo_booleanop_ray.sources.images import (
+        _base_pixels,
+        patch_grid_stats,
+    )
+
+    t = pa.Table.from_pylist(q_patch_stats(SF).take_all())
+    by_id = {
+        t["image_id"][i].as_py(): (
+            t["n_patches"][i].as_py(),
+            t["max_patch_sum"][i].as_py(),
+            t["argmax_patch"][i].as_py(),
+            t["patch_contrast"][i].as_py(),
+        )
+        for i in range(t.num_rows)
+    }
+    for i in [0, 11, 22, 33, 1199]:  # 0, 11, 22, 33 include png rows (i%11==0)
+        assert by_id[f"img-{i:08d}"] == patch_grid_stats(_base_pixels(i))
