@@ -121,6 +121,7 @@ def bench_list():
         "pivot_events",
         "aspect_bucket",
         "patch_stats",
+        "simplify_poly",
         "token_shards",
         "data_mixture",
         "cum_distinct",

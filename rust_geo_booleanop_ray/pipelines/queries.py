@@ -8517,6 +8517,58 @@ def q_patch_stats(sf_dir: str):
     )
 
 
+SIMP_N = 1500
+SIMP_MIN_AREA2 = 4
+
+
+def q_simplify_poly(sf_dir: str):
+    """Polygon simplification for the tile-serving path (Visvalingam–
+    Whyatt on integer lattices, functions/simplify.py): each skyline
+    feature's chain loses its smallest-triangle vertices until every
+    remaining triangle has doubled area ≥ 4.  All-integer arithmetic
+    → the expected-values oracle pins the kernel per feature; one
+    vectorized area pass per removal round, features independent so
+    the stage is an embarrassingly parallel task UDF."""
+    import ray.data as rd
+
+    from ..functions.simplify import simplify_stats
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        rows = [simplify_stats(int(i), SIMP_MIN_AREA2) for i in ids]
+        nb, na, ab, aa = zip(*rows) if rows else ((), (), (), ())
+        return pa.table(
+            {
+                "shape_id": pa.array(ids, pa.int64()),
+                "n_before": pa.array(list(nb), pa.int64()),
+                "n_after": pa.array(list(na), pa.int64()),
+                "area2_before": pa.array(list(ab), pa.int64()),
+                "area2_after": pa.array(list(aa), pa.int64()),
+            }
+        )
+
+    return rd.range(SIMP_N, override_num_blocks=32).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def _build_simplify_poly_sql() -> str:
+    from ..functions.simplify import simplify_stats
+
+    rows = []
+    for i in range(SIMP_N):
+        nb, na, ab, aa = simplify_stats(i, SIMP_MIN_AREA2)
+        rows.append(
+            f"(CAST({i} AS BIGINT), CAST({nb} AS BIGINT), CAST({na} AS BIGINT),"
+            f" CAST({ab} AS BIGINT), CAST({aa} AS BIGINT))"
+        )
+    return (
+        "\n    SELECT * FROM (VALUES\n      "
+        + ",\n      ".join(rows)
+        + "\n    ) AS expected(shape_id, n_before, n_after, area2_before, area2_after)\n"
+    )
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -8638,6 +8690,7 @@ def build_queries():
         "returned_items": q_returned_items,
         "ann_pq": q_ann_pq,
         "patch_stats": q_patch_stats,
+        "simplify_poly": q_simplify_poly,
     }
 
 
@@ -8700,6 +8753,7 @@ def build_oracle_sql():
         "pixel_histogram": _build_pixel_histogram_sql(),
         "image_augment": image_augment_sql,
         "patch_stats": patch_stats_sql,
+        "simplify_poly": _build_simplify_poly_sql(),
         "video_frames": video_frames_sql,
         "scene_stats": scene_stats_sql,
         "audio_features": audio_features_sql,

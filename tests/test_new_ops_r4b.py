@@ -180,3 +180,32 @@ def test_patch_stats_matches_direct_decode(ray_session):
     }
     for i in [0, 11, 22, 33, 1199]:  # 0, 11, 22, 33 include png rows (i%11==0)
         assert by_id[f"img-{i:08d}"] == patch_grid_stats(_base_pixels(i))
+
+
+def test_visvalingam_invariants():
+    """Simplification removes only sub-threshold triangles, keeps
+    endpoints, is idempotent, and leaves no removable vertex."""
+    from rust_geo_booleanop_ray.functions.simplify import (
+        ring_area2,
+        skyline_chain,
+        visvalingam,
+    )
+
+    for i in [0, 1, 7, 42, 123]:
+        xs, ys = skyline_chain(i)
+        keep = visvalingam(xs, ys, 4)
+        assert keep[0] and keep[-1]
+        kx, ky = xs[keep], ys[keep]
+        # no surviving interior vertex has doubled area < threshold
+        areas = np.abs(
+            (kx[1:-1] - kx[:-2]) * (ky[2:] - ky[:-2])
+            - (kx[2:] - kx[:-2]) * (ky[1:-1] - ky[:-2])
+        )
+        assert (areas >= 4).all()
+        # idempotent
+        keep2 = visvalingam(kx, ky, 4)
+        assert keep2.all()
+        # collinear duplicates always removable: strictly fewer points
+        assert keep.sum() < len(xs)
+        # area changes but stays positive
+        assert abs(ring_area2(kx, ky)) > 0
