@@ -7920,11 +7920,15 @@ def q_pivot_events(sf_dir: str):
     row per user with count + value-cents columns per event type
     (stages/pivot.py).  The classic user-feature table a training
     pipeline materializes; lowers to conditional-column partial
-    aggregation — one vectorized pass per batch, one Sum-shuffle,
-    no per-group Python."""
-    from ray.data.aggregate import Sum
-
-    from ..stages.pivot import make_pivot_partial, pivot_column_names
+    aggregation — one vectorized pass per batch — and because users
+    are a rows-cardinality key the partials merge through the
+    user-hash BUCKETED reduceat kernel (bucketed_wide_sum), never the
+    generic per-distinct-key aggregate."""
+    from ..stages.pivot import (
+        bucketed_wide_sum,
+        make_pivot_partial,
+        pivot_column_names,
+    )
 
     names = pivot_column_names(EVENT_TYPES)
     partial = make_pivot_partial(
@@ -7932,10 +7936,8 @@ def q_pivot_events(sf_dir: str):
         lambda b: _cents(b["value"].to_numpy()),
     )
     ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(*[Sum(n, alias_name=n) for n in names])
+    return bucketed_wide_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id", names
     )
 
 

@@ -70,3 +70,40 @@ def make_pivot_partial(
         )
 
     return partial
+
+
+def bucketed_wide_sum(ds, group_col: str, wide_cols: Sequence[str], n_buckets: int = 64):
+    """Merge per-block pivot partials WITHOUT the generic per-distinct-
+    key aggregate (group cardinality is ~rows at 100 TB — users): hash
+    the group key into ``n_buckets``, and merge each bucket with ONE
+    lexsort + reduceat pass over every wide column at once (CLAUDE.md
+    scale shape).  Returns one exact row per distinct group."""
+    wide_cols = list(wide_cols)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        from .footprint import _splitmix64
+
+        k = b[group_col].to_numpy().astype(np.uint64)
+        return b.append_column(
+            "bucket",
+            pa.array((_splitmix64(k) % np.uint64(n_buckets)).astype(np.int64)),
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        k = group[group_col].to_numpy()
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        starts = np.concatenate(([0], np.flatnonzero(ks[1:] != ks[:-1]) + 1))
+        cols: dict[str, object] = {
+            group_col: pa.array(ks[starts].astype(np.int64))
+        }
+        for c in wide_cols:
+            v = group[c].to_numpy()[order]
+            cols[c] = pa.array(np.add.reduceat(v, starts).astype(np.int64))
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
