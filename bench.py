@@ -122,6 +122,7 @@ def bench_list():
         "aspect_bucket",
         "patch_stats",
         "simplify_poly",
+        "dup_frames",
         "token_shards",
         "data_mixture",
         "cum_distinct",

@@ -8571,6 +8571,23 @@ def _build_simplify_poly_sql() -> str:
     )
 
 
+DUPF_N = 600
+
+
+def q_dup_frames(sf_dir: str):
+    """Static-frame pruning on the video axis: real frame decode →
+    exact duplicate-transition profile per clip (stages/video_ops.py::
+    DupFrames) over a corpus with PLANTED held frames.  The oracle
+    recomputes the hold schedule from the generator's hash math —
+    pinning decode + the diff kernel without touching pixels."""
+    from ..sources.videos import read_synth_holdframe_videos
+    from ..stages.video_ops import DupFrames
+
+    return read_synth_holdframe_videos(DUPF_N).map_batches(
+        DupFrames(), batch_format="pyarrow", batch_size=64
+    )
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -8693,6 +8710,7 @@ def build_queries():
         "ann_pq": q_ann_pq,
         "patch_stats": q_patch_stats,
         "simplify_poly": q_simplify_poly,
+        "dup_frames": q_dup_frames,
     }
 
 
@@ -8727,6 +8745,9 @@ def build_oracle_sql():
 
     scene_stats_sql = _values_oracle_sql(expected_scene_stats(500))
     audio_features_sql = _values_oracle_sql(expected_audio_features(1000))
+    from ..sources.videos import expected_dup_frames
+
+    dup_frames_sql = _values_oracle_sql(expected_dup_frames(DUPF_N))
     # golden-derived literals: the fixtures' EXPECTED geometries,
     # canonically serialized + hashed (never engine output) — makes the
     # bit-for-bit conformance corpus a driver-green CORRECTNESS row
@@ -8759,6 +8780,7 @@ def build_oracle_sql():
         "video_frames": video_frames_sql,
         "scene_stats": scene_stats_sql,
         "audio_features": audio_features_sql,
+        "dup_frames": dup_frames_sql,
         "clip_area": Q_CLIP_AREA_SQL,
         "tile_assign": Q_TILE_ASSIGN_SQL,
         "pip_join": Q_PIP_JOIN_SQL,

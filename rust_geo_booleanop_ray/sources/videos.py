@@ -216,3 +216,104 @@ def expected_scene_stats(n_videos: int) -> pa.Table:
             "max_motion": pa.array(mm, pa.int64()),
         }
     )
+
+
+def _holdframe_pixels(i: int, w: int, h: int, n_frames: int) -> np.ndarray:
+    """(n_frames, h, w, 3) pixels with PLANTED exact frame repeats:
+    the gradient pan advances only when splitmix64(i·131 + f) % 3 != 0
+    — held frames are bit-identical to their predecessor, the signal
+    a static-segment pruner detects."""
+    from ..stages.footprint import _splitmix64
+
+    rng = np.random.Generator(np.random.PCG64(977_003 * i + 11))
+    base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    frames = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+    adv = 0
+    for f in range(n_frames):
+        if f > 0 and int(
+            _splitmix64(np.uint64(i * 131 + f)) % np.uint64(3)
+        ) == 0:
+            frames[f] = frames[f - 1]
+            continue
+        if f > 0:
+            adv += 1
+        shift = (np.arange(w, dtype=np.int32) + 7 * adv) % 256
+        frames[f] = (base.astype(np.int32) + shift[None, :, None]) % 256
+    return frames
+
+
+def synth_holdframe_batch(indices: np.ndarray) -> pa.Table:
+    """Video rows (same schema as synth_video_batch) whose pixels come
+    from _holdframe_pixels — raw planes with a PNG-frame slice."""
+    from ..functions.png import encode_png
+
+    indices = np.asarray(indices, dtype=np.int64)
+    ids, payloads, ws, hs, nfs, fmts = [], [], [], [], [], []
+    for i in map(int, indices):
+        w = int(_VID_SIZES[i % 3])
+        h = int(_VID_SIZES[(i // 3) % 3])
+        n_frames = 6 + (i % 5)
+        frames = _holdframe_pixels(i, w, h, n_frames)
+        if i % 7 == 0:
+            parts = []
+            for f in range(n_frames):
+                png = encode_png(frames[f])
+                parts.append(struct.pack("<I", len(png)) + png)
+            payloads.append(b"".join(parts))
+            fmts.append("pngv")
+        else:
+            payloads.append(frames.tobytes())
+            fmts.append("rawv")
+        ids.append(f"vid-{i:08d}")
+        ws.append(w)
+        hs.append(h)
+        nfs.append(n_frames)
+    return pa.table(
+        {
+            "video_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "n_frames": pa.array(nfs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+        }
+    )
+
+
+def read_synth_holdframe_videos(n_videos: int):
+    import ray.data as rd
+
+    ds = rd.range(n_videos, override_num_blocks=max(4, min(64, n_videos // 256)))
+    return ds.map_batches(
+        lambda b: synth_holdframe_batch(b["id"].to_numpy()),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def expected_dup_frames(n_videos: int) -> pa.Table:
+    """Generator-side expected static-frame profile: held transitions
+    recomputed from the hold schedule itself (hash math, never pixels
+    or the codec)."""
+    from ..stages.footprint import _splitmix64
+
+    vids, nf, nd, fd = [], [], [], []
+    for i in range(n_videos):
+        n_frames = 6 + (i % 5)
+        held = [
+            f
+            for f in range(1, n_frames)
+            if int(_splitmix64(np.uint64(i * 131 + f)) % np.uint64(3)) == 0
+        ]
+        vids.append(f"vid-{i:08d}")
+        nf.append(n_frames)
+        nd.append(len(held))
+        fd.append(held[0] if held else -1)
+    return pa.table(
+        {
+            "video_id": pa.array(vids, pa.string()),
+            "n_frames": pa.array(nf, pa.int64()),
+            "n_dup": pa.array(nd, pa.int64()),
+            "first_dup": pa.array(fd, pa.int64()),
+        }
+    )

@@ -145,3 +145,37 @@ class SceneStats:
                 "max_motion": pa.array(mm, pa.int64()),
             }
         )
+
+
+class DupFrames:
+    """Instance-callable stage (task UDF): decode frames → exact
+    duplicate-transition profile (count of bit-identical consecutive
+    frames and the first such frame index, −1 if none) — the
+    static-segment pruning signal a video curation pipeline drops
+    wasted trainer frames with.  Integer-exact: dup ⇔ inter-frame
+    abs-diff sum == 0."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        nfs = batch["n_frames"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        nf, nd, fd = [], [], []
+        for i, payload in enumerate(payloads):
+            frames = decode_frames(
+                payload, int(ws[i]), int(hs[i]), int(nfs[i]), fmts[i]
+            ).astype(np.int64)
+            d = np.abs(frames[1:] - frames[:-1]).sum(axis=(1, 2, 3))
+            dup = d == 0
+            nf.append(len(frames))
+            nd.append(int(dup.sum()))
+            fd.append(int(np.flatnonzero(dup)[0]) + 1 if dup.any() else -1)
+        return pa.table(
+            {
+                "video_id": batch["video_id"],
+                "n_frames": pa.array(nf, pa.int64()),
+                "n_dup": pa.array(nd, pa.int64()),
+                "first_dup": pa.array(fd, pa.int64()),
+            }
+        )

@@ -209,3 +209,21 @@ def test_visvalingam_invariants():
         assert keep.sum() < len(xs)
         # area changes but stays positive
         assert abs(ring_area2(kx, ky)) > 0
+
+
+def test_dup_frames_planted_holds(ray_session):
+    """DupFrames finds exactly the generator's planted held frames,
+    through both raw and PNG-frame payloads."""
+    from rust_geo_booleanop_ray.pipelines.queries import q_dup_frames
+    from rust_geo_booleanop_ray.sources.videos import expected_dup_frames
+
+    got = pa.Table.from_pylist(q_dup_frames(SF).take_all())
+    exp = expected_dup_frames(600)
+    g = {got["video_id"][i].as_py(): (got["n_dup"][i].as_py(), got["first_dup"][i].as_py())
+         for i in range(got.num_rows)}
+    e = {exp["video_id"][i].as_py(): (exp["n_dup"][i].as_py(), exp["first_dup"][i].as_py())
+         for i in range(exp.num_rows)}
+    assert g == e
+    # the corpus actually contains both held and hold-free clips
+    nds = [v[0] for v in e.values()]
+    assert max(nds) > 0 and min(nds) == 0
