@@ -123,6 +123,7 @@ def bench_list():
         "patch_stats",
         "simplify_poly",
         "dup_frames",
+        "caption_dedup",
         "token_shards",
         "data_mixture",
         "cum_distinct",

@@ -8588,6 +8588,91 @@ def q_dup_frames(sf_dir: str):
     )
 
 
+CAPD_N = 2000
+
+
+def q_caption_dedup(sf_dir: str):
+    """Cross-modal caption dedup: normalize the IMAGE table's caption
+    (strip the per-image ' #N' suffix with one vectorized RE2 pass),
+    then keep one canonical image per normalized caption — the
+    duplicate-caption collapse a vision-language corpus runs before
+    training.  Per-batch partial (count + min keeper per caption)
+    pre-aggregates before a caption-hash BUCKETED lexsort/reduceat
+    merge — normalized captions are rows-cardinality at 10^12 images,
+    so the generic per-key aggregate never runs."""
+    N_BUCKETS = 16
+
+    from ..sources.images import read_synth_images
+
+    def partial(b: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(b["caption"], r" #\d+$", "")
+        t = pa.table(
+            {
+                "caption": norm,
+                "n_images": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "keeper": b["image_id"],
+            }
+        )
+        agg = pa.TableGroupBy(t, "caption").aggregate(
+            [("n_images", "sum"), ("keeper", "min")]
+        )
+        agg = agg.rename_columns(["caption", "n_images", "keeper"])
+        # deterministic across workers (Python hash() is per-process salted)
+        import zlib
+
+        h = np.array(
+            [zlib.crc32(c.encode()) for c in agg["caption"].to_pylist()],
+            dtype=np.int64,
+        )
+        return agg.append_column("bucket", pa.array(h % N_BUCKETS))
+
+    def merge(group: pa.Table) -> pa.Table:
+        cap = np.asarray(group["caption"].to_pylist(), dtype=object)
+        n = group["n_images"].to_numpy()
+        keep = np.asarray(group["keeper"].to_pylist(), dtype=object)
+        order = np.argsort(cap, kind="stable")
+        cap, n, keep = cap[order], n[order], keep[order]
+        starts = np.concatenate(([0], np.flatnonzero(cap[1:] != cap[:-1]) + 1))
+        tot = np.add.reduceat(n, starts)
+        kmin = np.minimum.reduceat(keep, starts)
+        return pa.table(
+            {
+                "caption": pa.array(cap[starts], pa.string()),
+                "n_images": pa.array(tot.astype(np.int64)),
+                "keeper": pa.array(kmin, pa.string()),
+            }
+        )
+
+    ds = read_synth_images(CAPD_N)
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def _build_caption_dedup_sql(n: int = CAPD_N) -> str:
+    from ..sources.images import CAPTION_EXTRAS, CAPTION_PLACES, CAPTION_SUBJECTS
+
+    def lst(words) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    return f"""
+    WITH idx AS (SELECT unnest(range({n})) AS i),
+    cap AS (
+      SELECT list_extract({lst(CAPTION_SUBJECTS)}, CAST(i % 5 AS INT) + 1) || ' ' ||
+             list_extract({lst(CAPTION_PLACES)}, CAST((i // 5) % 7 AS INT) + 1) || ' ' ||
+             list_extract({lst(CAPTION_EXTRAS)}, CAST((i // 35) % 5 AS INT) + 1) AS caption,
+             printf('img-%08d', CAST(i AS INT)) AS image_id
+      FROM idx
+    )
+    SELECT caption,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           MIN(image_id) AS keeper
+    FROM cap GROUP BY caption
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -8711,6 +8796,7 @@ def build_queries():
         "patch_stats": q_patch_stats,
         "simplify_poly": q_simplify_poly,
         "dup_frames": q_dup_frames,
+        "caption_dedup": q_caption_dedup,
     }
 
 
@@ -8879,4 +8965,5 @@ def build_oracle_sql():
         "promo_revenue": Q_PROMO_REVENUE_SQL,
         "returned_items": Q_RETURNED_ITEMS_SQL,
         "ann_pq": _build_ann_pq_sql(),
+        "caption_dedup": _build_caption_dedup_sql(),
     }

@@ -227,3 +227,26 @@ def test_dup_frames_planted_holds(ray_session):
     # the corpus actually contains both held and hold-free clips
     nds = [v[0] for v in e.values()]
     assert max(nds) > 0 and min(nds) == 0
+
+
+def test_caption_dedup_covers_corpus(ray_session):
+    from rust_geo_booleanop_ray.pipelines.queries import CAPD_N, q_caption_dedup
+
+    t = pa.Table.from_pylist(q_caption_dedup(SF).take_all())
+    assert sum(t["n_images"].to_pylist()) == CAPD_N
+    assert t.num_rows == 175  # 5 subjects × 7 places × 5 extras
+    # keeper is the lowest-index image and its caption matches the group
+    for cap, keeper in zip(t["caption"].to_pylist(), t["keeper"].to_pylist()):
+        i = int(keeper.split("-")[1])
+        from rust_geo_booleanop_ray.sources.images import (
+            CAPTION_EXTRAS,
+            CAPTION_PLACES,
+            CAPTION_SUBJECTS,
+        )
+
+        expect = (
+            f"{CAPTION_SUBJECTS[i % 5]} {CAPTION_PLACES[(i // 5) % 7]} "
+            f"{CAPTION_EXTRAS[(i // 35) % 5]}"
+        )
+        assert cap == expect
+        assert i < 175  # first occurrence of each combo is in the first cycle
