@@ -124,6 +124,7 @@ def bench_list():
         "simplify_poly",
         "dup_frames",
         "caption_dedup",
+        "convex_hull",
         "token_shards",
         "data_mixture",
         "cum_distinct",

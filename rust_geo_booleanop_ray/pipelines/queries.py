@@ -8673,6 +8673,101 @@ def _build_caption_dedup_sql(n: int = CAPD_N) -> str:
 """
 
 
+HULL_N = 4000
+HULL_GROUPS = 37
+
+
+def _hull_points(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic (group, x, y) triples for the hull corpus."""
+    from ..stages.footprint import _splitmix64
+
+    i = idx.astype(np.uint64)
+    g = (i % np.uint64(HULL_GROUPS)).astype(np.int64)
+    x = (_splitmix64(i * np.uint64(3)) % np.uint64(1000)).astype(np.int64)
+    y = (_splitmix64(i * np.uint64(3) + np.uint64(1)) % np.uint64(1000)).astype(
+        np.int64
+    )
+    return g, x, y
+
+
+def q_convex_hull(sf_dir: str):
+    """Per-group convex hull (dissolve-to-footprint primitive): the
+    associative hull combiner — hull(A∪B) = hull(hull(A)∪hull(B)) —
+    lets each block shrink its groups to O(hull) points BEFORE the
+    exchange, then one per-group merge reruns the same exact-integer
+    monotone-chain kernel (functions/hull.py) over the partial
+    unions.  Group count is bounded (regions/zones), so the final
+    groupby is small; the partial-hull shed is what survives 100 TB."""
+
+    import ray.data as rd
+
+    from ..functions.hull import convex_hull, hull_area2
+
+    def gen_partial(batch: pa.Table) -> pa.Table:
+        g, x, y = _hull_points(batch["id"].to_numpy())
+        order = np.argsort(g, kind="stable")
+        g, x, y = g[order], x[order], y[order]
+        starts = np.concatenate(([0], np.flatnonzero(g[1:] != g[:-1]) + 1))
+        counts = np.diff(np.concatenate((starts, [len(g)])))
+        out_g, out_x, out_y, out_n = [], [], [], []
+        for s, c in zip(starts, counts):
+            hx, hy = convex_hull(x[s : s + c], y[s : s + c])
+            out_g.append(np.full(len(hx), g[s], dtype=np.int64))
+            out_x.append(hx)
+            out_y.append(hy)
+            cnt = np.zeros(len(hx), dtype=np.int64)
+            cnt[0] = c  # block's point count rides on ONE partial row
+            out_n.append(cnt)
+        return pa.table(
+            {
+                "grp": pa.array(np.concatenate(out_g)),
+                "hx": pa.array(np.concatenate(out_x)),
+                "hy": pa.array(np.concatenate(out_y)),
+                "n_pts": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        hx, hy = convex_hull(group["hx"].to_numpy(), group["hy"].to_numpy())
+        return pa.table(
+            {
+                "grp": pa.array([int(group["grp"][0].as_py())], pa.int64()),
+                "n_points": pa.array([int(group["n_pts"].to_numpy().sum())], pa.int64()),
+                "hull_n": pa.array([len(hx)], pa.int64()),
+                "hull_area2": pa.array([hull_area2(hx, hy)], pa.int64()),
+            }
+        )
+
+    ds = rd.range(HULL_N, override_num_blocks=32)
+    return (
+        ds.map_batches(gen_partial, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def _build_convex_hull_sql() -> str:
+    """Expected-values oracle from the shared exact kernel over the
+    deterministic corpus (n_points double-counts partial-hull sharing
+    is avoided: each input point contributes once per group)."""
+    from ..functions.hull import convex_hull, hull_area2
+
+    g, x, y = _hull_points(np.arange(HULL_N, dtype=np.int64))
+    rows = []
+    for grp in range(HULL_GROUPS):
+        m = g == grp
+        hx, hy = convex_hull(x[m], y[m])
+        rows.append(
+            f"(CAST({grp} AS BIGINT), CAST({int(m.sum())} AS BIGINT),"
+            f" CAST({len(hx)} AS BIGINT), CAST({hull_area2(hx, hy)} AS BIGINT))"
+        )
+    return (
+        "\n    SELECT * FROM (VALUES\n      "
+        + ",\n      ".join(rows)
+        + "\n    ) AS expected(grp, n_points, hull_n, hull_area2)\n"
+    )
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -8797,6 +8892,7 @@ def build_queries():
         "simplify_poly": q_simplify_poly,
         "dup_frames": q_dup_frames,
         "caption_dedup": q_caption_dedup,
+        "convex_hull": q_convex_hull,
     }
 
 
@@ -8966,4 +9062,5 @@ def build_oracle_sql():
         "returned_items": Q_RETURNED_ITEMS_SQL,
         "ann_pq": _build_ann_pq_sql(),
         "caption_dedup": _build_caption_dedup_sql(),
+        "convex_hull": _build_convex_hull_sql(),
     }

@@ -250,3 +250,33 @@ def test_caption_dedup_covers_corpus(ray_session):
         )
         assert cap == expect
         assert i < 175  # first occurrence of each combo is in the first cycle
+
+
+def test_hull_kernel_properties():
+    """Monotone-chain hull: containment, idempotence, and the
+    associative merge law hull(A∪B) = hull(hull(A)∪hull(B)) that the
+    distributed partial-hull shed relies on."""
+    from rust_geo_booleanop_ray.functions.hull import convex_hull, hull_area2
+
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        n = int(rng.integers(1, 60))
+        xs = rng.integers(0, 30, n)
+        ys = rng.integers(0, 30, n)
+        hx, hy = convex_hull(xs, ys)
+        if len(hx) >= 3:
+            for i in range(len(hx)):
+                j = (i + 1) % len(hx)
+                c = (hx[j] - hx[i]) * (ys - hy[i]) - (hy[j] - hy[i]) * (xs - hx[i])
+                assert (c >= 0).all()
+            hx2, hy2 = convex_hull(hx, hy)
+            assert hull_area2(hx2, hy2) == hull_area2(hx, hy)
+        m = int(rng.integers(1, 40))
+        xb = rng.integers(0, 30, m)
+        yb = rng.integers(0, 30, m)
+        ha = convex_hull(np.concatenate([xs, xb]), np.concatenate([ys, yb]))
+        p1, p2 = convex_hull(xs, ys), convex_hull(xb, yb)
+        hb = convex_hull(
+            np.concatenate([p1[0], p2[0]]), np.concatenate([p1[1], p2[1]])
+        )
+        assert np.array_equal(ha[0], hb[0]) and np.array_equal(ha[1], hb[1])
