@@ -132,6 +132,7 @@ def bench_list():
         "returned_items",
         "left_join",
         "tfidf_topterms",
+        "bm25_topterms",
         "event_gaps",
         "rollup_sales",
         "dist_join",

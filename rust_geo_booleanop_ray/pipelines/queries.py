@@ -8768,6 +8768,93 @@ def _build_convex_hull_sql() -> str:
     )
 
 
+def q_bm25_topterms(sf_dir: str):
+    """BM25 feature extraction (integer-exact variant, k1=6/5 b=3/4):
+    each document's top-3 vocabulary terms with length-normalized
+    saturation — same two-pass shape as TF-IDF (global df aggregate →
+    broadcast V=100 vocab into shuffle-free in-batch scoring) plus two
+    corpus scalars (doc count, Σ doc length) folded from per-batch
+    partials.  Denominator-cleared integer arithmetic makes every
+    score mirror exactly (stages/text.py::make_bm25_scorer)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.text import (
+        TFIDF_SCALE,
+        df_partial_from_tf,
+        doc_term_tf_batch,
+        make_bm25_scorer,
+    )
+
+    V, K = 100, 3
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+
+    def len_partial(b: pa.Table) -> pa.Table:
+        tf = doc_term_tf_batch(b)
+        return pa.table({"tok": pa.array([int(tf["tf"].to_numpy().sum())], pa.int64())})
+
+    total_tokens = int(
+        docs.map_batches(len_partial, batch_format="pyarrow").aggregate(
+            Sum("tok", alias_name="tok")
+        )["tok"]
+    )
+    df = (
+        docs.map_batches(
+            lambda b: df_partial_from_tf(doc_term_tf_batch(b)),
+            batch_format="pyarrow",
+        )
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    vocab = df.sort(["df", "term"], descending=[True, False]).limit(V).take_all()
+    terms = np.array([r["term"] for r in vocab])
+    idf = np.array(
+        [(n_docs * TFIDF_SCALE) // r["df"] for r in vocab], dtype=np.int64
+    )
+    order = np.argsort(terms)
+    scorer = make_bm25_scorer(terms[order], idf[order], K, n_docs, total_tokens)
+    return docs.map_batches(scorer, batch_format="pyarrow")
+
+
+Q_BM25_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len FROM t GROUP BY doc_id),
+    corpus AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n,
+             (SELECT SUM(doc_len) FROM dl) AS tt
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY term),
+    v AS (
+      SELECT term, ((SELECT COUNT(*) FROM documents) * 1000000) // df AS idf_s
+      FROM df ORDER BY df DESC, term LIMIT 100
+    ),
+    s AS (
+      SELECT t.doc_id, t.term, t.tf, dl.doc_len,
+             (44 * v.idf_s * t.tf * c.tt)
+             // (20 * c.tt * t.tf + 6 * c.tt + 18 * dl.doc_len * c.n) AS score
+      FROM t
+      JOIN v ON t.term = v.term
+      JOIN dl ON dl.doc_id = t.doc_id
+      CROSS JOIN corpus c
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM s
+    )
+    SELECT doc_id, term, tf, doc_len, CAST(score AS BIGINT) AS score,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -8893,6 +8980,7 @@ def build_queries():
         "dup_frames": q_dup_frames,
         "caption_dedup": q_caption_dedup,
         "convex_hull": q_convex_hull,
+        "bm25_topterms": q_bm25_topterms,
     }
 
 
@@ -9063,4 +9151,5 @@ def build_oracle_sql():
         "ann_pq": _build_ann_pq_sql(),
         "caption_dedup": _build_caption_dedup_sql(),
         "convex_hull": _build_convex_hull_sql(),
+        "bm25_topterms": Q_BM25_SQL,
     }

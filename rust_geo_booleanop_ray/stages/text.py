@@ -236,3 +236,67 @@ def make_tfidf_scorer(vocab_terms, idf_scaled, k: int):
         )
 
     return score
+
+
+def make_bm25_scorer(
+    vocab_terms, idf_scaled, k: int, n_docs: int, total_tokens: int
+):
+    """Per-batch BM25 scorer against a broadcast top-V vocabulary —
+    the length-normalized upgrade of make_tfidf_scorer, kept
+    INTEGER-exact so the oracle mirrors every op: with k1 = 6/5 and
+    b = 3/4, clearing denominators gives
+
+        score = (44·idf_s·tf·T) // (20·T·tf + 6·T + 18·len_d·N)
+
+    where T = Σ doc lengths, N = corpus doc count, len_d = this
+    document's token count (derived in-batch — a doc's text lives in
+    one row).  All positive int64, `//` = DuckDB's truncating `//`.
+    Scoring itself needs no shuffle; only the df pass exchanges."""
+    from .topk import topk_select
+
+    vocab_terms = np.asarray(vocab_terms)
+    idf_scaled = np.asarray(idf_scaled, dtype=np.int64)
+    N = np.int64(n_docs)
+    T = np.int64(total_tokens)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = doc_term_tf_batch(batch)
+        doc_codes_all = np.asarray(
+            tf["doc_id"].combine_chunks().dictionary_encode().indices
+        )
+        tfv_all = tf["tf"].to_numpy()
+        # doc length = Σ tf over ALL the doc's terms (vocab or not)
+        n_in_batch = int(doc_codes_all.max()) + 1 if len(doc_codes_all) else 0
+        doc_len = np.zeros(n_in_batch, dtype=np.int64)
+        np.add.at(doc_len, doc_codes_all, tfv_all)
+
+        terms = tf["term"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vocab_terms, terms)
+        pos = np.clip(pos, 0, max(len(vocab_terms) - 1, 0))
+        hit = (
+            vocab_terms[pos] == terms
+            if len(vocab_terms)
+            else np.zeros(len(terms), dtype=bool)
+        )
+        tf = tf.filter(pa.array(hit))
+        pos = pos[hit]
+        tfv = tfv_all[hit]
+        codes = doc_codes_all[hit]
+        lens = doc_len[codes]
+        num = np.int64(44) * idf_scaled[pos] * tfv * T
+        den = np.int64(20) * T * tfv + np.int64(6) * T + np.int64(18) * lens * N
+        scores = num // den
+        keep, rank = topk_select(codes, scores, pos.astype(np.int64), k)
+        out = tf.take(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "term": out["term"],
+                "tf": out["tf"],
+                "doc_len": pa.array(lens[keep]),
+                "score": pa.array(scores[keep]),
+                "rank": pa.array(rank),
+            }
+        )
+
+    return score

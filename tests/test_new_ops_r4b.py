@@ -280,3 +280,21 @@ def test_hull_kernel_properties():
             np.concatenate([p1[0], p2[0]]), np.concatenate([p1[1], p2[1]])
         )
         assert np.array_equal(ha[0], hb[0]) and np.array_equal(ha[1], hb[1])
+
+
+def test_bm25_saturates_vs_tfidf(ray_session):
+    """BM25 invariants: rank ≤ 3 per doc, scores positive for vocab
+    hits, and term-frequency saturation — doubling tf less than
+    doubles the score (the k1 effect TF-IDF lacks)."""
+    from rust_geo_booleanop_ray.pipelines.queries import q_bm25_topterms
+
+    t = pa.Table.from_pylist(q_bm25_topterms(SF).take_all())
+    assert t.num_rows > 0
+    ranks = t["rank"].to_numpy()
+    assert ranks.min() == 1 and ranks.max() <= 3
+    assert (t["score"].to_numpy() > 0).all()
+    # saturation, computed with the scorer's exact integer formula
+    idf, T, N, dlen = 10**6, 25_000, 500, 50
+    def s(tf):
+        return (44 * idf * tf * T) // (20 * T * tf + 6 * T + 18 * dlen * N)
+    assert s(2) < 2 * s(1) and s(8) < 2 * s(4)
