@@ -121,6 +121,7 @@ def bench_list():
         "pivot_events",
         "aspect_bucket",
         "patch_stats",
+        "letterbox",
         "simplify_poly",
         "dup_frames",
         "caption_dedup",

@@ -8855,6 +8855,24 @@ Q_BM25_SQL = """
 """
 
 
+LETTERBOX_N = 1500
+
+
+def q_letterbox(sf_dir: str):
+    """Letterbox / padding-artifact detection: real decode → symmetric
+    constant-bar height per image over a corpus with PLANTED black
+    bars (stages/image_ops.py::DetectLetterbox).  The oracle replays
+    the detector over the generator's own pixels — the detector, not
+    the plant schedule, defines truth (a clean random interior could
+    legitimately have a uniform edge row)."""
+    from ..sources.images import read_synth_letterbox_images
+    from ..stages.image_ops import DetectLetterbox
+
+    return read_synth_letterbox_images(LETTERBOX_N).map_batches(
+        DetectLetterbox(), batch_format="pyarrow"
+    )
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -8981,6 +8999,7 @@ def build_queries():
         "caption_dedup": q_caption_dedup,
         "convex_hull": q_convex_hull,
         "bm25_topterms": q_bm25_topterms,
+        "letterbox": q_letterbox,
     }
 
 
@@ -9010,6 +9029,9 @@ def build_oracle_sql():
     from ..sources.images import expected_patch_stats
 
     patch_stats_sql = _values_oracle_sql(expected_patch_stats(PATCH_N))
+    from ..sources.images import expected_letterbox
+
+    letterbox_sql = _values_oracle_sql(expected_letterbox(LETTERBOX_N))
     video_frames_sql = _values_oracle_sql(expected_frame_features(500, stride=2))
     from ..sources.videos import expected_scene_stats
 
@@ -9046,6 +9068,7 @@ def build_oracle_sql():
         "pixel_histogram": _build_pixel_histogram_sql(),
         "image_augment": image_augment_sql,
         "patch_stats": patch_stats_sql,
+        "letterbox": letterbox_sql,
         "simplify_poly": _build_simplify_poly_sql(),
         "video_frames": video_frames_sql,
         "scene_stats": scene_stats_sql,

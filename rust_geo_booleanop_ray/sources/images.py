@@ -644,3 +644,93 @@ def expected_patch_stats(n_images: int, seed: int = 42, p: int = 4) -> pa.Table:
             "patch_contrast": pa.array(ct, pa.int64()),
         }
     )
+
+
+def _letterbox_pixels(i: int, seed: int = 42) -> tuple[np.ndarray, int]:
+    """Pixels for the letterbox corpus: base image with PLANTED
+    constant black bars of height ``bar`` at top and bottom when
+    splitmix64(i·977) % 4 == 0 (bar = 1 + hash % (h//4)); returns
+    (pixels, bar) with bar = 0 for clean images."""
+    from ..stages.footprint import _splitmix64
+
+    px = _base_pixels(i, seed).copy()
+    h = px.shape[0]
+    s = int(_splitmix64(np.uint64(i * 977)))
+    if s % 4 == 0:
+        bar = 1 + (s >> 8) % (h // 4)
+        px[:bar] = 0
+        px[h - bar :] = 0
+        return px, bar
+    return px, 0
+
+
+def synth_letterbox_batch(indices: np.ndarray, seed: int = 42) -> pa.Table:
+    from ..functions.png import encode_png
+
+    indices = np.asarray(indices, dtype=np.int64)
+    ids, payloads, ws, hs, fmts = [], [], [], [], []
+    for i in map(int, indices):
+        px, _ = _letterbox_pixels(i, seed)
+        ids.append(f"img-{i:08d}")
+        ws.append(px.shape[1])
+        hs.append(px.shape[0])
+        if i % 11 == 0:
+            payloads.append(encode_png(px))
+            fmts.append("png")
+        else:
+            payloads.append(px.tobytes())
+            fmts.append("raw")
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(payloads, pa.binary()),
+            "w": pa.array(np.array(ws, dtype=np.int32)),
+            "h": pa.array(np.array(hs, dtype=np.int32)),
+            "fmt": pa.array(fmts, pa.string()),
+        }
+    )
+
+
+def read_synth_letterbox_images(n_images: int, seed: int = 42):
+    import ray.data as rd
+
+    ds = rd.range(n_images, override_num_blocks=max(8, min(64, n_images // 2048)))
+    return ds.map_batches(
+        lambda b: synth_letterbox_batch(b["id"].to_numpy(), seed=seed),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def measure_letterbox(pixels: np.ndarray) -> int:
+    """Detected symmetric constant-bar height: the largest k such that
+    the top k and bottom k rows are each single-valued (max == min
+    per row) — integer-exact, bounded by h//2."""
+    h = pixels.shape[0]
+    p = pixels.reshape(h, -1)
+    rmin = p.min(axis=1).astype(np.int64)
+    rmax = p.max(axis=1).astype(np.int64)
+    const = rmin == rmax
+    k = 0
+    while k < h // 2 and const[k] and const[h - 1 - k]:
+        k += 1
+    return k
+
+
+def expected_letterbox(n_images: int, seed: int = 42) -> pa.Table:
+    """Generator-side expected letterbox report: detector math over
+    the generator's own pixels (random interiors can in principle
+    contain constant rows, so the DETECTOR — not the plant schedule —
+    is the oracle definition; in this corpus they coincide except
+    where a clean image happens to have a uniform edge row)."""
+    ids, bars = [], []
+    for i in range(n_images):
+        px, _ = _letterbox_pixels(i, seed)
+        ids.append(f"img-{i:08d}")
+        bars.append(measure_letterbox(px))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bar_px": pa.array(bars, pa.int64()),
+        }
+    )

@@ -472,3 +472,35 @@ class DecodePatches:
                 "patch_contrast": pa.array(list(ct), pa.int64()),
             }
         )
+
+
+class DetectLetterbox:
+    """Instance-callable stage (task UDF): decode payload → symmetric
+    constant-bar height (letterboxing / padding artifact detection) —
+    the wasted-pixel curation signal an image training pipeline crops
+    or drops on.  Integer-exact row-uniformity test, one min/max
+    reduction per image; payloads drop in-stage."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+        from ..sources.images import measure_letterbox
+
+        self._measure = measure_letterbox
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        bars = [
+            self._measure(
+                decode_image(payload, int(ws[i]), int(hs[i]), fmts[i], self.strict)
+            )
+            for i, payload in enumerate(payloads)
+        ]
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "bar_px": pa.array(bars, pa.int64()),
+            }
+        )

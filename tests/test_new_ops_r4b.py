@@ -298,3 +298,22 @@ def test_bm25_saturates_vs_tfidf(ray_session):
     def s(tf):
         return (44 * idf * tf * T) // (20 * T * tf + 6 * T + 18 * dlen * N)
     assert s(2) < 2 * s(1) and s(8) < 2 * s(4)
+
+
+def test_letterbox_detects_planted_bars(ray_session):
+    from rust_geo_booleanop_ray.pipelines.queries import q_letterbox
+    from rust_geo_booleanop_ray.sources.images import _letterbox_pixels
+
+    got = pa.Table.from_pylist(q_letterbox(SF).take_all())
+    by_id = dict(zip(got["image_id"].to_pylist(), got["bar_px"].to_pylist()))
+    planted = clean = 0
+    for i in range(1500):
+        _, bar = _letterbox_pixels(i)
+        d = by_id[f"img-{i:08d}"]
+        if bar > 0:
+            planted += 1
+            assert d >= bar  # detector finds at least the planted bar
+        else:
+            clean += 1
+            assert d <= 1  # random interiors are (almost) never uniform
+    assert planted > 200 and clean > 800
