@@ -8873,6 +8873,84 @@ def q_letterbox(sf_dir: str):
     )
 
 
+PCA_ITERS = 6
+PCA_SCALE = 1 << 20
+
+
+def q_pca_power(sf_dir: str):
+    """Top principal direction by integer power iteration (the PCA
+    pre-pass for whitening/compression): the DISTRIBUTED part is the
+    Gram tree-reduce (one 32 KiB (d,d) int64 grid to the driver
+    regardless of row count — stages/linalg.py::build_gram); the
+    driver then runs PCA_ITERS exact integer iterations v ← normalize
+    (G·v), where normalize is sign-preserving truncating scaling to
+    2^20 (floor on magnitudes — DuckDB's `//` truncates toward zero,
+    so magnitudes-only division keeps both engines identical).  Python
+    big-ints make the driver loop overflow-proof; the oracle unrolls
+    the same six iterations as chained CTEs in HUGEINT."""
+    from ..stages.linalg import build_gram
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    g = build_gram(ds, "embedding", GRAM_DIM)
+    G = [[int(x) for x in row] for row in g]
+    v = [PCA_SCALE] + [0] * (GRAM_DIM - 1)
+    for _ in range(PCA_ITERS):
+        w = [sum(G[i][j] * v[j] for j in range(GRAM_DIM)) for i in range(GRAM_DIM)]
+        mx = max(max(abs(x) for x in w), 1)
+        v = [
+            -((-x * PCA_SCALE) // mx) if x < 0 else (x * PCA_SCALE) // mx
+            for x in w
+        ]
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(GRAM_DIM, dtype=np.int64)),
+            "v": pa.array(np.array(v, dtype=np.int64)),
+        }
+    )
+
+
+def _build_pca_power_sql() -> str:
+    S = PCA_SCALE
+    ctes = [
+        f"""q AS (
+      SELECT list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    idx AS (SELECT unnest(range(1, {GRAM_DIM + 1})) AS a),
+    g AS (
+      SELECT i.a AS i, j.a AS j,
+             CAST(SUM(q.qv[i.a] * q.qv[j.a]) AS HUGEINT) AS g
+      FROM q, idx i, idx j GROUP BY 1, 2
+    ),
+    v0 AS (SELECT a AS d, CAST(CASE WHEN a = 1 THEN {S} ELSE 0 END AS HUGEINT) AS v FROM idx)"""
+    ]
+    for t in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f"""w{t} AS (
+      SELECT g.i AS d, SUM(g.g * v{t - 1}.v) AS w
+      FROM g JOIN v{t - 1} ON v{t - 1}.d = g.j GROUP BY 1
+    ),
+    n{t} AS (SELECT GREATEST(MAX(ABS(w)), 1) AS mx FROM w{t}),
+    v{t} AS (
+      SELECT d,
+             CASE WHEN w < 0 THEN -(((-w) * {S}) // mx)
+                  ELSE (w * {S}) // mx END AS v
+      FROM w{t}, n{t}
+    )"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(d - 1 AS BIGINT) AS dim, CAST(v AS BIGINT) AS v
+    FROM v{PCA_ITERS}
+"""
+    )
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -9000,6 +9078,7 @@ def build_queries():
         "convex_hull": q_convex_hull,
         "bm25_topterms": q_bm25_topterms,
         "letterbox": q_letterbox,
+        "pca_power": q_pca_power,
     }
 
 
@@ -9175,4 +9254,5 @@ def build_oracle_sql():
         "caption_dedup": _build_caption_dedup_sql(),
         "convex_hull": _build_convex_hull_sql(),
         "bm25_topterms": Q_BM25_SQL,
+        "pca_power": _build_pca_power_sql(),
     }

@@ -317,3 +317,30 @@ def test_letterbox_detects_planted_bars(ray_session):
             clean += 1
             assert d <= 1  # random interiors are (almost) never uniform
     assert planted > 200 and clean > 800
+
+
+def test_pca_power_improves_rayleigh(ray_session):
+    """The integer power iteration output is a unit-scale direction
+    whose Rayleigh quotient beats the starting axis and approaches
+    numpy's top eigenvalue on the same Gram matrix."""
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import q_pca_power
+    from rust_geo_booleanop_ray.stages.linalg import quantize_embeddings
+
+    t = q_pca_power(SF)  # returns a pa.Table (driver-side finish)
+    assert t.num_rows == 64
+    v = np.zeros(64)
+    v[t["dim"].to_numpy()] = t["v"].to_numpy().astype(np.float64)
+    assert np.abs(v).max() == float(1 << 20)  # normalized to scale
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])["embedding"]
+    q = quantize_embeddings(emb.combine_chunks()).astype(np.float64)
+    G = q.T @ q
+    def rq(x):
+        return float(x @ G @ x) / float(x @ x)
+    e0 = np.zeros(64)
+    e0[0] = 1.0
+    lam_top = float(np.linalg.eigvalsh(G)[-1])
+    assert rq(v) >= rq(e0)
+    assert rq(v) >= 0.8 * lam_top  # 6 iterations get close on real data
