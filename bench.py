@@ -111,6 +111,7 @@ def bench_list():
         "cms_counts",
         "kmv_overlap",
         "gram_matrix",
+        "pca_power",
         "spatial_antijoin",
         "vocab_topk",
         "group_quantiles",
