@@ -123,6 +123,7 @@ def bench_list():
         "aspect_bucket",
         "patch_stats",
         "letterbox",
+        "channel_stats",
         "simplify_poly",
         "dup_frames",
         "caption_dedup",

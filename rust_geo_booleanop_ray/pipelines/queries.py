@@ -8951,6 +8951,57 @@ def _build_pca_power_sql() -> str:
     )
 
 
+CHAN_N = 1500
+
+
+def q_channel_stats(sf_dir: str):
+    """Per-channel corpus normalization constants (the mean/std every
+    image trainer bakes into its input transform): real decode →
+    per-block (3,) count/sum/sumsq partials → one 9-int Sum exchange
+    regardless of corpus size.  Integer moments; the float mean/std
+    is the caller's division.  Expected-values oracle pins decode +
+    the reduction over every pixel byte."""
+    from ray.data.aggregate import Sum
+
+    from ..sources.images import read_synth_images
+    from ..stages.image_ops import decode_image
+
+    def partial(batch: pa.Table) -> pa.Table:
+        payloads = batch["bytes"].to_pylist()
+        ws = batch["w"].to_numpy()
+        hs = batch["h"].to_numpy()
+        fmts = batch["fmt"].to_pylist()
+        cnt = np.zeros(3, dtype=np.int64)
+        s = np.zeros(3, dtype=np.int64)
+        ss = np.zeros(3, dtype=np.int64)
+        for i, payload in enumerate(payloads):
+            px = decode_image(payload, int(ws[i]), int(hs[i]), fmts[i]).astype(
+                np.int64
+            )
+            cnt += px.shape[0] * px.shape[1]
+            s += px.sum(axis=(0, 1))
+            ss += (px * px).sum(axis=(0, 1))
+        return pa.table(
+            {
+                "channel": pa.array(np.arange(3, dtype=np.int64)),
+                "n_px": pa.array(cnt),
+                "sum_v": pa.array(s),
+                "sum_sq": pa.array(ss),
+            }
+        )
+
+    return (
+        read_synth_images(CHAN_N)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("channel")
+        .aggregate(
+            Sum("n_px", alias_name="n_px"),
+            Sum("sum_v", alias_name="sum_v"),
+            Sum("sum_sq", alias_name="sum_sq"),
+        )
+    )
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -9079,6 +9130,7 @@ def build_queries():
         "bm25_topterms": q_bm25_topterms,
         "letterbox": q_letterbox,
         "pca_power": q_pca_power,
+        "channel_stats": q_channel_stats,
     }
 
 
@@ -9111,6 +9163,9 @@ def build_oracle_sql():
     from ..sources.images import expected_letterbox
 
     letterbox_sql = _values_oracle_sql(expected_letterbox(LETTERBOX_N))
+    from ..sources.images import expected_channel_stats
+
+    channel_stats_sql = _values_oracle_sql(expected_channel_stats(CHAN_N))
     video_frames_sql = _values_oracle_sql(expected_frame_features(500, stride=2))
     from ..sources.videos import expected_scene_stats
 
@@ -9148,6 +9203,7 @@ def build_oracle_sql():
         "image_augment": image_augment_sql,
         "patch_stats": patch_stats_sql,
         "letterbox": letterbox_sql,
+        "channel_stats": channel_stats_sql,
         "simplify_poly": _build_simplify_poly_sql(),
         "video_frames": video_frames_sql,
         "scene_stats": scene_stats_sql,

@@ -734,3 +734,25 @@ def expected_letterbox(n_images: int, seed: int = 42) -> pa.Table:
             "bar_px": pa.array(bars, pa.int64()),
         }
     )
+
+
+def expected_channel_stats(n_images: int, seed: int = 42) -> pa.Table:
+    """Generator-side expected per-channel corpus moments (count, sum,
+    sum of squares — the trainer-normalization constants), recomputed
+    from the generator's pixel math."""
+    cnt = np.zeros(3, dtype=np.int64)
+    s = np.zeros(3, dtype=np.int64)
+    ss = np.zeros(3, dtype=np.int64)
+    for i in range(n_images):
+        px = _base_pixels(i, seed).astype(np.int64)
+        cnt += px.shape[0] * px.shape[1]
+        s += px.sum(axis=(0, 1))
+        ss += (px * px).sum(axis=(0, 1))
+    return pa.table(
+        {
+            "channel": pa.array(np.arange(3, dtype=np.int64)),
+            "n_px": pa.array(cnt),
+            "sum_v": pa.array(s),
+            "sum_sq": pa.array(ss),
+        }
+    )

@@ -344,3 +344,19 @@ def test_pca_power_improves_rayleigh(ray_session):
     lam_top = float(np.linalg.eigvalsh(G)[-1])
     assert rq(v) >= rq(e0)
     assert rq(v) >= 0.8 * lam_top  # 6 iterations get close on real data
+
+
+def test_channel_stats_mean_std_sane(ray_session):
+    """Corpus moments give the uniform-byte mean/std (pixels are
+    uniform 0..255): mean ≈ 127.5, std ≈ 73.9."""
+    from rust_geo_booleanop_ray.pipelines.queries import q_channel_stats
+
+    t = pa.Table.from_pylist(q_channel_stats(SF).take_all())
+    assert t.num_rows == 3
+    n = t["n_px"].to_numpy().astype(np.float64)
+    s = t["sum_v"].to_numpy().astype(np.float64)
+    ss = t["sum_sq"].to_numpy().astype(np.float64)
+    mean = s / n
+    std = np.sqrt(ss / n - mean**2)
+    assert np.allclose(mean, 127.5, atol=1.0)
+    assert np.allclose(std, 73.9, atol=1.0)
