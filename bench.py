@@ -95,6 +95,7 @@ def bench_list():
         "audio_features",
         "scene_stats",
         "regex_tokens",
+        "props_extract",
         "range_join",
         "range_join_big",
         "dissolve",

@@ -9002,6 +9002,52 @@ def q_channel_stats(sf_dir: str):
     )
 
 
+def q_props_extract(sf_dir: str):
+    """Semi-structured field extraction (the log-parsing step): pull
+    the integer ``k`` out of the JSON-ish ``props`` string with ONE
+    vectorized RE2 pass per batch (pyarrow extract_regex — never a
+    per-row json.loads), decade-bucket it, and aggregate count +
+    value-cents per (event_type, k_bucket).  Per-batch combiner
+    pre-aggregates, so the exchange moves ≤ types×buckets rows per
+    block."""
+    from ray.data.aggregate import Sum
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "k_bucket": pa.array((k // 10).astype(np.int64)),
+                "n": pa.array(np.ones(len(k), dtype=np.int64)),
+                "sum_value_c": pa.array(_cents(b["value"].to_numpy())),
+            }
+        )
+        agg = pa.TableGroupBy(t, ["event_type", "k_bucket"]).aggregate(
+            [("n", "sum"), ("sum_value_c", "sum")]
+        )
+        return agg.rename_columns(["event_type", "k_bucket", "n", "sum_value_c"])
+
+    ds = _read(sf_dir, "events", ["event_type", "props", "value"])
+    return (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby(["event_type", "k_bucket"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value_c", alias_name="sum_value_c"))
+    )
+
+
+Q_PROPS_EXTRACT_SQL = """
+    SELECT event_type,
+           CAST(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) // 10 AS BIGINT) AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -9131,6 +9177,7 @@ def build_queries():
         "letterbox": q_letterbox,
         "pca_power": q_pca_power,
         "channel_stats": q_channel_stats,
+        "props_extract": q_props_extract,
     }
 
 
@@ -9311,4 +9358,5 @@ def build_oracle_sql():
         "convex_hull": _build_convex_hull_sql(),
         "bm25_topterms": Q_BM25_SQL,
         "pca_power": _build_pca_power_sql(),
+        "props_extract": Q_PROPS_EXTRACT_SQL,
     }

@@ -360,3 +360,15 @@ def test_channel_stats_mean_std_sane(ray_session):
     std = np.sqrt(ss / n - mean**2)
     assert np.allclose(mean, 127.5, atol=1.0)
     assert np.allclose(std, 73.9, atol=1.0)
+
+
+def test_props_extract_covers_all_events(ray_session):
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import q_props_extract
+
+    t = pa.Table.from_pylist(q_props_extract(SF).take_all())
+    n_events = pq.read_table(f"{SF}/events.parquet", columns=["event_id"]).num_rows
+    assert sum(t["n"].to_pylist()) == n_events
+    kb = t["k_bucket"].to_numpy()
+    assert kb.min() >= 0 and kb.max() <= 9  # k in 0..99
