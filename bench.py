@@ -138,6 +138,7 @@ def bench_list():
         "tfidf_topterms",
         "bm25_topterms",
         "event_gaps",
+        "gap_fill",
         "rollup_sales",
         "dist_join",
         "semi_join",

@@ -9048,6 +9048,88 @@ Q_PROPS_EXTRACT_SQL = """
 """
 
 
+def q_gap_fill(sf_dir: str):
+    """Time-series densification / gap filling: one row per (user,
+    hour) over each user's active span, zeros where the log is silent
+    — the resample step before windowed feature extraction.  Users
+    are rows-cardinality, so the kernel is user-hash BUCKETED; inside
+    a bucket the fill is ONE vectorized pass: per-user span extents
+    via reduceat, repeat/arange row synthesis, scatter-add of the
+    observed counts (no per-user Python, no row loop)."""
+    N_BUCKETS = 64
+    US_PER_HOUR = 3_600_000_000
+
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
+        u = b["user_id"].to_numpy().astype(np.uint64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "hour": pa.array(ts // US_PER_HOUR, pa.int64()),
+                "bucket": pa.array(
+                    (_splitmix64(u) % np.uint64(N_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def fill(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        h = group["hour"].to_numpy()
+        order = np.lexsort((h, u))
+        u, h = u[order], h[order]
+        new_u = np.concatenate(([True], u[1:] != u[:-1]))
+        starts = np.flatnonzero(new_u)
+        ends = np.concatenate((starts[1:], [len(u)]))
+        hmin = h[starts]
+        hmax = h[ends - 1]  # h sorted within user
+        spans = hmax - hmin + 1
+        offsets = np.concatenate(([0], np.cumsum(spans)[:-1]))
+        total = int(spans.sum())
+        seg = np.repeat(np.arange(len(starts)), spans)
+        out_u = u[starts][seg]
+        out_h = hmin[seg] + (np.arange(total) - offsets[seg])
+        # scatter-add observed events into their synthesized slot
+        ev_seg = np.cumsum(new_u) - 1
+        pos = offsets[ev_seg] + (h - hmin[ev_seg])
+        n = np.zeros(total, dtype=np.int64)
+        np.add.at(n, pos, 1)
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "hour": pa.array(out_h, pa.int64()),
+                "n": pa.array(n),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fill, batch_format="pyarrow")
+    )
+
+
+Q_GAP_FILL_SQL = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS hour FROM events
+    ),
+    span AS (
+      SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM e GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(range(h0, h1 + 1)) AS hour FROM span
+    ),
+    cnt AS (
+      SELECT user_id, hour, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2
+    )
+    SELECT g.user_id, CAST(g.hour AS BIGINT) AS hour,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN cnt c ON c.user_id = g.user_id AND c.hour = g.hour
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -9178,6 +9260,7 @@ def build_queries():
         "pca_power": q_pca_power,
         "channel_stats": q_channel_stats,
         "props_extract": q_props_extract,
+        "gap_fill": q_gap_fill,
     }
 
 
@@ -9359,4 +9442,5 @@ def build_oracle_sql():
         "bm25_topterms": Q_BM25_SQL,
         "pca_power": _build_pca_power_sql(),
         "props_extract": Q_PROPS_EXTRACT_SQL,
+        "gap_fill": Q_GAP_FILL_SQL,
     }

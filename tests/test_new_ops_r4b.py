@@ -372,3 +372,18 @@ def test_props_extract_covers_all_events(ray_session):
     assert sum(t["n"].to_pylist()) == n_events
     kb = t["k_bucket"].to_numpy()
     assert kb.min() >= 0 and kb.max() <= 9  # k in 0..99
+
+
+def test_gap_fill_dense_and_conserving(ray_session):
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import q_gap_fill
+
+    t = pa.Table.from_pylist(q_gap_fill(SF).take_all())
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])
+    assert sum(t["n"].to_pylist()) == ev.num_rows  # every event lands once
+    u = t["user_id"].to_numpy()
+    h = t["hour"].to_numpy()
+    for uu in np.unique(u)[:10]:
+        hh = np.sort(h[u == uu])
+        assert np.array_equal(hh, np.arange(hh[0], hh[-1] + 1))  # dense span
