@@ -140,6 +140,7 @@ def bench_list():
         "event_gaps",
         "gap_fill",
         "rollup_sales",
+        "zorder_layout",
         "dist_join",
         "semi_join",
         "full_join",

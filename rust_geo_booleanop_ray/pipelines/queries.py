@@ -9130,6 +9130,86 @@ Q_GAP_FILL_SQL = """
 """
 
 
+def _zorder_sql_expr(xcol: str, ycol: str, bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xcol} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({ycol} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) data layout + zone maps — the clustering pass
+    a lakehouse runs so multi-column predicates skip files: each row's
+    16-bit (partkey, suppkey) halves interleave into a 32-bit z-value
+    (vectorized shift/or, the cells.py trick on key space instead of
+    geometry), rows land in z-range partitions (z >> 14), and the query
+    emits each partition's zone map (count + min/max of BOTH keys).
+    The per-batch combiner pre-aggregates, so the exchange moves
+    ≤ 256 rows per block; narrow min/max ranges per partition are
+    exactly what makes the layout prunable."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = (b["l_partkey"].to_numpy() & 0xFFFF).astype(np.uint64)
+        y = (b["l_suppkey"].to_numpy() & 0xFFFF).astype(np.uint64)
+        z = np.zeros(len(x), dtype=np.uint64)
+        for bit in range(16):
+            z |= ((x >> np.uint64(bit)) & np.uint64(1)) << np.uint64(2 * bit)
+            z |= ((y >> np.uint64(bit)) & np.uint64(1)) << np.uint64(2 * bit + 1)
+        t = pa.table(
+            {
+                "zpart": pa.array((z >> np.uint64(14)).astype(np.int64)),
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "min_part": b["l_partkey"],
+                "max_part": b["l_partkey"],
+                "min_supp": b["l_suppkey"],
+                "max_supp": b["l_suppkey"],
+            }
+        )
+        agg = pa.TableGroupBy(t, "zpart").aggregate(
+            [
+                ("n", "sum"),
+                ("min_part", "min"),
+                ("max_part", "max"),
+                ("min_supp", "min"),
+                ("max_supp", "max"),
+            ]
+        )
+        return agg.rename_columns(
+            ["zpart", "n", "min_part", "max_part", "min_supp", "max_supp"]
+        )
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("zpart")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("min_part", alias_name="min_part"),
+            Max("max_part", alias_name="max_part"),
+            Min("min_supp", alias_name="min_supp"),
+            Max("max_supp", alias_name="max_supp"),
+        )
+    )
+
+
+Q_ZORDER_LAYOUT_SQL = f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey,
+             ({_zorder_sql_expr("(l_partkey & 65535)", "(l_suppkey & 65535)")}) >> 14 AS zpart
+      FROM lineitem
+    )
+    SELECT CAST(zpart AS BIGINT) AS zpart,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+           CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+           CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+           CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
+    FROM z GROUP BY zpart
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -9261,6 +9341,7 @@ def build_queries():
         "channel_stats": q_channel_stats,
         "props_extract": q_props_extract,
         "gap_fill": q_gap_fill,
+        "zorder_layout": q_zorder_layout,
     }
 
 
@@ -9443,4 +9524,5 @@ def build_oracle_sql():
         "pca_power": _build_pca_power_sql(),
         "props_extract": Q_PROPS_EXTRACT_SQL,
         "gap_fill": Q_GAP_FILL_SQL,
+        "zorder_layout": Q_ZORDER_LAYOUT_SQL,
     }

@@ -387,3 +387,19 @@ def test_gap_fill_dense_and_conserving(ray_session):
     for uu in np.unique(u)[:10]:
         hh = np.sort(h[u == uu])
         assert np.array_equal(hh, np.arange(hh[0], hh[-1] + 1))  # dense span
+
+
+def test_zorder_zone_maps_prunable(ray_session):
+    """Z-order partitions give narrower per-partition key ranges than
+    the global range (the property that makes the layout skippable)."""
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import q_zorder_layout
+
+    t = pa.Table.from_pylist(q_zorder_layout(SF).take_all())
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_partkey"])
+    assert sum(t["n"].to_pylist()) == li.num_rows
+    glob = li["l_partkey"].to_numpy().max() - li["l_partkey"].to_numpy().min()
+    widths = t["max_part"].to_numpy() - t["min_part"].to_numpy()
+    # average zone width well under the global range
+    assert widths.mean() < 0.8 * glob
