@@ -139,6 +139,8 @@ def bench_list():
         "bm25_topterms",
         "event_gaps",
         "gap_fill",
+        "period_over_period",
+        "skew_report",
         "rollup_sales",
         "zorder_layout",
         "dist_join",

@@ -9210,6 +9210,132 @@ Q_ZORDER_LAYOUT_SQL = f"""
 """
 
 
+def q_period_over_period(sf_dir: str):
+    """Period-over-period analytics: weekly order revenue per priority
+    with the previous week's value and the delta (the WoW dashboard
+    op).  The heavy pass is one partial-aggregated Sum exchange
+    (≤ priorities×weeks rows); the LAG runs per priority group — 5
+    groups, each one vectorized sort+shift (key cardinality is the
+    ENUM, not rows, so groupby is the right tool here)."""
+    from ray.data.aggregate import Sum
+
+    US_PER_WEEK = 7 * 24 * 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["o_orderdate"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        t = pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "week": pa.array(ts // US_PER_WEEK, pa.int64()),
+                "rev_c": pa.array(_cents(b["o_totalprice"].to_numpy())),
+            }
+        )
+        agg = pa.TableGroupBy(t, ["o_orderpriority", "week"]).aggregate(
+            [("rev_c", "sum")]
+        )
+        return agg.rename_columns(["o_orderpriority", "week", "rev_c"])
+
+    def lag(group: pa.Table) -> pa.Table:
+        w = group["week"].to_numpy()
+        r = group["rev_c"].to_numpy()
+        order = np.argsort(w)
+        w, r = w[order], r[order]
+        prev = np.empty_like(r)
+        prev[0] = -1
+        prev[1:] = r[:-1]
+        # LAG over observed weeks (not the dense calendar): -1 sentinel
+        return pa.table(
+            {
+                "o_orderpriority": group["o_orderpriority"].take(
+                    pa.array(order.astype(np.int64))
+                ),
+                "week": pa.array(w, pa.int64()),
+                "rev_c": pa.array(r, pa.int64()),
+                "prev_rev_c": pa.array(prev, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "week"])
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+        .groupby("o_orderpriority")
+        .map_groups(lag, batch_format="pyarrow")
+    )
+
+
+Q_PERIOD_OVER_PERIOD_SQL = """
+    WITH w AS (
+      SELECT o_orderpriority,
+             epoch_us(o_orderdate) // 604800000000 AS week,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, CAST(week AS BIGINT) AS week, rev_c,
+           CAST(COALESCE(LAG(rev_c) OVER (
+                PARTITION BY o_orderpriority ORDER BY week), -1) AS BIGINT) AS prev_rev_c
+    FROM w
+"""
+
+
+SKEW_BUCKETS = 1024
+
+
+def q_skew_report(sf_dir: str):
+    """Pre-shuffle skew diagnosis: hash the join key into 1024
+    buckets, count per bucket, and fold the distribution into one
+    summary row (nonempty buckets, max/min bucket load, total rows) —
+    the report you read BEFORE deciding salting/splitting for a 100-TB
+    exchange.  Two tiny exchanges: per-block bucket counts → Sum, then
+    a single-row fold."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"].to_numpy().astype(np.uint64)
+        h = ((k % np.uint64(2**32)) * np.uint64(2654435761)) % np.uint64(2**32)
+        bucket = (h % np.uint64(SKEW_BUCKETS)).astype(np.int64)
+        cnt = np.bincount(bucket, minlength=SKEW_BUCKETS).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"bucket": pa.array(nz), "n": pa.array(cnt[nz])}
+        )
+
+    def fold(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy()
+        return pa.table(
+            {
+                "nonempty_buckets": pa.array([len(n)], pa.int64()),
+                "max_bucket": pa.array([int(n.max())], pa.int64()),
+                "min_bucket": pa.array([int(n.min())], pa.int64()),
+                "total_rows": pa.array([int(n.sum())], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+    )
+
+
+Q_SKEW_REPORT_SQL = f"""
+    WITH b AS (
+      SELECT (((o_custkey % 4294967296) * 2654435761) % 4294967296) % {SKEW_BUCKETS} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS nonempty_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(MIN(n) AS BIGINT) AS min_bucket,
+           CAST(SUM(n) AS BIGINT) AS total_rows
+    FROM b
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -9342,6 +9468,8 @@ def build_queries():
         "props_extract": q_props_extract,
         "gap_fill": q_gap_fill,
         "zorder_layout": q_zorder_layout,
+        "period_over_period": q_period_over_period,
+        "skew_report": q_skew_report,
     }
 
 
@@ -9525,4 +9653,6 @@ def build_oracle_sql():
         "props_extract": Q_PROPS_EXTRACT_SQL,
         "gap_fill": Q_GAP_FILL_SQL,
         "zorder_layout": Q_ZORDER_LAYOUT_SQL,
+        "period_over_period": Q_PERIOD_OVER_PERIOD_SQL,
+        "skew_report": Q_SKEW_REPORT_SQL,
     }

@@ -403,3 +403,30 @@ def test_zorder_zone_maps_prunable(ray_session):
     widths = t["max_part"].to_numpy() - t["min_part"].to_numpy()
     # average zone width well under the global range
     assert widths.mean() < 0.8 * glob
+
+
+def test_period_over_period_lag_chain(ray_session):
+    from rust_geo_booleanop_ray.pipelines.queries import q_period_over_period
+
+    t = pa.Table.from_pylist(q_period_over_period(SF).take_all())
+    prio = np.array(t["o_orderpriority"].to_pylist())
+    wk = t["week"].to_numpy()
+    rev = t["rev_c"].to_numpy()
+    prev = t["prev_rev_c"].to_numpy()
+    for p in np.unique(prio):
+        m = prio == p
+        order = np.argsort(wk[m])
+        r, pv = rev[m][order], prev[m][order]
+        assert pv[0] == -1
+        assert np.array_equal(pv[1:], r[:-1])
+
+
+def test_skew_report_totals(ray_session):
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import q_skew_report
+
+    t = pa.Table.from_pylist(q_skew_report(SF).take_all())
+    n_orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey"]).num_rows
+    assert t["total_rows"][0].as_py() == n_orders
+    assert t["max_bucket"][0].as_py() >= t["min_bucket"][0].as_py() >= 1
