@@ -100,6 +100,7 @@ def bench_list():
         "range_join_big",
         "dissolve",
         "fingerprints",
+        "contamination",
         "embedding_near_dup",
         "mutual_nn",
         # dedup_components stays out of the headline: its label-

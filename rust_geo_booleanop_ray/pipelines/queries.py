@@ -9336,6 +9336,144 @@ Q_SKEW_REPORT_SQL = f"""
 """
 
 
+def q_contamination(sf_dir: str):
+    """Train/eval contamination detection (the decontamination pass an
+    LLM pipeline runs before training): eval docs (doc_id % 50 == 0)
+    are flagged when they share ANY 8-code-point window hash with a
+    train doc; output is each eval doc's count of contaminating train
+    docs.  Shape: per-doc distinct window hashes (stages/text.py::
+    window_hashes_batch) → ONE hash-bucketed shuffle joins eval×train
+    within buckets → ONE eval-bucketed shuffle dedups (eval, train)
+    pairs and counts — all kernels lexsort/unique, no per-key
+    Python.  At 10^12 docs the window set is winnowed; exactness here
+    keeps the oracle bit-true."""
+    N_BUCKETS = 64
+
+    from ..stages.text import window_hashes_batch
+
+    def prep(b: pa.Table) -> pa.Table:
+        w = window_hashes_batch(b)
+        d = w["doc_id"].to_numpy()
+        h = w["hv"].to_numpy()
+        from ..stages.footprint import _splitmix64
+
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "hv": pa.array(h),
+                "is_eval": pa.array((d % 50 == 0).astype(np.int64)),
+                "bucket": pa.array(
+                    (_splitmix64(h.astype(np.uint64)) % np.uint64(N_BUCKETS)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        h = group["hv"].to_numpy()
+        d = group["doc_id"].to_numpy()
+        ev = group["is_eval"].to_numpy().astype(bool)
+        order = np.lexsort((d, h))
+        h, d, ev = h[order], d[order], ev[order]
+        starts = np.concatenate(([0], np.flatnonzero(h[1:] != h[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(h)]))
+        # shed pure runs first: only hash runs containing BOTH sides
+        # fan out (the loop is over mixed runs whose total body work
+        # IS the output size — not a per-distinct-key dispatch)
+        e_cnt = np.add.reduceat(ev.astype(np.int64), starts)
+        n_cnt = ends - starts
+        mixed = np.flatnonzero((e_cnt > 0) & (e_cnt < n_cnt))
+        out_e, out_t = [], []
+        for k in mixed:
+            s, e = starts[k], ends[k]
+            evs = d[s:e][ev[s:e]]
+            trs = d[s:e][~ev[s:e]]
+            out_e.append(np.repeat(evs, len(trs)))
+            out_t.append(np.tile(trs, len(evs)))
+        if not out_e:
+            return pa.table(
+                {"eval_doc": pa.array([], pa.int64()), "train_doc": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "eval_doc": pa.array(np.concatenate(out_e)),
+                "train_doc": pa.array(np.concatenate(out_t)),
+            }
+        )
+
+    def ebucket(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
+        e = b["eval_doc"].to_numpy().astype(np.uint64)
+        return b.append_column(
+            "bucket",
+            pa.array((_splitmix64(e) % np.uint64(N_BUCKETS)).astype(np.int64)),
+        )
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        e = group["eval_doc"].to_numpy()
+        t = group["train_doc"].to_numpy()
+        pairs = np.unique(np.column_stack([e, t]), axis=0)
+        ue = pairs[:, 0]
+        starts = np.concatenate(([0], np.flatnonzero(ue[1:] != ue[:-1]) + 1))
+        counts = np.diff(np.concatenate((starts, [len(ue)])))
+        return pa.table(
+            {
+                "eval_doc": pa.array(ue[starts], pa.int64()),
+                "n_train": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
+    return (
+        pairs.map_batches(ebucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(count_bucket, batch_format="pyarrow")
+    )
+
+
+def _build_contamination_sql() -> str:
+    from ..stages.text import _FP_BASE, _FP_WINDOW
+
+    B = int(_FP_BASE)
+    H = 1 << 64
+    powers = [pow(B, k, H) for k in range(_FP_WINDOW)]
+    terms = " + ".join(
+        f"unicode(t[i+{j}:i+{j}]) * {powers[_FP_WINDOW - 1 - j]}::HUGEINT"
+        for j in range(_FP_WINDOW)
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < {_FP_WINDOW}
+                  THEN text || repeat(' ', {_FP_WINDOW} - length(text))
+                  ELSE text END AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest([ (({terms}) % 18446744073709551616::HUGEINT)
+                      FOR i IN range(1, length(t) - {_FP_WINDOW - 2}) ]) AS hv
+      FROM c
+    ),
+    d AS (SELECT DISTINCT doc_id, hv FROM w),
+    ev AS (SELECT * FROM d WHERE doc_id % 50 = 0),
+    tr AS (SELECT * FROM d WHERE doc_id % 50 <> 0),
+    hits AS (
+      SELECT DISTINCT ev.doc_id AS eval_doc, tr.doc_id AS train_doc
+      FROM ev JOIN tr ON ev.hv = tr.hv
+    )
+    SELECT eval_doc, CAST(COUNT(*) AS BIGINT) AS n_train
+    FROM hits GROUP BY eval_doc
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -9470,6 +9608,7 @@ def build_queries():
         "zorder_layout": q_zorder_layout,
         "period_over_period": q_period_over_period,
         "skew_report": q_skew_report,
+        "contamination": q_contamination,
     }
 
 
@@ -9655,4 +9794,5 @@ def build_oracle_sql():
         "zorder_layout": Q_ZORDER_LAYOUT_SQL,
         "period_over_period": Q_PERIOD_OVER_PERIOD_SQL,
         "skew_report": Q_SKEW_REPORT_SQL,
+        "contamination": _build_contamination_sql(),
     }

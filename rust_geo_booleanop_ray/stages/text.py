@@ -300,3 +300,32 @@ def make_bm25_scorer(
         )
 
     return score
+
+
+def window_hashes_batch(batch: pa.Table) -> pa.Table:
+    """ALL distinct 8-code-point rolling-hash window values per doc
+    (the n-gram set behind contamination / decontamination checks) —
+    same polynomial hash as fingerprint_batch, every window kept
+    instead of the min.  At 10^12 docs a winnowing sample (keep
+    per-position-window minima) bounds the fanout; the full set here
+    keeps the oracle exact."""
+    texts = batch["text"].to_pylist()
+    ids = batch["doc_id"].to_numpy()
+    out_doc, out_h = [], []
+    for i, t in enumerate(texts):
+        if len(t) < _FP_WINDOW:
+            t = t + " " * (_FP_WINDOW - len(t))
+        data = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        n = len(data) - _FP_WINDOW + 1
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(_FP_WINDOW):
+            h = h * _FP_BASE + data[j : j + n]
+        hv = np.unique(h.astype(np.int64))
+        out_doc.append(np.full(len(hv), ids[i], dtype=np.int64))
+        out_h.append(hv)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_doc) if out_doc else []),
+            "hv": pa.array(np.concatenate(out_h) if out_h else []),
+        }
+    )

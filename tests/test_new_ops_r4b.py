@@ -430,3 +430,29 @@ def test_skew_report_totals(ray_session):
     n_orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey"]).num_rows
     assert t["total_rows"][0].as_py() == n_orders
     assert t["max_bucket"][0].as_py() >= t["min_bucket"][0].as_py() >= 1
+
+
+def test_contamination_brute_force_parity(ray_session):
+    """Distributed contamination report equals a brute-force n-gram
+    overlap check on the same corpus."""
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import q_contamination
+    from rust_geo_booleanop_ray.stages.text import window_hashes_batch
+
+    got = pa.Table.from_pylist(q_contamination(SF).take_all())
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    w = window_hashes_batch(docs)
+    d = w["doc_id"].to_numpy()
+    h = w["hv"].to_numpy()
+    sets = {}
+    for dd, hh in zip(d, h):
+        sets.setdefault(int(dd), set()).add(int(hh))
+    expect = {}
+    for e in [x for x in sets if x % 50 == 0]:
+        n = sum(
+            1 for t in sets if t % 50 != 0 and sets[e] & sets[t]
+        )
+        if n:
+            expect[e] = n
+    assert dict(zip(got["eval_doc"].to_pylist(), got["n_train"].to_pylist())) == expect
