@@ -117,6 +117,7 @@ def bench_list():
         "spatial_antijoin",
         "vocab_topk",
         "group_quantiles",
+        "percent_rank",
         "zonal_stats",
         "buffer_dissolve",
         "anti_join",

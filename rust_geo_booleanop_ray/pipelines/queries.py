@@ -9474,6 +9474,48 @@ def _build_contamination_sql() -> str:
 """
 
 
+def q_percent_rank(sf_dir: str):
+    """Percent-rank normalization (integer basis points): each order's
+    price rank within its priority, pr_bp = (rank−1)·10⁴ // (n−1) with
+    RANK ties (count of strictly smaller + 1).  Partition key is the
+    5-value ENUM — groupby is the right tool; inside a group ONE
+    sort + searchsorted ranks every row (ties exact, no per-row
+    Python).  The feature-scaling op that makes skewed columns
+    comparable before training."""
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        v = _cents(group["o_totalprice"].to_numpy())
+        sv = np.sort(v)
+        rank = np.searchsorted(sv, v, side="left") + 1
+        n = len(v)
+        pr = (rank - 1) * 10000 // max(n - 1, 1)
+        return pa.table(
+            {
+                "o_orderkey": group["o_orderkey"],
+                "o_orderpriority": group["o_orderpriority"],
+                "price_c": pa.array(v, pa.int64()),
+                "pr_bp": pa.array(pr.astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return ds.groupby("o_orderpriority").map_groups(
+        rank_group, batch_format="pyarrow"
+    )
+
+
+Q_PERCENT_RANK_SQL = """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+           CAST((RANK() OVER (PARTITION BY o_orderpriority
+                              ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) - 1)
+                * 10000
+                // GREATEST(COUNT(*) OVER (PARTITION BY o_orderpriority) - 1, 1)
+                AS BIGINT) AS pr_bp
+    FROM orders
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -9609,6 +9651,7 @@ def build_queries():
         "period_over_period": q_period_over_period,
         "skew_report": q_skew_report,
         "contamination": q_contamination,
+        "percent_rank": q_percent_rank,
     }
 
 
@@ -9795,4 +9838,5 @@ def build_oracle_sql():
         "period_over_period": Q_PERIOD_OVER_PERIOD_SQL,
         "skew_report": Q_SKEW_REPORT_SQL,
         "contamination": _build_contamination_sql(),
+        "percent_rank": Q_PERCENT_RANK_SQL,
     }

@@ -456,3 +456,17 @@ def test_contamination_brute_force_parity(ray_session):
         if n:
             expect[e] = n
     assert dict(zip(got["eval_doc"].to_pylist(), got["n_train"].to_pylist())) == expect
+
+
+def test_percent_rank_bounds_and_monotone(ray_session):
+    from rust_geo_booleanop_ray.pipelines.queries import q_percent_rank
+
+    t = pa.Table.from_pylist(q_percent_rank(SF).take_all())
+    pr = t["pr_bp"].to_numpy()
+    assert pr.min() == 0 and pr.max() <= 10000
+    prio = np.array(t["o_orderpriority"].to_pylist())
+    price = t["price_c"].to_numpy()
+    for p in np.unique(prio)[:2]:
+        m = prio == p
+        order = np.argsort(price[m], kind="stable")
+        assert np.all(np.diff(pr[m][order]) >= 0)  # monotone in price
