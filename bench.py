@@ -114,6 +114,7 @@ def bench_list():
         "kmv_overlap",
         "gram_matrix",
         "pca_power",
+        "kmeans_labels",
         "spatial_antijoin",
         "vocab_topk",
         "group_quantiles",

@@ -9516,6 +9516,106 @@ Q_PERCENT_RANK_SQL = """
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q_kmeans_labels(sf_dir: str):
+    """Distributed k-means over the embedding table (the clustering
+    pass behind SemDeDup-style curation and IVF training): 3 exact
+    INTEGER iterations — each a streamed assignment pass folding to a
+    k×(1+d) partial and one Sum tree-reduce; centroid updates are
+    sign-preserving truncating division so the oracle replays every
+    op (stages/linalg.py::kmeans_iterate).  Init = the first k
+    quantized vectors; output = per-cluster size + centroid L1 norm."""
+    import pyarrow.parquet as pq
+
+    from ..stages.linalg import (
+        kmeans_assign_summary,
+        kmeans_iterate,
+        quantize_embeddings,
+    )
+
+    seed_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", KMEANS_K)],
+    ).sort_by("vec_id")
+    init = quantize_embeddings(seed_t["embedding"].combine_chunks())
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    cent = kmeans_iterate(ds, "embedding", GRAM_DIM, KMEANS_K, init, KMEANS_ITERS)
+    return kmeans_assign_summary(ds, "embedding", cent)
+
+
+def _build_kmeans_sql() -> str:
+    K, D, ITERS = KMEANS_K, GRAM_DIM, KMEANS_ITERS
+    dist = (
+        "list_sum(list_transform(range(1, %d), i -> "
+        "(q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))" % (D + 1)
+    )
+    ctes = [
+        f"""q AS (
+      SELECT vec_id, list_transform(
+               embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+             ) AS qv
+      FROM embeddings
+    ),
+    dims AS (SELECT unnest(range(1, {D + 1})) AS d),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c, qv AS cv
+      FROM q WHERE vec_id < {K}
+    )"""
+    ]
+    for t in range(1, ITERS + 1):
+        prev = f"c{t - 1}"
+        ctes.append(
+            f"""a{t} AS (
+      SELECT vec_id, qv, c FROM (
+        SELECT q.vec_id, q.qv, c.c,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {dist}, c.c) AS rn
+        FROM q, {prev} c
+      ) WHERE rn = 1
+    ),
+    u{t} AS (
+      SELECT a.c, d.d, SUM(a.qv[d.d]) AS s, COUNT(*) AS n
+      FROM a{t} a, dims d GROUP BY 1, 2
+    ),
+    m{t} AS (
+      SELECT c, list(CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END
+                     ORDER BY d) AS cv
+      FROM u{t} GROUP BY c
+    ),
+    c{t} AS (
+      SELECT p.c, COALESCE(m.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN m{t} m ON m.c = p.c
+    )"""
+        )
+    dist_f = (
+        "list_sum(list_transform(range(1, %d), i -> "
+        "(q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))" % (D + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    af AS (
+      SELECT vec_id, c FROM (
+        SELECT q.vec_id, c.c,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {dist_f}, c.c) AS rn
+        FROM q, c{ITERS} c
+      ) WHERE rn = 1
+    )
+    SELECT af.c AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(list_sum(list_transform(cf.cv, x -> abs(x))) AS BIGINT) AS c_norm1
+    FROM af JOIN c{ITERS} cf ON cf.c = af.c
+    GROUP BY af.c, cf.cv
+"""
+    )
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -9652,6 +9752,7 @@ def build_queries():
         "skew_report": q_skew_report,
         "contamination": q_contamination,
         "percent_rank": q_percent_rank,
+        "kmeans_labels": q_kmeans_labels,
     }
 
 
@@ -9839,4 +9940,5 @@ def build_oracle_sql():
         "skew_report": Q_SKEW_REPORT_SQL,
         "contamination": _build_contamination_sql(),
         "percent_rank": Q_PERCENT_RANK_SQL,
+        "kmeans_labels": _build_kmeans_sql(),
     }

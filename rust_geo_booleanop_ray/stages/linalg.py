@@ -103,3 +103,99 @@ def build_dim_stats(ds, col: str, dim: int) -> dict:
     )
     st = ds.aggregate(agg)["dim_stats"]
     return {"sum": st[0], "min": st[1], "max": st[2]}
+
+
+def kmeans_iterate(ds, col: str, dim: int, k: int, init: np.ndarray, iters: int):
+    """Distributed k-means on QUANTIZED integer embeddings: per
+    iteration one streamed pass — each block computes exact int64 L2²
+    assignments against the broadcast centroids and folds to a
+    (k, 1+dim) partial (count + per-dim sums); a Sum tree-reduce
+    brings k·(1+dim) ints to the driver, which updates centroids with
+    TRUNCATING integer division (sign-preserved — DuckDB's `//`
+    truncates toward zero, so the oracle replays every op).  Empty
+    clusters keep their previous centroid.  Returns the final
+    centroids; assignment against them is one more streamed pass."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cent = init.astype(np.int64).copy()
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(b: pa.Table, _ref=cent_ref) -> pa.Table:
+            c = ray.get(_ref)
+            q = quantize_embeddings(b[col])
+            d2 = (
+                (q * q).sum(axis=1, keepdims=True)
+                - 2 * (q @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            cols = {"cluster": pa.array(np.arange(k, dtype=np.int64))}
+            cnt = np.bincount(assign, minlength=k).astype(np.int64)
+            cols["n"] = pa.array(cnt)
+            sums = np.zeros((k, q.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            for dd in range(q.shape[1]):
+                cols[f"s{dd}"] = pa.array(sums[:, dd])
+            return pa.table(cols)
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cluster")
+            .aggregate(
+                Sum("n", alias_name="n"),
+                *[Sum(f"s{dd}", alias_name=f"s{dd}") for dd in range(dim)],
+            )
+            .take_all()
+        )
+        new = cent.copy()
+        for row in agg:
+            c = int(row["cluster"])
+            n = int(row["n"])
+            if n == 0:
+                continue
+            s = np.array([int(row[f"s{dd}"]) for dd in range(dim)], dtype=np.int64)
+            new[c] = np.where(s < 0, -((-s) // n), s // n)
+        cent = new
+    return cent
+
+
+def kmeans_assign_summary(ds, col: str, centroids: np.ndarray):
+    """Final streamed assignment pass → per-cluster (n_members,
+    centroid L1 norm) summary table."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    k = len(centroids)
+    cent_ref = ray.put(centroids.astype(np.int64))
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        q = quantize_embeddings(b[col])
+        d2 = (
+            (q * q).sum(axis=1, keepdims=True)
+            - 2 * (q @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        cnt = np.bincount(assign, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "n_members": pa.array(cnt),
+            }
+        )
+
+    norms = np.abs(centroids.astype(np.int64)).sum(axis=1)
+
+    def attach(b: pa.Table) -> pa.Table:
+        cl = b["cluster"].to_numpy()
+        return b.append_column("c_norm1", pa.array(norms[cl], pa.int64()))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n_members", alias_name="n_members"))
+        .map_batches(attach, batch_format="pyarrow")
+    )

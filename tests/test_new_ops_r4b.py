@@ -470,3 +470,46 @@ def test_percent_rank_bounds_and_monotone(ray_session):
         m = prio == p
         order = np.argsort(price[m], kind="stable")
         assert np.all(np.diff(pr[m][order]) >= 0)  # monotone in price
+
+
+def test_kmeans_objective_decreases(ray_session):
+    """The integer k-means iterations do not increase the clustering
+    objective (Σ min-distance²), and the final summary partitions all
+    vectors."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from rust_geo_booleanop_ray.pipelines.queries import (
+        GRAM_DIM,
+        KMEANS_K,
+        q_kmeans_labels,
+    )
+    from rust_geo_booleanop_ray.stages.linalg import (
+        kmeans_iterate,
+        quantize_embeddings,
+    )
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = quantize_embeddings(emb["embedding"].combine_chunks())
+
+    def objective(cent):
+        d2 = (
+            (q * q).sum(axis=1, keepdims=True)
+            - 2 * (q @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        return int(d2.min(axis=1).sum())
+
+    init = q[np.argsort(emb["vec_id"].to_numpy())[:KMEANS_K]]
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["embedding"])
+    objs = [objective(init)]
+    cent = init
+    for _ in range(3):
+        cent = kmeans_iterate(ds, "embedding", GRAM_DIM, KMEANS_K, cent, 1)
+        objs.append(objective(cent))
+    # truncating-integer centroids can add ±1-ulp wobble; allow 0.1%
+    for a, b in zip(objs, objs[1:]):
+        assert b <= a * 1.001, objs
+
+    t = pa.Table.from_pylist(q_kmeans_labels(SF).take_all())
+    assert sum(t["n_members"].to_pylist()) == emb.num_rows
