@@ -143,6 +143,7 @@ def bench_list():
         "event_gaps",
         "gap_fill",
         "period_over_period",
+        "late_events",
         "skew_report",
         "rollup_sales",
         "zorder_layout",

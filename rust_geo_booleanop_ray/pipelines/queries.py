@@ -9616,6 +9616,82 @@ def _build_kmeans_sql() -> str:
     )
 
 
+def q_late_events(sf_dir: str):
+    """Event-time lateness profile (the watermark diagnosis of a
+    streaming ingest): per user, events are replayed in ARRIVAL order
+    (event_id); lateness = running max of event time minus this
+    event's time.  One bucketed lexsort + segment-rebased cummax per
+    user bucket (the running_total shape with maximum.accumulate);
+    output per user: late-event count and max lateness µs."""
+    N_BUCKETS = 64
+
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
+        u = b["user_id"].to_numpy().astype(np.uint64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "t": pa.array(ts, pa.int64()),
+                "bucket": pa.array(
+                    (_splitmix64(u) % np.uint64(N_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def lateness(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        t = group["t"].to_numpy()
+        order = np.lexsort((eid, u))
+        u, t = u[order], t[order]
+        new_u = np.concatenate(([True], u[1:] != u[:-1]))
+        # segment-rebased running max: lift each user's segment onto
+        # its own disjoint band so one global maximum.accumulate can't
+        # carry a previous user's watermark across the boundary
+        seg = np.cumsum(new_u) - 1
+        BIG = np.int64(1) << np.int64(50)
+        lifted = t + seg * BIG
+        run = np.maximum.accumulate(lifted) - seg * BIG
+        late = run - t
+        n_late = np.zeros(len(t), dtype=np.int64)
+        n_late[late > 0] = 1
+        starts = np.flatnonzero(new_u)
+        tot_late = np.add.reduceat(n_late, starts)
+        max_late = np.maximum.reduceat(late, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "n_late": pa.array(tot_late),
+                "max_late_us": pa.array(max_late.astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lateness, batch_format="pyarrow")
+    )
+
+
+Q_LATE_EVENTS_SQL = """
+    WITH r AS (
+      SELECT user_id,
+             MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING)
+             - epoch_us(ts) AS late
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(MAX(late) AS BIGINT) AS max_late_us
+    FROM r GROUP BY user_id
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -9753,6 +9829,7 @@ def build_queries():
         "contamination": q_contamination,
         "percent_rank": q_percent_rank,
         "kmeans_labels": q_kmeans_labels,
+        "late_events": q_late_events,
     }
 
 
@@ -9941,4 +10018,5 @@ def build_oracle_sql():
         "contamination": _build_contamination_sql(),
         "percent_rank": Q_PERCENT_RANK_SQL,
         "kmeans_labels": _build_kmeans_sql(),
+        "late_events": Q_LATE_EVENTS_SQL,
     }

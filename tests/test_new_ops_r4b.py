@@ -513,3 +513,30 @@ def test_kmeans_objective_decreases(ray_session):
 
     t = pa.Table.from_pylist(q_kmeans_labels(SF).take_all())
     assert sum(t["n_members"].to_pylist()) == emb.num_rows
+
+
+def test_late_events_watermark_semantics(ray_session):
+    """Per-user lateness equals a per-user replay with a running
+    watermark (brute-force parity at sf0.001)."""
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import q_late_events
+
+    got = pa.Table.from_pylist(q_late_events(SF).take_all())
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"])
+    u = ev["user_id"].to_numpy()
+    eid = ev["event_id"].to_numpy()
+    ts = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    expect = {}
+    for uu in np.unique(u):
+        m = u == uu
+        order = np.argsort(eid[m])
+        t = ts[m][order]
+        run = np.maximum.accumulate(t)
+        late = run - t
+        expect[int(uu)] = (int((late > 0).sum()), int(late.max()))
+    g = {
+        got["user_id"][i].as_py(): (got["n_late"][i].as_py(), got["max_late_us"][i].as_py())
+        for i in range(got.num_rows)
+    }
+    assert g == expect
