@@ -115,6 +115,7 @@ def bench_list():
         "gram_matrix",
         "pca_power",
         "kmeans_labels",
+        "semantic_dedup",
         "spatial_antijoin",
         "vocab_topk",
         "group_quantiles",

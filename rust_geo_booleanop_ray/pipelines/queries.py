@@ -9547,7 +9547,9 @@ def q_kmeans_labels(sf_dir: str):
     return kmeans_assign_summary(ds, "embedding", cent)
 
 
-def _build_kmeans_sql() -> str:
+def _kmeans_ctes() -> str:
+    """Shared CTE chain: quantize → init → ITERS unrolled iterations →
+    final assignment ``af(vec_id, c)`` with centroids ``c{ITERS}``."""
     K, D, ITERS = KMEANS_K, GRAM_DIM, KMEANS_ITERS
     dist = (
         "list_sum(list_transform(range(1, %d), i -> "
@@ -9596,24 +9598,28 @@ def _build_kmeans_sql() -> str:
         "(q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))" % (D + 1)
     )
     return (
-        "\n    WITH "
-        + ",\n    ".join(ctes)
+        ",\n    ".join(ctes)
         + f""",
     af AS (
-      SELECT vec_id, c FROM (
-        SELECT q.vec_id, c.c,
+      SELECT vec_id, qv, c FROM (
+        SELECT q.vec_id, q.qv, c.c,
                row_number() OVER (PARTITION BY q.vec_id
                                   ORDER BY {dist_f}, c.c) AS rn
         FROM q, c{ITERS} c
       ) WHERE rn = 1
+    )"""
     )
+
+
+def _build_kmeans_sql() -> str:
+    return f"""
+    WITH {_kmeans_ctes()}
     SELECT af.c AS cluster,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(list_sum(list_transform(cf.cv, x -> abs(x))) AS BIGINT) AS c_norm1
-    FROM af JOIN c{ITERS} cf ON cf.c = af.c
+    FROM af JOIN c{KMEANS_ITERS} cf ON cf.c = af.c
     GROUP BY af.c, cf.cv
 """
-    )
 
 
 def q_late_events(sf_dir: str):
@@ -9689,6 +9695,119 @@ Q_LATE_EVENTS_SQL = """
            CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
            CAST(MAX(late) AS BIGINT) AS max_late_us
     FROM r GROUP BY user_id
+"""
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-shaped semantic dedup: cluster the embedding space
+    with the integer k-means (3 streamed iterations), then find each
+    cluster's CLOSEST pair by exact quantized L2² — the candidate the
+    curation pass would drop first.  Pairwise work never crosses
+    clusters (the SemDeDup trick that makes 10^12-vector dedup
+    tractable: O(Σ n_c²) ≪ O(n²)); within a cluster the pair matrix
+    is chunked numpy.  k is bounded, so groupby(cluster) is a
+    small exchange."""
+    import pyarrow.parquet as pq
+
+    from ..stages.linalg import kmeans_iterate, quantize_embeddings
+
+    seed_t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", KMEANS_K)],
+    ).sort_by("vec_id")
+    init = quantize_embeddings(seed_t["embedding"].combine_chunks())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = kmeans_iterate(ds, "embedding", GRAM_DIM, KMEANS_K, init, KMEANS_ITERS)
+
+    import ray
+
+    cent_ref = ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        q = quantize_embeddings(b["embedding"])
+        d2 = (
+            (q * q).sum(axis=1, keepdims=True)
+            - 2 * (q @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        t = pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+            }
+        )
+        for dd in range(q.shape[1]):
+            t = t.append_column(f"q{dd}", pa.array(q[:, dd]))
+        return t
+
+    def closest_pair(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy()
+        q = np.column_stack(
+            [group[f"q{dd}"].to_numpy() for dd in range(GRAM_DIM)]
+        )
+        n = len(ids)
+        if n < 2:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "d2": pa.array([], pa.int64()),
+                }
+            )
+        order = np.argsort(ids)
+        ids, q = ids[order], q[order]
+        sq = (q * q).sum(axis=1)
+        best = (np.iinfo(np.int64).max, -1, -1)
+        CH = 512
+        for s in range(0, n, CH):
+            e = min(s + CH, n)
+            d2 = sq[s:e, None] - 2 * (q[s:e] @ q.T) + sq[None, :]
+            ii, jj = np.meshgrid(np.arange(s, e), np.arange(n), indexing="ij")
+            mask = ii < jj
+            if not mask.any():
+                continue
+            dd = d2[mask]
+            k = int(np.lexsort((jj[mask], ii[mask], dd))[0])
+            cand = (int(dd[k]), int(ids[ii[mask][k]]), int(ids[jj[mask][k]]))
+            if cand < best:
+                best = cand
+        return pa.table(
+            {
+                "cluster": pa.array([int(group["cluster"][0].as_py())], pa.int64()),
+                "doc_a": pa.array([best[1]], pa.int64()),
+                "doc_b": pa.array([best[2]], pa.int64()),
+                "d2": pa.array([best[0]], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(closest_pair, batch_format="pyarrow")
+    )
+
+
+def _build_semantic_dedup_sql() -> str:
+    D = GRAM_DIM
+    dist = (
+        "list_sum(list_transform(range(1, %d), i -> "
+        "(a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])))" % (D + 1)
+    )
+    return f"""
+    WITH {_kmeans_ctes()},
+    pairs AS (
+      SELECT a.c AS cluster, a.vec_id AS doc_a, b.vec_id AS doc_b,
+             {dist} AS d2
+      FROM af a JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id
+    )
+    SELECT cluster, doc_a, doc_b, CAST(d2 AS BIGINT) AS d2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY cluster
+                                   ORDER BY d2, doc_a, doc_b) AS rn
+      FROM pairs
+    ) WHERE rn = 1
 """
 
 
@@ -9830,6 +9949,7 @@ def build_queries():
         "percent_rank": q_percent_rank,
         "kmeans_labels": q_kmeans_labels,
         "late_events": q_late_events,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -10019,4 +10139,5 @@ def build_oracle_sql():
         "percent_rank": Q_PERCENT_RANK_SQL,
         "kmeans_labels": _build_kmeans_sql(),
         "late_events": Q_LATE_EVENTS_SQL,
+        "semantic_dedup": _build_semantic_dedup_sql(),
     }

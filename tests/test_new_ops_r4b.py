@@ -540,3 +540,46 @@ def test_late_events_watermark_semantics(ray_session):
         for i in range(got.num_rows)
     }
     assert g == expect
+
+
+def test_semantic_dedup_closest_pair_brute(ray_session):
+    """Each cluster's reported pair is the true closest pair by
+    quantized L2² within that cluster (brute force at sf0.001)."""
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import (
+        GRAM_DIM,
+        KMEANS_ITERS,
+        KMEANS_K,
+        q_semantic_dedup,
+    )
+    from rust_geo_booleanop_ray.stages.linalg import (
+        kmeans_iterate,
+        quantize_embeddings,
+    )
+    import ray.data as rd
+
+    got = pa.Table.from_pylist(q_semantic_dedup(SF).take_all())
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = quantize_embeddings(emb["embedding"].combine_chunks())
+    vid = emb["vec_id"].to_numpy()
+    init = q[np.argsort(vid)[:KMEANS_K]]
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["embedding"])
+    cent = kmeans_iterate(ds, "embedding", GRAM_DIM, KMEANS_K, init, KMEANS_ITERS)
+    d2c = (
+        (q * q).sum(axis=1, keepdims=True) - 2 * (q @ cent.T)
+        + (cent * cent).sum(axis=1)[None, :]
+    )
+    assign = np.argmin(d2c, axis=1)
+    for i in range(got.num_rows):
+        c = got["cluster"][i].as_py()
+        m = assign == c
+        ids, qq = vid[m], q[m]
+        best = None
+        for a in range(len(ids)):
+            for b_ in range(a + 1, len(ids)):
+                d = int(((qq[a] - qq[b_]) ** 2).sum())
+                key = (d, min(ids[a], ids[b_]), max(ids[a], ids[b_]))
+                if best is None or key < best:
+                    best = key
+        assert (got["d2"][i].as_py(), got["doc_a"][i].as_py(), got["doc_b"][i].as_py()) == best
