@@ -146,6 +146,7 @@ def bench_list():
         "period_over_period",
         "late_events",
         "skew_report",
+        "degree_hist",
         "rollup_sales",
         "zorder_layout",
         "dist_join",

@@ -9811,6 +9811,69 @@ def _build_semantic_dedup_sql() -> str:
 """
 
 
+def q_degree_hist(sf_dir: str):
+    """Count-of-counts / degree distribution (orders per customer →
+    histogram of customer order-counts): the two-level aggregate
+    whose FIRST level is rows-cardinality — per-block partial counts
+    merge in custkey-hash buckets (reduceat), and each bucket folds
+    its exact per-customer totals STRAIGHT into histogram partials
+    (count, n_customers) before the second, tiny Sum exchange — the
+    full per-customer table never leaves the buckets."""
+    N_BUCKETS = 64
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.footprint import _splitmix64
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        agg = pa.TableGroupBy(t, "o_custkey").aggregate([("n", "sum")])
+        agg = agg.rename_columns(["o_custkey", "n"])
+        h = _splitmix64(agg["o_custkey"].to_numpy().astype(np.uint64))
+        return agg.append_column(
+            "bucket", pa.array((h % np.uint64(N_BUCKETS)).astype(np.int64))
+        )
+
+    def hist_bucket(group: pa.Table) -> pa.Table:
+        k = group["o_custkey"].to_numpy()
+        n = group["n"].to_numpy()
+        order = np.argsort(k, kind="stable")
+        k, n = k[order], n[order]
+        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        tot = np.add.reduceat(n, starts)
+        counts, freqs = np.unique(tot, return_counts=True)
+        return pa.table(
+            {
+                "n_orders": pa.array(counts.astype(np.int64)),
+                "n_customers": pa.array(freqs.astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(hist_bucket, batch_format="pyarrow")
+        .groupby("n_orders")
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+    )
+
+
+Q_DEGREE_HIST_SQL = """
+    WITH d AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM d GROUP BY n_orders
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -9950,6 +10013,7 @@ def build_queries():
         "kmeans_labels": q_kmeans_labels,
         "late_events": q_late_events,
         "semantic_dedup": q_semantic_dedup,
+        "degree_hist": q_degree_hist,
     }
 
 
@@ -10140,4 +10204,5 @@ def build_oracle_sql():
         "kmeans_labels": _build_kmeans_sql(),
         "late_events": Q_LATE_EVENTS_SQL,
         "semantic_dedup": _build_semantic_dedup_sql(),
+        "degree_hist": Q_DEGREE_HIST_SQL,
     }

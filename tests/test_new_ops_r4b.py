@@ -583,3 +583,17 @@ def test_semantic_dedup_closest_pair_brute(ray_session):
                 if best is None or key < best:
                     best = key
         assert (got["d2"][i].as_py(), got["doc_a"][i].as_py(), got["doc_b"][i].as_py()) == best
+
+
+def test_degree_hist_conserves_customers(ray_session):
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import q_degree_hist
+
+    t = pa.Table.from_pylist(q_degree_hist(SF).take_all())
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey"])
+    n_cust = len(np.unique(orders["o_custkey"].to_numpy()))
+    assert sum(t["n_customers"].to_pylist()) == n_cust
+    # Σ n_orders × n_customers = total orders
+    tot = (t["n_orders"].to_numpy() * t["n_customers"].to_numpy()).sum()
+    assert tot == orders.num_rows
