@@ -98,6 +98,7 @@ def bench_list():
         "props_extract",
         "range_join",
         "range_join_big",
+        "stream_join",
         "dissolve",
         "fingerprints",
         "contamination",

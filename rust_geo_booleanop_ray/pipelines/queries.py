@@ -9874,6 +9874,105 @@ Q_DEGREE_HIST_SQL = """
 """
 
 
+STREAM_JOIN_WINDOW_US = 3_600_000_000  # 1 h
+
+
+def q_stream_join(sf_dir: str):
+    """Stream-stream windowed join (the Flink/Beam interval join):
+    every (click, purchase) pair of the SAME user with the purchase
+    in [click, click+1h].  Distinct from asof (nearest single match)
+    and range_join (static interval table): both sides are streams.
+    User-bucketed; inside a bucket clicks and purchases sort once and
+    TWO searchsorted calls bound each click's purchase slice — pair
+    emission is the output size, not a nested scan.  Irrelevant event
+    types shed before the exchange."""
+    N_BUCKETS = 64
+
+    def prep(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        u = b["user_id"].to_numpy()[keep].astype(np.uint64)
+        ts = (
+            b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)[keep]
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u.astype(np.int64)),
+                "event_id": pa.array(b["event_id"].to_numpy()[keep]),
+                "t": pa.array(ts),
+                "is_click": pa.array((et[keep] == "click").astype(np.int64)),
+                "bucket": pa.array(
+                    (_splitmix64(u) % np.uint64(N_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        t = group["t"].to_numpy()
+        click = group["is_click"].to_numpy().astype(bool)
+        BIG = np.int64(1) << np.int64(50)
+        # lift each user's timeline onto a disjoint band: ONE pair of
+        # searchsorted calls then resolves every user's windows at once
+        uu, uidx = np.unique(u, return_inverse=True)
+        lift = uidx.astype(np.int64) * BIG
+        ct = np.sort(t[click] + lift[click])
+        c_eid_order = np.argsort(t[click] + lift[click], kind="stable")
+        c_eid = eid[click][c_eid_order]
+        c_t = (t[click] + lift[click])[c_eid_order]
+        p_order = np.argsort(t[~click] + lift[~click], kind="stable")
+        p_t = (t[~click] + lift[~click])[p_order]
+        p_eid = eid[~click][p_order]
+        lo = np.searchsorted(p_t, c_t, side="left")
+        # side="left": the window is half-open [t, t+W) like the SQL
+        hi = np.searchsorted(p_t, c_t + STREAM_JOIN_WINDOW_US, side="left")
+        # same-band guard: window never crosses the BIG band gap
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "click_id": pa.array([], pa.int64()),
+                    "purchase_id": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        seg = np.repeat(np.arange(len(c_t)), counts)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pidx = lo[seg] + (np.arange(total) - offs[seg])
+        return pa.table(
+            {
+                "click_id": pa.array(c_eid[seg], pa.int64()),
+                "purchase_id": pa.array(p_eid[pidx], pa.int64()),
+                "gap_us": pa.array((p_t[pidx] - c_t[seg]).astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
+
+
+Q_STREAM_JOIN_SQL = f"""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND epoch_us(p.ts) >= epoch_us(c.ts)
+     AND epoch_us(p.ts) < epoch_us(c.ts) + {STREAM_JOIN_WINDOW_US}
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -10014,6 +10113,7 @@ def build_queries():
         "late_events": q_late_events,
         "semantic_dedup": q_semantic_dedup,
         "degree_hist": q_degree_hist,
+        "stream_join": q_stream_join,
     }
 
 
@@ -10205,4 +10305,5 @@ def build_oracle_sql():
         "late_events": Q_LATE_EVENTS_SQL,
         "semantic_dedup": _build_semantic_dedup_sql(),
         "degree_hist": Q_DEGREE_HIST_SQL,
+        "stream_join": Q_STREAM_JOIN_SQL,
     }

@@ -597,3 +597,34 @@ def test_degree_hist_conserves_customers(ray_session):
     # Σ n_orders × n_customers = total orders
     tot = (t["n_orders"].to_numpy() * t["n_customers"].to_numpy()).sum()
     assert tot == orders.num_rows
+
+
+def test_stream_join_brute_parity(ray_session):
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import (
+        STREAM_JOIN_WINDOW_US,
+        q_stream_join,
+    )
+
+    got = pa.Table.from_pylist(q_stream_join(SF).take_all())
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    u = ev["user_id"].to_numpy()
+    eid = ev["event_id"].to_numpy()
+    ts = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    et = np.array(ev["event_type"].to_pylist())
+    expect = set()
+    for i in np.flatnonzero(et == "click"):
+        for j in np.flatnonzero((et == "purchase") & (u == u[i])):
+            if ts[i] <= ts[j] < ts[i] + STREAM_JOIN_WINDOW_US:
+                expect.add((int(eid[i]), int(eid[j]), int(ts[j] - ts[i])))
+    have = set(
+        zip(
+            got["click_id"].to_pylist(),
+            got["purchase_id"].to_pylist(),
+            got["gap_us"].to_pylist(),
+        )
+    )
+    assert have == expect and len(have) > 0
