@@ -8787,17 +8787,22 @@ def q_bm25_topterms(sf_dir: str):
 
     V, K = 100, 3
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
 
     def len_partial(b: pa.Table) -> pa.Table:
+        # one pass yields BOTH corpus scalars (doc count + Σ tokens)
         tf = doc_term_tf_batch(b)
-        return pa.table({"tok": pa.array([int(tf["tf"].to_numpy().sum())], pa.int64())})
+        return pa.table(
+            {
+                "tok": pa.array([int(tf["tf"].to_numpy().sum())], pa.int64()),
+                "nd": pa.array([b.num_rows], pa.int64()),
+            }
+        )
 
-    total_tokens = int(
-        docs.map_batches(len_partial, batch_format="pyarrow").aggregate(
-            Sum("tok", alias_name="tok")
-        )["tok"]
+    scalars = docs.map_batches(len_partial, batch_format="pyarrow").aggregate(
+        Sum("tok", alias_name="tok"), Sum("nd", alias_name="nd")
     )
+    total_tokens = int(scalars["tok"])
+    n_docs = int(scalars["nd"])
     df = (
         docs.map_batches(
             lambda b: df_partial_from_tf(doc_term_tf_batch(b)),
@@ -9474,20 +9479,78 @@ def _build_contamination_sql() -> str:
 """
 
 
+PR_RANGE_SHIFT = 14  # price ranges of 2^14 cents (~$164) bound each shuffle group
+
+
 def q_percent_rank(sf_dir: str):
     """Percent-rank normalization (integer basis points): each order's
     price rank within its priority, pr_bp = (rank−1)·10⁴ // (n−1) with
-    RANK ties (count of strictly smaller + 1).  Partition key is the
-    5-value ENUM — groupby is the right tool; inside a group ONE
-    sort + searchsorted ranks every row (ties exact, no per-row
-    Python).  The feature-scaling op that makes skewed columns
-    comparable before training."""
+    RANK ties (count of strictly smaller + 1).  TWO-PASS distributed
+    rank — a whole enum partition is rows-cardinality DATA, so it is
+    never sorted on one worker: pass 1 folds per-(priority, price
+    range) counts into a tiny aggregate whose per-priority prefix
+    sums broadcast back as range OFFSETS; pass 2 shuffles rows by
+    (priority, range) — bounded groups — and one searchsorted inside
+    the range gives rank = offset + local strictly-smaller count."""
+    from ray.data.aggregate import Sum
 
-    def rank_group(group: pa.Table) -> pa.Table:
-        v = _cents(group["o_totalprice"].to_numpy())
+    def range_counts(b: pa.Table) -> pa.Table:
+        v = _cents(b["o_totalprice"].to_numpy())
+        t = pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "rng": pa.array(v >> PR_RANGE_SHIFT, pa.int64()),
+                "n": pa.array(np.ones(len(v), dtype=np.int64)),
+            }
+        )
+        agg = pa.TableGroupBy(t, ["o_orderpriority", "rng"]).aggregate([("n", "sum")])
+        return agg.rename_columns(["o_orderpriority", "rng", "n"])
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    hist = (
+        ds.map_batches(range_counts, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "rng"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # ≤ priorities × 2^(price_bits−14) rows — bounded
+    )
+    offsets: dict = {}
+    totals: dict = {}
+    by_prio: dict = {}
+    for row in hist:
+        by_prio.setdefault(row["o_orderpriority"], []).append(
+            (int(row["rng"]), int(row["n"]))
+        )
+    for p, rows in by_prio.items():
+        rows.sort()
+        acc = 0
+        for rng, n in rows:
+            offsets[(p, rng)] = acc
+            acc += n
+        totals[p] = acc
+
+    import ray
+
+    off_ref = ray.put((offsets, totals))
+
+    def tag(b: pa.Table) -> pa.Table:
+        v = _cents(b["o_totalprice"].to_numpy())
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_orderpriority": b["o_orderpriority"],
+                "price_c": pa.array(v, pa.int64()),
+                "rng": pa.array(v >> PR_RANGE_SHIFT, pa.int64()),
+            }
+        )
+
+    def rank_range(group: pa.Table) -> pa.Table:
+        offs, tots = ray.get(off_ref)
+        p = group["o_orderpriority"][0].as_py()
+        v = group["price_c"].to_numpy()
         sv = np.sort(v)
-        rank = np.searchsorted(sv, v, side="left") + 1
-        n = len(v)
+        local = np.searchsorted(sv, v, side="left")
+        rank = offs[(p, int(group["rng"][0].as_py()))] + local + 1
+        n = tots[p]
         pr = (rank - 1) * 10000 // max(n - 1, 1)
         return pa.table(
             {
@@ -9498,9 +9561,10 @@ def q_percent_rank(sf_dir: str):
             }
         )
 
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
-    return ds.groupby("o_orderpriority").map_groups(
-        rank_group, batch_format="pyarrow"
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "rng"])
+        .map_groups(rank_range, batch_format="pyarrow")
     )
 
 
