@@ -5247,7 +5247,7 @@ def q_caption_stats(sf_dir: str):
     arithmetic and word lists in SQL — no literals of engine output."""
     from ray.data.aggregate import Sum
 
-    from ..sources.images import CAPTION_SUBJECTS, read_synth_images
+    from ..sources.images import CAPTION_SUBJECTS, read_synth_image_meta
     from ..stages.footprint import image_index
 
     def partial(b: pa.Table) -> pa.Table:
@@ -5274,7 +5274,7 @@ def q_caption_stats(sf_dir: str):
         )
         return agg.rename_columns(["subject", "n_caps", "sum_chars", "sum_tokens"])
 
-    ds = read_synth_images(CAPQ_N)
+    ds = read_synth_image_meta(CAPQ_N)
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("subject")
@@ -7991,7 +7991,7 @@ def q_aspect_bucket(sf_dir: str):
     metadata pass."""
     from ray.data.aggregate import Sum
 
-    from ..sources.images import read_synth_images
+    from ..sources.images import read_synth_image_meta
 
     classes = np.asarray(list(ASPECT_TARGETS), dtype=object)
     tgt_w = {k: v[0] for k, v in ASPECT_TARGETS.items()}
@@ -8028,7 +8028,7 @@ def q_aspect_bucket(sf_dir: str):
             "bucket_w", pa.array([tgt_w[x] for x in a], pa.int64())
         ).append_column("bucket_h", pa.array([tgt_h[x] for x in a], pa.int64()))
 
-    ds = read_synth_images(ASPECT_N)
+    ds = read_synth_image_meta(ASPECT_N)
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("aspect")
@@ -8602,7 +8602,7 @@ def q_caption_dedup(sf_dir: str):
     so the generic per-key aggregate never runs."""
     N_BUCKETS = 16
 
-    from ..sources.images import read_synth_images
+    from ..sources.images import read_synth_image_meta
 
     def partial(b: pa.Table) -> pa.Table:
         norm = pc.replace_substring_regex(b["caption"], r" #\d+$", "")
@@ -8643,7 +8643,7 @@ def q_caption_dedup(sf_dir: str):
             }
         )
 
-    ds = read_synth_images(CAPD_N)
+    ds = read_synth_image_meta(CAPD_N)
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("bucket")

@@ -756,3 +756,42 @@ def expected_channel_stats(n_images: int, seed: int = 42) -> pa.Table:
             "sum_sq": pa.array(ss),
         }
     )
+
+
+def synth_image_meta_batch(indices: np.ndarray) -> pa.Table:
+    """Metadata-only rows (image_id, w, h, fmt, caption) — NO pixel or
+    codec work.  The pruned-read analogue for the synthetic source: a
+    metadata/caption pass over a real Lance table would read only
+    these columns, so the generator must not pay for payloads either."""
+    indices = np.asarray(indices, dtype=np.int64)
+    ws = _SIZES[indices % len(_SIZES)]
+    hs = _SIZES[(indices // 3) % len(_SIZES)]
+    fmts = np.where(indices % 11 == 0, "png", "raw")
+    ids = [f"img-{int(i):08d}" for i in indices]
+    captions = [
+        f"{CAPTION_SUBJECTS[int(i) % 5]} {CAPTION_PLACES[(int(i) // 5) % 7]} "
+        f"{CAPTION_EXTRAS[(int(i) // 35) % 5]} #{int(i)}"
+        for i in indices
+    ]
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts.tolist(), pa.string()),
+            "caption": pa.array(captions, pa.string()),
+        }
+    )
+
+
+def read_synth_image_meta(n_images: int, override_num_blocks: int | None = None):
+    import ray.data as rd
+
+    if override_num_blocks is None:
+        override_num_blocks = max(8, min(256, n_images // 4096))
+    ds = rd.range(n_images, override_num_blocks=override_num_blocks)
+    return ds.map_batches(
+        lambda b: synth_image_meta_batch(b["id"].to_numpy()),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
