@@ -99,6 +99,7 @@ def bench_list():
         "range_join",
         "range_join_big",
         "stream_join",
+        "bloom_join",
         "dissolve",
         "fingerprints",
         "contamination",

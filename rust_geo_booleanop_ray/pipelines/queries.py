@@ -10037,6 +10037,106 @@ Q_STREAM_JOIN_SQL = f"""
 """
 
 
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 3
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, BLOOM_HASHES) bit positions from splitmix64 chains."""
+    from ..stages.footprint import _splitmix64
+
+    k = keys.astype(np.uint64)
+    pos = np.empty((len(k), BLOOM_HASHES), dtype=np.int64)
+    h = k
+    for j in range(BLOOM_HASHES):
+        h = _splitmix64(h)
+        pos[:, j] = (h % np.uint64(BLOOM_BITS)).astype(np.int64)
+    return pos
+
+
+def q_bloom_join(sf_dir: str):
+    """Bloom-filter join shed — THE canonical 100-TB join
+    optimization, as a first-class operator: the build side (parts of
+    one brand) folds its keys into a 64-Kbit bloom via a MERGEABLE
+    bitwise-OR aggregate (8 KiB fixed state per block, same contract
+    as the sketches); the bloom broadcasts once and the probe side
+    (lineitem) sheds non-members BEFORE the join shuffle.  False
+    positives survive the shed but die in the exact hash join, so the
+    result equals the plain join — the oracle doesn't even see the
+    bloom.  Output: revenue cents per partkey for the brand's parts."""
+    import ray
+    from ray.data.aggregate import AggregateFn, Sum
+
+    from ..stages.join import shuffle_hash_join
+
+    brand = "Brand#13"
+
+    def build_filter(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["p_brand"], brand).to_numpy(zero_copy_only=False)
+        return pa.table({"l_partkey": pa.array(b["p_partkey"].to_numpy()[keep])})
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        build_filter, batch_format="pyarrow"
+    )
+
+    def accumulate_block(state: np.ndarray, block) -> np.ndarray:
+        t = pa.table(block) if not isinstance(block, pa.Table) else block
+        pos = _bloom_positions(t["l_partkey"].to_numpy())
+        out = state.copy()
+        np.bitwise_or.at(
+            out, pos.ravel() >> 3, (1 << (pos.ravel() & 7)).astype(np.uint8)
+        )
+        return out
+
+    bloom = part.aggregate(
+        AggregateFn(
+            init=lambda _: np.zeros(BLOOM_BITS // 8, dtype=np.uint8),
+            accumulate_block=accumulate_block,
+            merge=lambda a, b: a | b,
+            name="bloom",
+        )
+    )["bloom"]
+    bloom_ref = ray.put(bloom)
+
+    def probe_shed(b: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        keys = b["l_partkey"].to_numpy()
+        pos = _bloom_positions(keys)
+        hit = np.ones(len(keys), dtype=bool)
+        for j in range(BLOOM_HASHES):
+            hit &= (bits[pos[:, j] >> 3] & (1 << (pos[:, j] & 7))) != 0
+        rev = _cents(
+            b["l_extendedprice"].to_numpy()[hit]
+            * (1.0 - b["l_discount"].to_numpy()[hit])
+        )
+        t = pa.table(
+            {
+                "l_partkey": pa.array(keys[hit]),
+                "rev_c": pa.array(rev),
+            }
+        )
+        agg = pa.TableGroupBy(t, "l_partkey").aggregate([("rev_c", "sum")])
+        return agg.rename_columns(["l_partkey", "rev_c"])
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    probe = li.map_batches(probe_shed, batch_format="pyarrow")
+    # exact join kills bloom false positives
+    joined = shuffle_hash_join(
+        probe, part, key="l_partkey", left_cols=["rev_c"], right_cols=[]
+    )
+    from ray.data.aggregate import Sum as _Sum
+
+    return joined.groupby("l_partkey").aggregate(_Sum("rev_c", alias_name="rev_c"))
+
+
+Q_BLOOM_JOIN_SQL = """
+    SELECT l.l_partkey, CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+    GROUP BY l.l_partkey
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -10178,6 +10278,7 @@ def build_queries():
         "semantic_dedup": q_semantic_dedup,
         "degree_hist": q_degree_hist,
         "stream_join": q_stream_join,
+        "bloom_join": q_bloom_join,
     }
 
 
@@ -10370,4 +10471,5 @@ def build_oracle_sql():
         "semantic_dedup": _build_semantic_dedup_sql(),
         "degree_hist": Q_DEGREE_HIST_SQL,
         "stream_join": Q_STREAM_JOIN_SQL,
+        "bloom_join": Q_BLOOM_JOIN_SQL,
     }

@@ -628,3 +628,36 @@ def test_stream_join_brute_parity(ray_session):
         )
     )
     assert have == expect and len(have) > 0
+
+
+def test_bloom_shed_rate_and_exactness(ray_session):
+    """The bloom shed keeps all true members (no false negatives) and
+    sheds the vast majority of non-members before the join."""
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import (
+        _bloom_positions,
+        BLOOM_HASHES,
+        q_bloom_join,
+    )
+
+    part = pq.read_table(f"{SF}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand_keys = part["p_partkey"].to_numpy()[
+        np.array(part["p_brand"].to_pylist()) == "Brand#13"
+    ]
+    bits = np.zeros(8192, dtype=np.uint8)
+    pos = _bloom_positions(brand_keys)
+    np.bitwise_or.at(bits, pos.ravel() >> 3, (1 << (pos.ravel() & 7)).astype(np.uint8))
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_partkey"])
+    keys = li["l_partkey"].to_numpy()
+    p = _bloom_positions(keys)
+    hit = np.ones(len(keys), dtype=bool)
+    for j in range(BLOOM_HASHES):
+        hit &= (bits[p[:, j] >> 3] & (1 << (p[:, j] & 7))) != 0
+    member = np.isin(keys, brand_keys)
+    assert hit[member].all()  # no false negatives ever
+    non = ~member
+    fp_rate = hit[non].sum() / max(non.sum(), 1)
+    assert fp_rate < 0.01
+    t = pa.Table.from_pylist(q_bloom_join(SF).take_all())
+    assert set(t["l_partkey"].to_pylist()) <= set(brand_keys.tolist())
