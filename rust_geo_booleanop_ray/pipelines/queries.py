@@ -9479,7 +9479,8 @@ def _build_contamination_sql() -> str:
 """
 
 
-PR_RANGE_SHIFT = 14  # price ranges of 2^14 cents (~$164) bound each shuffle group
+PR_RANGE_SHIFT = 14  # price ranges of 2^14 cents (~$164)
+PR_BUCKETS = 64
 
 
 def q_percent_rank(sf_dir: str):
@@ -9488,70 +9489,118 @@ def q_percent_rank(sf_dir: str):
     RANK ties (count of strictly smaller + 1).  TWO-PASS distributed
     rank — a whole enum partition is rows-cardinality DATA, so it is
     never sorted on one worker: pass 1 folds per-(priority, price
-    range) counts into a tiny aggregate whose per-priority prefix
-    sums broadcast back as range OFFSETS; pass 2 shuffles rows by
-    (priority, range) — bounded groups — and one searchsorted inside
-    the range gives rank = offset + local strictly-smaller count."""
+    range) counts into a bounded aggregate whose per-priority prefix
+    sums broadcast back as a flat OFFSET TABLE; pass 2 hash-buckets
+    the (priority, range) cells — ONE lexsort per bucket ranks every
+    cell at once (tie-run starts give the strictly-smaller counts),
+    so neither the range-cell count (~value domain) nor the row count
+    ever meets per-key Python dispatch."""
     from ray.data.aggregate import Sum
 
+    PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
     def range_counts(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
         v = _cents(b["o_totalprice"].to_numpy())
+        code = pc.index_in(
+            b["o_orderpriority"], value_set=pa.array(PRIOS)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
         t = pa.table(
             {
-                "o_orderpriority": b["o_orderpriority"],
-                "rng": pa.array(v >> PR_RANGE_SHIFT, pa.int64()),
+                "cell": pa.array(code * (1 << 40) + (v >> PR_RANGE_SHIFT)),
                 "n": pa.array(np.ones(len(v), dtype=np.int64)),
             }
         )
-        agg = pa.TableGroupBy(t, ["o_orderpriority", "rng"]).aggregate([("n", "sum")])
-        return agg.rename_columns(["o_orderpriority", "rng", "n"])
+        agg = pa.TableGroupBy(t, "cell").aggregate([("n", "sum")])
+        agg = agg.rename_columns(["cell", "n"])
+        h = _splitmix64(agg["cell"].to_numpy().astype(np.uint64))
+        return agg.append_column(
+            "bucket", pa.array((h % np.uint64(PR_BUCKETS)).astype(np.int64))
+        )
+
+    def merge_counts(group: pa.Table) -> pa.Table:
+        # cell cardinality tracks the VALUE DOMAIN (~10³–10⁴ cells) —
+        # still merged bucketed, never via the generic per-key aggregate
+        c = group["cell"].to_numpy()
+        n = group["n"].to_numpy()
+        order = np.argsort(c, kind="stable")
+        c, n = c[order], n[order]
+        starts = np.concatenate(([0], np.flatnonzero(c[1:] != c[:-1]) + 1))
+        return pa.table(
+            {
+                "cell": pa.array(c[starts], pa.int64()),
+                "n": pa.array(np.add.reduceat(n, starts).astype(np.int64)),
+            }
+        )
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
     hist = (
         ds.map_batches(range_counts, batch_format="pyarrow")
-        .groupby(["o_orderpriority", "rng"])
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()  # ≤ priorities × 2^(price_bits−14) rows — bounded
+        .groupby("bucket")
+        .map_groups(merge_counts, batch_format="pyarrow")
+        .take_all()  # ≤ priorities × price-domain/2^14 rows — bounded
     )
-    offsets: dict = {}
-    totals: dict = {}
-    by_prio: dict = {}
-    for row in hist:
-        by_prio.setdefault(row["o_orderpriority"], []).append(
-            (int(row["rng"]), int(row["n"]))
-        )
-    for p, rows in by_prio.items():
-        rows.sort()
-        acc = 0
-        for rng, n in rows:
-            offsets[(p, rng)] = acc
-            acc += n
-        totals[p] = acc
+    cells = np.array([int(r["cell"]) for r in hist], dtype=np.int64)
+    ns = np.array([int(r["n"]) for r in hist], dtype=np.int64)
+    order = np.argsort(cells)
+    cells, ns = cells[order], ns[order]
+    codes = cells >> 40
+    # exclusive prefix sum per priority = each cell's rank offset
+    offs = np.cumsum(ns) - ns
+    base = np.zeros(len(PRIOS), dtype=np.int64)
+    tot = np.zeros(len(PRIOS), dtype=np.int64)
+    for p in range(len(PRIOS)):
+        m = codes == p
+        if m.any():
+            base[p] = offs[m][0]
+            tot[p] = ns[m].sum()
+    cell_off = offs - base[codes]
 
     import ray
 
-    off_ref = ray.put((offsets, totals))
+    lut_ref = ray.put((cells, cell_off, tot))
 
     def tag(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
         v = _cents(b["o_totalprice"].to_numpy())
+        code = pc.index_in(
+            b["o_orderpriority"], value_set=pa.array(PRIOS)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = code * (1 << 40) + (v >> PR_RANGE_SHIFT)
         return pa.table(
             {
                 "o_orderkey": b["o_orderkey"],
                 "o_orderpriority": b["o_orderpriority"],
                 "price_c": pa.array(v, pa.int64()),
-                "rng": pa.array(v >> PR_RANGE_SHIFT, pa.int64()),
+                "cell": pa.array(cell),
+                "bucket": pa.array(
+                    (_splitmix64(cell.astype(np.uint64)) % np.uint64(PR_BUCKETS)).astype(
+                        np.int64
+                    )
+                ),
             }
         )
 
-    def rank_range(group: pa.Table) -> pa.Table:
-        offs, tots = ray.get(off_ref)
-        p = group["o_orderpriority"][0].as_py()
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        cells_s, cell_off_s, tot_s = ray.get(lut_ref)
+        cell = group["cell"].to_numpy()
         v = group["price_c"].to_numpy()
-        sv = np.sort(v)
-        local = np.searchsorted(sv, v, side="left")
-        rank = offs[(p, int(group["rng"][0].as_py()))] + local + 1
-        n = tots[p]
-        pr = (rank - 1) * 10000 // max(n - 1, 1)
+        sidx = np.lexsort((v, cell))
+        cell_s, v_s = cell[sidx], v[sidx]
+        new_cell = np.concatenate(([True], cell_s[1:] != cell_s[:-1]))
+        new_tie = new_cell | np.concatenate(([True], v_s[1:] != v_s[:-1]))
+        idx = np.arange(len(v_s))
+        run_start = idx[new_cell][np.cumsum(new_cell) - 1]
+        tie_start = idx[new_tie][np.cumsum(new_tie) - 1]
+        local = tie_start - run_start
+        off = cell_off_s[np.searchsorted(cells_s, cell_s)]
+        code = cell_s >> 40
+        n = tot_s[code]
+        pr_s = (off + local) * 10000 // np.maximum(n - 1, 1)
+        pr = np.empty_like(pr_s)
+        pr[sidx] = pr_s
         return pa.table(
             {
                 "o_orderkey": group["o_orderkey"],
@@ -9563,8 +9612,8 @@ def q_percent_rank(sf_dir: str):
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
-        .groupby(["o_orderpriority", "rng"])
-        .map_groups(rank_range, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(rank_bucket, batch_format="pyarrow")
     )
 
 

@@ -116,46 +116,45 @@ def kmeans_iterate(ds, col: str, dim: int, k: int, init: np.ndarray, iters: int)
     clusters keep their previous centroid.  Returns the final
     centroids; assignment against them is one more streamed pass."""
     import ray
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import AggregateFn
 
     cent = init.astype(np.int64).copy()
     for _ in range(iters):
         cent_ref = ray.put(cent)
 
-        def partial(b: pa.Table, _ref=cent_ref) -> pa.Table:
+        def accumulate_block(state: np.ndarray, block, _ref=cent_ref) -> np.ndarray:
+            t = pa.table(block) if not isinstance(block, pa.Table) else block
             c = ray.get(_ref)
-            q = quantize_embeddings(b[col])
+            q = quantize_embeddings(t[col])
+            if len(q) == 0:
+                return state
             d2 = (
                 (q * q).sum(axis=1, keepdims=True)
                 - 2 * (q @ c.T)
                 + (c * c).sum(axis=1)[None, :]
             )
             assign = np.argmin(d2, axis=1)
-            cols = {"cluster": pa.array(np.arange(k, dtype=np.int64))}
-            cnt = np.bincount(assign, minlength=k).astype(np.int64)
-            cols["n"] = pa.array(cnt)
-            sums = np.zeros((k, q.shape[1]), dtype=np.int64)
-            np.add.at(sums, assign, q)
-            for dd in range(q.shape[1]):
-                cols[f"s{dd}"] = pa.array(sums[:, dd])
-            return pa.table(cols)
+            out = state.copy()
+            np.add.at(out[:, 0], assign, 1)
+            np.add.at(out[:, 1:], assign, q)
+            return out
 
-        agg = (
-            ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("cluster")
-            .aggregate(
-                Sum("n", alias_name="n"),
-                *[Sum(f"s{dd}", alias_name=f"s{dd}") for dd in range(dim)],
+        # one (k, 1+d) int64 grid per block, tree-reduced by + — the
+        # build_gram contract; never a per-column Sum exchange
+        grid = ds.aggregate(
+            AggregateFn(
+                init=lambda _: np.zeros((k, 1 + dim), dtype=np.int64),
+                accumulate_block=accumulate_block,
+                merge=lambda a, b: a + b,
+                name="kmeans",
             )
-            .take_all()
-        )
+        )["kmeans"]
         new = cent.copy()
-        for row in agg:
-            c = int(row["cluster"])
-            n = int(row["n"])
+        for c in range(k):
+            n = int(grid[c, 0])
             if n == 0:
                 continue
-            s = np.array([int(row[f"s{dd}"]) for dd in range(dim)], dtype=np.int64)
+            s = grid[c, 1:]
             new[c] = np.where(s < 0, -((-s) // n), s // n)
         cent = new
     return cent
