@@ -103,6 +103,7 @@ def bench_list():
         "dissolve",
         "fingerprints",
         "contamination",
+        "contamination_winnow",
         "embedding_near_dup",
         "mutual_nn",
         # dedup_components stays out of the headline: its label-

@@ -9352,12 +9352,30 @@ def q_contamination(sf_dir: str):
     pairs and counts — all kernels lexsort/unique, no per-key
     Python.  At 10^12 docs the window set is winnowed; exactness here
     keeps the oracle bit-true."""
-    N_BUCKETS = 64
-
     from ..stages.text import window_hashes_batch
 
+    return _contamination_pipeline(sf_dir, window_hashes_batch)
+
+
+def q_contamination_winnow(sf_dir: str):
+    """The SCALE variant of contamination: winnowed fingerprints
+    (stages/text.py::winnowed_hashes_batch — per-16-window minima,
+    Schleimer et al.) cut the hash exchange ~16× while keeping the
+    guarantee that any shared run of ≥ 23 code points still collides.
+    Same distributed shape, and still value-exact: winnowing is
+    deterministic, so the oracle replays the window-of-windows argmin
+    in SQL (list slicing + list_position-of-min, ties-first like
+    numpy argmin)."""
+    from ..stages.text import winnowed_hashes_batch
+
+    return _contamination_pipeline(sf_dir, winnowed_hashes_batch)
+
+
+def _contamination_pipeline(sf_dir: str, hash_batch):
+    N_BUCKETS = 64
+
     def prep(b: pa.Table) -> pa.Table:
-        w = window_hashes_batch(b)
+        w = hash_batch(b)
         d = w["doc_id"].to_numpy()
         h = w["hv"].to_numpy()
         from ..stages.footprint import _splitmix64
@@ -10186,6 +10204,58 @@ Q_BLOOM_JOIN_SQL = """
 """
 
 
+def _build_contamination_winnow_sql() -> str:
+    from ..stages.text import _FP_BASE, _FP_WINDOW, WINNOW_W
+
+    B = int(_FP_BASE)
+    H = 1 << 64
+    W = WINNOW_W
+    powers = [pow(B, k, H) for k in range(_FP_WINDOW)]
+    terms = " + ".join(
+        f"unicode(t[i+{j}:i+{j}]) * {powers[_FP_WINDOW - 1 - j]}::HUGEINT"
+        for j in range(_FP_WINDOW)
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < {_FP_WINDOW}
+                  THEN text || repeat(' ', {_FP_WINDOW} - length(text))
+                  ELSE text END AS t
+      FROM documents
+    ),
+    hl AS (
+      SELECT doc_id,
+             [ (({terms}) % 18446744073709551616::HUGEINT)
+               FOR i IN range(1, length(t) - {_FP_WINDOW - 2}) ] AS hs
+      FROM c
+    ),
+    ks AS (
+      SELECT doc_id, hs,
+             CASE WHEN len(hs) <= {W}
+                  THEN [list_position(hs, list_min(hs))]
+                  ELSE list_distinct([ p + list_position(hs[p:p+{W - 1}],
+                                       list_min(hs[p:p+{W - 1}])) - 1
+                                       FOR p IN range(1, len(hs) - {W - 2}) ])
+             END AS keeps
+      FROM hl
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(keeps, k -> hs[k]))) AS hv
+      FROM ks
+    ),
+    d AS (SELECT DISTINCT doc_id, hv FROM w),
+    ev AS (SELECT * FROM d WHERE doc_id % 50 = 0),
+    tr AS (SELECT * FROM d WHERE doc_id % 50 <> 0),
+    hits AS (
+      SELECT DISTINCT ev.doc_id AS eval_doc, tr.doc_id AS train_doc
+      FROM ev JOIN tr ON ev.hv = tr.hv
+    )
+    SELECT eval_doc, CAST(COUNT(*) AS BIGINT) AS n_train
+    FROM hits GROUP BY eval_doc
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -10328,6 +10398,7 @@ def build_queries():
         "degree_hist": q_degree_hist,
         "stream_join": q_stream_join,
         "bloom_join": q_bloom_join,
+        "contamination_winnow": q_contamination_winnow,
     }
 
 
@@ -10521,4 +10592,5 @@ def build_oracle_sql():
         "degree_hist": Q_DEGREE_HIST_SQL,
         "stream_join": Q_STREAM_JOIN_SQL,
         "bloom_join": Q_BLOOM_JOIN_SQL,
+        "contamination_winnow": _build_contamination_winnow_sql(),
     }

@@ -329,3 +329,44 @@ def window_hashes_batch(batch: pa.Table) -> pa.Table:
             "hv": pa.array(np.concatenate(out_h) if out_h else []),
         }
     )
+
+
+WINNOW_W = 16
+
+
+def winnowed_hashes_batch(batch: pa.Table, w: int = WINNOW_W) -> pa.Table:
+    """Winnowing (Schleimer et al.): keep, from every window of ``w``
+    consecutive 8-gram hashes, the MINIMUM (first on ties) — the
+    deterministic ~1/w sample that still guarantees any shared
+    substring of length ≥ 8 + w − 1 code points yields a shared
+    fingerprint.  This is the 10^12-doc contamination exchange:
+    wire volume drops ~w× and the guarantee survives.  The unsigned
+    comparison order matches the SQL mirror (hashes compared as
+    HUGEINT)."""
+    texts = batch["text"].to_pylist()
+    ids = batch["doc_id"].to_numpy()
+    out_doc, out_h = [], []
+    for i, t in enumerate(texts):
+        if len(t) < _FP_WINDOW:
+            t = t + " " * (_FP_WINDOW - len(t))
+        data = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        n = len(data) - _FP_WINDOW + 1
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(_FP_WINDOW):
+            h = h * _FP_BASE + data[j : j + n]
+        if n <= w:
+            keep = np.array([h.argmin()])
+        else:
+            m = n - w + 1
+            idx = np.arange(m)[:, None] + np.arange(w)[None, :]
+            wins = h[idx]
+            keep = np.unique(idx[np.arange(m), wins.argmin(axis=1)])
+        hv = np.unique(h[keep].astype(np.int64))
+        out_doc.append(np.full(len(hv), ids[i], dtype=np.int64))
+        out_h.append(hv)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_doc) if out_doc else []),
+            "hv": pa.array(np.concatenate(out_h) if out_h else []),
+        }
+    )

@@ -83,22 +83,16 @@ def main(argv=None) -> int:
     # q_contamination reads {sf_dir}/documents.parquet
     from rust_geo_booleanop_ray.pipelines.queries import build_queries
 
-    t0 = time.time()
-    res = build_queries()["contamination"](corpus_dir)
-    rows = res.take_all()
-    wall = round(time.time() - t0, 2)
-    n_eval_flagged = len(rows)
-    total_pairs = int(sum(r["n_train"] for r in rows))
-    print(
-        json.dumps(
-            {
-                "n_docs": n,
-                "sec": wall,
-                "eval_docs_flagged": n_eval_flagged,
-                "contaminating_pairs": total_pairs,
-            }
-        )
-    )
+    out = {"n_docs": n}
+    for name in ["contamination", "contamination_winnow"]:
+        t0 = time.time()
+        rows = build_queries()[name](corpus_dir).take_all()
+        out[name] = {
+            "sec": round(time.time() - t0, 2),
+            "eval_docs_flagged": len(rows),
+            "contaminating_pairs": int(sum(r["n_train"] for r in rows)),
+        }
+    print(json.dumps(out))
     ray.shutdown()
     return 0
 

@@ -661,3 +661,35 @@ def test_bloom_shed_rate_and_exactness(ray_session):
     assert fp_rate < 0.01
     t = pa.Table.from_pylist(q_bloom_join(SF).take_all())
     assert set(t["l_partkey"].to_pylist()) <= set(brand_keys.tolist())
+
+
+def test_winnowing_guarantee_and_reduction(ray_session):
+    """Winnowed fingerprints are ⊆ the full set, ~w× smaller, and two
+    docs sharing a ≥(8+w−1)-char run ALWAYS share a winnowed hash."""
+    from rust_geo_booleanop_ray.stages.text import (
+        WINNOW_W,
+        window_hashes_batch,
+        winnowed_hashes_batch,
+    )
+
+    shared = "the-quick-brown-fox-jumps-over-everything"  # 41 chars ≥ 23
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "aaaa " + shared + " bbbb padding text one two three",
+                    "zzzz different prefix " + shared + " other suffix here",
+                ]
+            ),
+        }
+    )
+    full = window_hashes_batch(docs)
+    win = winnowed_hashes_batch(docs)
+    fs = set(zip(full["doc_id"].to_pylist(), full["hv"].to_pylist()))
+    ws = set(zip(win["doc_id"].to_pylist(), win["hv"].to_pylist()))
+    assert ws <= fs
+    assert len(ws) * 4 < len(fs)  # substantial reduction
+    w1 = {h for d, h in ws if d == 1}
+    w2 = {h for d, h in ws if d == 2}
+    assert w1 & w2  # the shared run collides through winnowing
