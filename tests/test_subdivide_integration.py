@@ -112,3 +112,70 @@ def test_subdivide_two_shapes_flags_and_floats():
             for seg in left
         )
         assert found, f"interval {name} not found with expected flags"
+
+
+def test_fill_queue_pop_order_two_shapes():
+    """Verbatim port of fill_queue_test.rs::test_two_polygons: the 14
+    exact (is_left, point, other_point) tuples popped from the queue
+    for two_shapes ∩."""
+    s, c = _shapes("two_shapes.geojson")
+    q, _, _ = fill_queue([s], [c], OP_INTERSECTION)
+    sorted_out = []
+    while len(q):
+        e = q.pop()
+        sorted_out.append(
+            (e.left, e.point[0], e.point[1], e.other_event.point[0], e.other_event.point[1])
+        )
+    assert sorted_out == [
+        (True, 16.0, 282.0, 153.0, 203.5),
+        (True, 16.0, 282.0, 298.0, 359.0),
+        (True, 56.0, 181.0, 108.5, 120.0),
+        (True, 56.0, 181.0, 153.0, 294.5),
+        (False, 108.5, 120.0, 56.0, 181.0),
+        (True, 108.5, 120.0, 241.5, 229.5),
+        (False, 153.0, 203.5, 16.0, 282.0),
+        (True, 153.0, 203.5, 298.0, 359.0),
+        (False, 153.0, 294.5, 56.0, 181.0),
+        (True, 153.0, 294.5, 241.5, 229.5),
+        (False, 241.5, 229.5, 108.5, 120.0),
+        (False, 241.5, 229.5, 153.0, 294.5),
+        (False, 298.0, 359.0, 153.0, 203.5),
+        (False, 298.0, 359.0, 16.0, 282.0),
+    ]
+
+
+def test_fill_queue_bboxes_and_pop_order_two_triangles():
+    """Verbatim port of fill_queue_test.rs::test_fill_event_queue:
+    exact subject/clipping bboxes and the first pop tuples for
+    two_triangles ∩."""
+    s, c = _shapes("two_triangles.geojson")
+    q, sbbox, cbbox = fill_queue([s], [c], OP_INTERSECTION)
+    assert sbbox == [20.0, -113.5, 226.5, 74.0]
+    assert cbbox == [54.5, -198.0, 239.5, 33.5]
+    sorted_out = []
+    while len(q):
+        e = q.pop()
+        sorted_out.append(
+            (
+                e.point[0],
+                e.point[1],
+                e.left,
+                e.other_event.point[0],
+                e.other_event.point[1],
+                e.other_event.left,
+            )
+        )
+    assert sorted_out == [
+        (20.0, -23.5, True, 226.5, -113.5, False),
+        (20.0, -23.5, True, 170.0, 74.0, False),
+        (54.5, -170.5, True, 239.5, -198.0, False),
+        (54.5, -170.5, True, 140.5, 33.5, False),
+        (140.5, 33.5, False, 54.5, -170.5, True),
+        (140.5, 33.5, True, 239.5, -198.0, False),
+        (170.0, 74.0, False, 20.0, -23.5, True),
+        (170.0, 74.0, True, 226.5, -113.5, False),
+        (226.5, -113.5, False, 20.0, -23.5, True),
+        (226.5, -113.5, False, 170.0, 74.0, True),
+        (239.5, -198.0, False, 54.5, -170.5, True),
+        (239.5, -198.0, False, 140.5, 33.5, True),
+    ]
