@@ -1009,8 +1009,8 @@ Q_TRANSITIONS_SQL = """
 def q_funnel(sf_dir: str):
     """Ordered-sequence funnel: users who did view → click → purchase
     in timestamp order, with the stage reached (1–3) — the conversion
-    query every product-analytics pipeline runs.  One groupby(user_id)
-    co-locates a user's events; the per-group kernel walks the sorted
+    query every product-analytics pipeline runs.  One user-hash
+    BUCKETED exchange co-locates events; the per-bucket kernel walks the sorted
     sequence greedily (earliest next-stage event at a strictly later
     (ts, event_id)) — greedy-earliest is optimal for subsequence
     matching, and event_id uniqueness makes the walk deterministic."""

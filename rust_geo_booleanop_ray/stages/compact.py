@@ -7,11 +7,13 @@ version of each key.
 
 Scale shape: a per-batch combiner first reduces every block to AT MOST
 one row per key (vectorized lexsort, no Python per-row work), so the
-single ``groupby(key)`` exchange moves ≤ one row per (block, key) —
+single key-hash-BUCKETED exchange moves ≤ one row per (block, key) —
 for a 100-TB log with a bounded key universe that is orders of
-magnitude less than shuffling the raw rows.  The per-group merge then
-applies the same reduction, and because all survivors of a key land in
-one group, the group-local maximum IS the global maximum.
+magnitude less than shuffling the raw rows.  The bucketed merge then
+applies the same reduction (one lexsort resolves every key in the
+bucket — never a Python call per distinct key), and because all
+survivors of a key share a bucket, the bucket-local maximum IS the
+global maximum.
 
 Determinism: the winner is the lexicographic maximum over
 ``order_cols`` (e.g. ``("ts_us", "event_id")``) — callers should make
@@ -60,17 +62,37 @@ def latest_by_key(ds, key: str, order_cols, out_cols=None):
         + [c for c in out_cols if c != key and c not in order_cols]
     )
 
+    N_BUCKETS = 64
+
+    def _bucket_vals(t: pa.Table) -> np.ndarray:
+        from .footprint import _splitmix64
+
+        col = t[key]
+        if pa.types.is_integer(col.type):
+            h = _splitmix64(col.to_numpy().astype(np.uint64))
+            return (h % np.uint64(N_BUCKETS)).astype(np.int64)
+        import zlib
+
+        return np.array(
+            [zlib.crc32(str(v).encode()) % N_BUCKETS for v in col.to_pylist()],
+            dtype=np.int64,
+        )
+
     def partial(batch: pa.Table) -> pa.Table:
         if cols is not None:
             batch = batch.select(cols)
-        return last_per_key(batch, key, order_cols)
+        red = last_per_key(batch, key, order_cols)
+        return red.append_column("__bucket", pa.array(_bucket_vals(red)))
 
     def merge(group: pa.Table) -> pa.Table:
-        return last_per_key(group, key, order_cols)
+        # keys are rows-cardinality (users/content ids): the merge is
+        # hash-BUCKETED — one lexsort resolves every key in the bucket
+        # (CLAUDE.md scale rule), never one Python call per key
+        return last_per_key(group.drop_columns(["__bucket"]), key, order_cols)
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key)
+        .groupby("__bucket")
         .map_groups(merge, batch_format="pyarrow")
     )
     if out_cols is not None:
