@@ -1666,12 +1666,38 @@ def q_range_join_big(sf_dir: str):
     intervals = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
         interval_rows, batch_format="pyarrow"
     )
-    return (
+    pairs = (
         points.union(intervals)
         .groupby("bucket")
         .map_groups(join_bucket, batch_format="pyarrow")
-        .groupby("s_suppkey")
-        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value_c"))
+    )
+    return _suppkey_count_sum(pairs)
+
+
+def _suppkey_count_sum(pairs_ds):
+    """(s_suppkey, value_c) rows → exact per-supplier (n_events,
+    sum_value_c): per-block TableGroupBy partial, then the shared
+    key-hash bucketed reduceat merge (suppliers are rows-cardinality
+    at scale — never the generic per-key aggregate)."""
+    from ..stages.pivot import bucketed_wide_sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"s_suppkey": b["s_suppkey"], "value_c": b["value_c"]})
+        agg = pa.TableGroupBy(t, "s_suppkey").aggregate(
+            [("value_c", "count"), ("value_c", "sum")]
+        )
+        return pa.table(
+            {
+                "s_suppkey": agg["s_suppkey"],
+                "n_events": agg["value_c_count"].cast(pa.int64()),
+                "sum_value_c": agg["value_c_sum"].cast(pa.int64()),
+            }
+        )
+
+    return bucketed_wide_sum(
+        pairs_ds.map_batches(partial, batch_format="pyarrow"),
+        "s_suppkey",
+        ["n_events", "sum_value_c"],
     )
 
 
@@ -1718,14 +1744,11 @@ def q_range_join(sf_dir: str):
         batch_format="pyarrow",
         concurrency=2,
     )
-    return (
-        joined.map_batches(
-            lambda b: pa.table({"s_suppkey": b["interval_id"], "value_c": b["value_c"]}),
-            batch_format="pyarrow",
-        )
-        .groupby("s_suppkey")
-        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value_c"))
+    pairs = joined.map_batches(
+        lambda b: pa.table({"s_suppkey": b["interval_id"], "value_c": b["value_c"]}),
+        batch_format="pyarrow",
     )
+    return _suppkey_count_sum(pairs)
 
 
 Q_RANGE_JOIN_SQL = f"""
