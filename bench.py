@@ -156,6 +156,7 @@ def bench_list():
         "semi_join",
         "full_join",
         "latest_by_key",
+        "cdc_state",
         "distinct_users",
         "user_journey",
         "price_histogram",

@@ -10279,6 +10279,51 @@ def _build_contamination_winnow_sql() -> str:
 """
 
 
+def q_cdc_state(sf_dir: str):
+    """CDC / MERGE-with-tombstones: replay the append-only event log
+    into current per-user state — the newest event wins (lexmax of
+    (ts, event_id) via the bucketed compaction kernel), and a newest
+    event of type 'error' is a TOMBSTONE that deletes the key (the
+    Delta/Hudi MERGE semantic).  One bucketed exchange; the delete
+    filter runs on the ≤1-row-per-key result, never the log."""
+    from ..stages.compact import latest_by_key
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts_us": pa.array(ts, pa.int64()),
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "value_c": pa.array(_cents(b["value"].to_numpy()), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"])
+    latest = latest_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id",
+        ("ts_us", "event_id"),
+    )
+
+    def drop_tombstones(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b["event_type"], "error")
+        return b.filter(keep).select(["user_id", "ts_us", "event_id", "value_c"])
+
+    return latest.map_batches(drop_tombstones, batch_format="pyarrow")
+
+
+Q_CDC_STATE_SQL = """
+    SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    AND event_type <> 'error'
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -10422,6 +10467,7 @@ def build_queries():
         "stream_join": q_stream_join,
         "bloom_join": q_bloom_join,
         "contamination_winnow": q_contamination_winnow,
+        "cdc_state": q_cdc_state,
     }
 
 
@@ -10616,4 +10662,5 @@ def build_oracle_sql():
         "stream_join": Q_STREAM_JOIN_SQL,
         "bloom_join": Q_BLOOM_JOIN_SQL,
         "contamination_winnow": _build_contamination_winnow_sql(),
+        "cdc_state": Q_CDC_STATE_SQL,
     }

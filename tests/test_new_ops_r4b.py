@@ -693,3 +693,26 @@ def test_winnowing_guarantee_and_reduction(ray_session):
     w1 = {h for d, h in ws if d == 1}
     w2 = {h for d, h in ws if d == 2}
     assert w1 & w2  # the shared run collides through winnowing
+
+
+def test_cdc_state_tombstone_semantics(ray_session):
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import q_cdc_state
+
+    got = pa.Table.from_pylist(q_cdc_state(SF).take_all())
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    u = ev["user_id"].to_numpy()
+    ts = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    eid = ev["event_id"].to_numpy()
+    et = np.array(ev["event_type"].to_pylist())
+    live = {}
+    for uu in np.unique(u):
+        m = u == uu
+        k = np.lexsort((eid[m], ts[m]))[-1]
+        if et[m][k] != "error":
+            live[int(uu)] = int(eid[m][k])
+    assert dict(zip(got["user_id"].to_pylist(), got["event_id"].to_pylist())) == live
+    assert len(live) < len(np.unique(u))  # some users ARE tombstoned
