@@ -139,6 +139,7 @@ def bench_list():
         "token_shards",
         "data_mixture",
         "cum_distinct",
+        "moving_window",
         "promo_revenue",
         "returned_items",
         "left_join",

@@ -10324,6 +10324,76 @@ Q_CDC_STATE_SQL = """
 """
 
 
+MOVING_K = 4  # window = this row + 3 preceding
+
+
+def q_moving_window(sf_dir: str):
+    """Bounded moving window (ROWS 3 PRECEDING): per event, the sum of
+    the user's last 4 event values in (ts, event_id) order — the
+    moving-aggregate feature extractor.  Same bucketed shape as
+    running_total; the bounded window is one extra vectorized gather:
+    m[i] = cumsum[i] − cumsum[j−1] with j = max(segment start, i−3)."""
+    N_BUCKETS = 64
+
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..stages.footprint import _splitmix64
+
+        u = b["user_id"].to_numpy().astype(np.uint64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "t": pa.array(ts, pa.int64()),
+                "value_c": pa.array(_cents(b["value"].to_numpy()), pa.int64()),
+            }
+        ).append_column(
+            "bucket",
+            pa.array((_splitmix64(u) % np.uint64(N_BUCKETS)).astype(np.int64)),
+        )
+
+    def moving(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy()
+        t = group["t"].to_numpy()
+        eid = group["event_id"].to_numpy()
+        v = group["value_c"].to_numpy()
+        order = np.lexsort((eid, t, u))
+        u, eid, v = u[order], eid[order], v[order]
+        new_u = np.concatenate(([True], u[1:] != u[:-1]))
+        seg = np.cumsum(new_u) - 1
+        starts = np.flatnonzero(new_u)
+        cs = np.cumsum(v)
+        idx = np.arange(len(v))
+        j = np.maximum(starts[seg], idx - (MOVING_K - 1))
+        # exclusive prefix at j: cs[j-1], with segment-start handled by
+        # subtracting the value sum BEFORE the segment
+        prev = np.where(j > 0, cs[np.maximum(j - 1, 0)], 0)
+        ms = cs - prev
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "moving_c": pa.array(ms.astype(np.int64)),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(moving, batch_format="pyarrow")
+    )
+
+
+Q_MOVING_WINDOW_SQL = f"""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS {MOVING_K - 1} PRECEDING) AS BIGINT) AS moving_c
+    FROM events
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -10468,6 +10538,7 @@ def build_queries():
         "bloom_join": q_bloom_join,
         "contamination_winnow": q_contamination_winnow,
         "cdc_state": q_cdc_state,
+        "moving_window": q_moving_window,
     }
 
 
@@ -10663,4 +10734,5 @@ def build_oracle_sql():
         "bloom_join": Q_BLOOM_JOIN_SQL,
         "contamination_winnow": _build_contamination_winnow_sql(),
         "cdc_state": Q_CDC_STATE_SQL,
+        "moving_window": Q_MOVING_WINDOW_SQL,
     }

@@ -716,3 +716,26 @@ def test_cdc_state_tombstone_semantics(ray_session):
             live[int(uu)] = int(eid[m][k])
     assert dict(zip(got["user_id"].to_pylist(), got["event_id"].to_pylist())) == live
     assert len(live) < len(np.unique(u))  # some users ARE tombstoned
+
+
+def test_moving_window_bounded_sum(ray_session):
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import MOVING_K, q_moving_window
+
+    got = pa.Table.from_pylist(q_moving_window(SF).take_all())
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+    u = ev["user_id"].to_numpy()
+    ts = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    eid = ev["event_id"].to_numpy()
+    v = np.floor(ev["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    expect = {}
+    for uu in np.unique(u)[:20]:
+        m = u == uu
+        o = np.lexsort((eid[m], ts[m]))
+        vv, ee = v[m][o], eid[m][o]
+        for i in range(len(vv)):
+            expect[int(ee[i])] = int(vv[max(0, i - MOVING_K + 1) : i + 1].sum())
+    g = dict(zip(got["event_id"].to_pylist(), got["moving_c"].to_pylist()))
+    for k, val in expect.items():
+        assert g[k] == val
