@@ -133,6 +133,7 @@ def bench_list():
         "letterbox",
         "channel_stats",
         "simplify_poly",
+        "geom_validate",
         "dup_frames",
         "caption_dedup",
         "convex_hull",

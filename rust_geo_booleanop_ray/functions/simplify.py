@@ -90,3 +90,54 @@ def simplify_stats(i: int, min_area2: int) -> tuple[int, int, int, int]:
     a_before = abs(ring_area2(xs, ys))
     a_after = abs(ring_area2(xs[keep], ys[keep]))
     return len(xs), int(keep.sum()), a_before, a_after
+
+
+def _orient(ax, ay, bx, by, cx, cy) -> int:
+    v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    return 0 if v == 0 else (1 if v > 0 else -1)
+
+
+def _on_segment(ax, ay, bx, by, px, py) -> bool:
+    return (
+        min(ax, bx) <= px <= max(ax, bx)
+        and min(ay, by) <= py <= max(ay, by)
+        and _orient(ax, ay, bx, by, px, py) == 0
+    )
+
+
+def _segments_intersect(a, b, c, d) -> bool:
+    """Exact integer segment intersection (touch counts)."""
+    o1 = _orient(*a, *b, *c)
+    o2 = _orient(*a, *b, *d)
+    o3 = _orient(*c, *d, *a)
+    o4 = _orient(*c, *d, *b)
+    if o1 != o2 and o3 != o4:
+        return True
+    if o1 == 0 and _on_segment(*a, *b, *c):
+        return True
+    if o2 == 0 and _on_segment(*a, *b, *d):
+        return True
+    if o3 == 0 and _on_segment(*c, *d, *a):
+        return True
+    if o4 == 0 and _on_segment(*c, *d, *b):
+        return True
+    return False
+
+
+def ring_self_intersections(xs: np.ndarray, ys: np.ndarray) -> int:
+    """Count of NON-ADJACENT edge pairs of the closed ring that touch
+    or cross — 0 ⇔ the ring is simple (the ST_IsValid core test).
+    Exact integer orientation predicates; O(n²) pairs per feature
+    (features are small; at scale the per-feature sweep replaces
+    this, same predicates)."""
+    n = len(xs)
+    pts = [(int(xs[i]), int(ys[i])) for i in range(n)]
+    edges = [(pts[i], pts[(i + 1) % n]) for i in range(n)]
+    bad = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i + 1 or (i == 0 and j == n - 1):
+                continue  # adjacent edges share a vertex by design
+            if _segments_intersect(*edges[i], *edges[j]):
+                bad += 1
+    return bad

@@ -10394,6 +10394,77 @@ Q_MOVING_WINDOW_SQL = f"""
 """
 
 
+VALID_N = 1200
+
+
+def _validate_ring(i: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic shape corpus with PLANTED invalid geometries:
+    every 5th index emits a bowtie (self-crossing quad, shifted by
+    hash); otherwise the simple skyline ring."""
+    from ..functions.simplify import skyline_chain
+    from ..stages.footprint import _splitmix64
+
+    if int(_splitmix64(np.uint64(i * 613)) % np.uint64(5)) == 0:
+        dx = int(_splitmix64(np.uint64(i * 613 + 1)) % np.uint64(50))
+        dy = int(_splitmix64(np.uint64(i * 613 + 2)) % np.uint64(50))
+        xs = np.array([0, 4, 4, 0], dtype=np.int64) + dx
+        ys = np.array([0, 4, 0, 4], dtype=np.int64) + dy
+        return xs, ys
+    return skyline_chain(i)
+
+
+def q_geom_validate(sf_dir: str):
+    """Geometry validity audit (the ST_IsValid ingest gate every
+    spatial pipeline runs before the expensive ops): per feature,
+    count non-adjacent edge pairs that touch or cross — 0 ⇔ simple
+    ring.  Exact integer orientation predicates (functions/
+    simplify.py::ring_self_intersections), features independent →
+    embarrassingly parallel task UDF; the corpus plants bowties so
+    both verdicts occur."""
+    import ray.data as rd
+
+    from ..functions.simplify import ring_area2, ring_self_intersections
+
+    def validate(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_numpy()
+        rows = []
+        for i in map(int, ids):
+            xs, ys = _validate_ring(i)
+            bad = ring_self_intersections(xs, ys)
+            rows.append((i, bad, int(bad == 0), abs(ring_area2(xs, ys))))
+        sid, nb, ok, a2 = zip(*rows) if rows else ((), (), (), ())
+        return pa.table(
+            {
+                "shape_id": pa.array(list(sid), pa.int64()),
+                "n_self_intersections": pa.array(list(nb), pa.int64()),
+                "is_valid": pa.array(list(ok), pa.int64()),
+                "area2": pa.array(list(a2), pa.int64()),
+            }
+        )
+
+    return rd.range(VALID_N, override_num_blocks=32).map_batches(
+        validate, batch_format="pyarrow"
+    )
+
+
+def _build_geom_validate_sql() -> str:
+    from ..functions.simplify import ring_area2, ring_self_intersections
+
+    rows = []
+    for i in range(VALID_N):
+        xs, ys = _validate_ring(i)
+        bad = ring_self_intersections(xs, ys)
+        rows.append(
+            f"(CAST({i} AS BIGINT), CAST({bad} AS BIGINT),"
+            f" CAST({int(bad == 0)} AS BIGINT), CAST({abs(ring_area2(xs, ys))} AS BIGINT))"
+        )
+    return (
+        "\n    SELECT * FROM (VALUES\n      "
+        + ",\n      ".join(rows)
+        + "\n    ) AS expected(shape_id, n_self_intersections, is_valid, area2)\n"
+    )
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -10539,6 +10610,7 @@ def build_queries():
         "contamination_winnow": q_contamination_winnow,
         "cdc_state": q_cdc_state,
         "moving_window": q_moving_window,
+        "geom_validate": q_geom_validate,
     }
 
 
@@ -10735,4 +10807,5 @@ def build_oracle_sql():
         "contamination_winnow": _build_contamination_winnow_sql(),
         "cdc_state": Q_CDC_STATE_SQL,
         "moving_window": Q_MOVING_WINDOW_SQL,
+        "geom_validate": _build_geom_validate_sql(),
     }

@@ -739,3 +739,24 @@ def test_moving_window_bounded_sum(ray_session):
     g = dict(zip(got["event_id"].to_pylist(), got["moving_c"].to_pylist()))
     for k, val in expect.items():
         assert g[k] == val
+
+
+def test_geom_validate_detects_planted_bowties(ray_session):
+    from rust_geo_booleanop_ray.pipelines.queries import (
+        _validate_ring,
+        q_geom_validate,
+    )
+    from rust_geo_booleanop_ray.stages.footprint import _splitmix64
+
+    t = pa.Table.from_pylist(q_geom_validate(SF).take_all())
+    by_id = dict(zip(t["shape_id"].to_pylist(), t["is_valid"].to_pylist()))
+    n_bowtie = n_valid = 0
+    for i in range(1200):
+        planted = int(_splitmix64(np.uint64(i * 613)) % np.uint64(5)) == 0
+        if planted:
+            n_bowtie += 1
+            assert by_id[i] == 0  # bowties are caught
+        else:
+            n_valid += 1
+            assert by_id[i] == 1  # skyline rings are simple
+    assert n_bowtie > 150 and n_valid > 800
