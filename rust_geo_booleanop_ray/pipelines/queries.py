@@ -10410,7 +10410,15 @@ def _validate_ring(i: int) -> tuple[np.ndarray, np.ndarray]:
         xs = np.array([0, 4, 4, 0], dtype=np.int64) + dx
         ys = np.array([0, 4, 0, 4], dtype=np.int64) + dy
         return xs, ys
-    return skyline_chain(i)
+    xs, ys = skyline_chain(i)
+    # clean class must be SIMPLE: lift the staircase off the base edge
+    # (heights ≥ 1) and drop zero-length edges from equal-height runs
+    ys = ys.copy()
+    ys[1:-1] += 1
+    keep = np.concatenate(
+        ([True], (xs[1:] != xs[:-1]) | (ys[1:] != ys[:-1]))
+    )
+    return xs[keep], ys[keep]
 
 
 def q_geom_validate(sf_dir: str):
