@@ -104,6 +104,7 @@ def bench_list():
         "fingerprints",
         "contamination",
         "contamination_winnow",
+        "corpus_curation",
         "embedding_near_dup",
         "mutual_nn",
         # dedup_components stays out of the headline: its label-

@@ -10473,6 +10473,211 @@ def _build_geom_validate_sql() -> str:
     )
 
 
+def _winnow_hash_ctes(src: str, prefix: str) -> str:
+    """CTE fragment: ``{prefix}w(doc_id, hv)`` = DISTINCT winnowed
+    window hashes of the docs in CTE ``src`` (must expose doc_id,
+    text) — the SQL twin of stages/text.py::winnowed_hashes_batch."""
+    from ..stages.text import _FP_BASE, _FP_WINDOW, WINNOW_W
+
+    B = int(_FP_BASE)
+    H = 1 << 64
+    W = WINNOW_W
+    powers = [pow(B, k, H) for k in range(_FP_WINDOW)]
+    terms = " + ".join(
+        f"unicode(t[i+{j}:i+{j}]) * {powers[_FP_WINDOW - 1 - j]}::HUGEINT"
+        for j in range(_FP_WINDOW)
+    )
+    return f"""{prefix}c AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < {_FP_WINDOW}
+                  THEN text || repeat(' ', {_FP_WINDOW} - length(text))
+                  ELSE text END AS t
+      FROM {src}
+    ),
+    {prefix}hl AS (
+      SELECT doc_id,
+             [ (({terms}) % 18446744073709551616::HUGEINT)
+               FOR i IN range(1, length(t) - {_FP_WINDOW - 2}) ] AS hs
+      FROM {prefix}c
+    ),
+    {prefix}ks AS (
+      SELECT doc_id, hs,
+             CASE WHEN len(hs) <= {W}
+                  THEN [list_position(hs, list_min(hs))]
+                  ELSE list_distinct([ p + list_position(hs[p:p+{W - 1}],
+                                       list_min(hs[p:p+{W - 1}])) - 1
+                                       FOR p IN range(1, len(hs) - {W - 2}) ])
+             END AS keeps
+      FROM {prefix}hl
+    ),
+    {prefix}w AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(list_transform(keeps, k -> hs[k]))) AS hv
+      FROM {prefix}ks
+    )"""
+
+
+CURATION_CONTAM_MIN = 10
+
+
+def q_corpus_curation(sf_dir: str):
+    """END-TO-END corpus curation — the composed LLM-training-data
+    pipeline, stages chained the way a real job runs them, one result
+    the oracle checks across ALL of them at once:
+
+      1. drop the eval split (doc_id % 50 == 0) from training;
+      2. quality gate (integer-exact: 5 ≤ tokens ≤ 200, stopword
+         ratio ≥ 4%) — sheds before anything expensive;
+      3. DECONTAMINATION: drop survivors sharing a winnowed
+         fingerprint with any eval doc (eval hash set is tiny —
+         broadcast via ray.put; the bucketed join in q_contamination
+         is the shape when it is not);
+      4. exact dedup among survivors (128-bit content hash, keeper =
+         min doc_id, hash-bucketed lexsort merge);
+      5. per-source corpus report (bounded groupby).
+
+    Every stage reuses the already-oracle-checked kernels; the
+    composition is what this query pins."""
+    import ray
+    import pyarrow.parquet as pq_
+
+    from ..stages.dedup import content_hash_batch
+    from ..stages.footprint import _splitmix64
+    from ..stages.text import _STOPWORDS, winnowed_hashes_batch
+
+    # eval fingerprints: pruned row-group read + one local kernel call
+    ev_docs = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ev_tbl = ev_docs.filter(pa.array(ev_docs["doc_id"].to_numpy() % 50 == 0))
+    ev_hashes = set(winnowed_hashes_batch(ev_tbl)["hv"].to_pylist())
+    ev_ref = ray.put(ev_hashes)
+
+    N_BUCKETS = 64
+
+    def gate(b: pa.Table) -> pa.Table:
+        evs = ray.get(ev_ref)
+        doc = b["doc_id"].to_numpy()
+        keep_train = doc % 50 != 0
+        toks = pc.list_value_length(pc.split_pattern(b["text"], " ")).to_numpy()
+        # stopword count via is_in over the flattened tokens
+        tl = pc.split_pattern(b["text"], " ")
+        flat = pc.list_flatten(tl)
+        parent = pc.list_parent_indices(tl)
+        stop_hits = pc.is_in(flat, value_set=pa.array(list(_STOPWORDS))).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = np.zeros(b.num_rows, dtype=np.int64)
+        np.add.at(n_stop, parent.to_numpy(), stop_hits.astype(np.int64))
+        quality = (toks >= 5) & (toks <= 200) & (n_stop * 25 >= toks)
+        keep = keep_train & quality
+        kept = b.filter(pa.array(keep))
+        if kept.num_rows:
+            wh = winnowed_hashes_batch(kept)
+            wd = wh["doc_id"].to_numpy()
+            whv = wh["hv"].to_numpy()
+            hit = np.array([h in evs for h in whv], dtype=bool)
+            # strong-overlap rule: a doc is contaminated when ≥
+            # CURATION_CONTAM_MIN of its DISTINCT winnowed hashes
+            # appear in the eval set (one shared n-gram is background
+            # noise in a shared-vocabulary corpus)
+            from collections import Counter
+
+            cnt = Counter(wd[hit].tolist())
+            dirty_docs = {k for k, v in cnt.items() if v >= CURATION_CONTAM_MIN}
+            clean = pa.array([d not in dirty_docs for d in kept["doc_id"].to_pylist()])
+            kept = kept.filter(clean)
+        hashed = content_hash_batch(kept)
+        toks_kept = pc.list_value_length(
+            pc.split_pattern(kept["text"], " ")
+        ).to_numpy().astype(np.int64)
+        h = _splitmix64(hashed["content_hash"].to_numpy().astype(np.uint64))
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"],
+                "source": kept["source"],
+                "tok": pa.array(toks_kept),
+                "h_lo": hashed["content_hash"],
+                "h_hi": hashed["content_hash_hi"],
+                "bucket": pa.array((h % np.uint64(N_BUCKETS)).astype(np.int64)),
+            }
+        )
+
+    def dedup_merge(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy()
+        lo = group["h_lo"].to_numpy()
+        hi = group["h_hi"].to_numpy()
+        order = np.lexsort((d, hi, lo))
+        lo, hi, d = lo[order], hi[order], d[order]
+        first = np.concatenate(([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])))
+        take = pa.array(order[np.flatnonzero(first)].astype(np.int64))
+        out = group.take(take)
+        return out.select(["doc_id", "source", "tok"])
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    survivors = (
+        ds.map_batches(gate, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_merge, batch_format="pyarrow")
+    )
+
+    def src_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b["source"],
+                "n_docs": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "sum_tokens": b["tok"],
+            }
+        )
+        agg = pa.TableGroupBy(t, "source").aggregate(
+            [("n_docs", "sum"), ("sum_tokens", "sum")]
+        )
+        return agg.rename_columns(["source", "n_docs", "sum_tokens"])
+
+    return (
+        survivors.map_batches(src_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_tokens", alias_name="sum_tokens"))
+    )
+
+
+def _build_corpus_curation_sql() -> str:
+    CURATION = CURATION_CONTAM_MIN
+    return f"""
+    WITH ev0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+    {_winnow_hash_ctes("ev0", "e_")},
+    q AS (
+      SELECT doc_id, source, text,
+             len(string_split(text, ' ')) AS tok,
+             len(list_filter(string_split(text, ' '), x -> x IN {STOPWORDS_SQL})) AS n_stop
+      FROM documents WHERE doc_id % 50 <> 0
+    ),
+    qk AS (
+      SELECT * FROM q
+      WHERE tok >= 5 AND tok <= 200 AND n_stop * 25 >= tok
+    ),
+    {_winnow_hash_ctes("qk", "t_")},
+    dirty AS (
+      SELECT t_w.doc_id, COUNT(*) AS n_shared
+      FROM t_w JOIN (SELECT DISTINCT hv FROM e_w) e ON t_w.hv = e.hv
+      GROUP BY t_w.doc_id
+    ),
+    clean AS (
+      SELECT qk.* FROM qk
+      LEFT JOIN dirty ON dirty.doc_id = qk.doc_id
+      WHERE COALESCE(dirty.n_shared, 0) < {CURATION}
+    ),
+    ded AS (
+      SELECT * FROM clean
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS sum_tokens
+    FROM ded GROUP BY source
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -10619,6 +10824,7 @@ def build_queries():
         "cdc_state": q_cdc_state,
         "moving_window": q_moving_window,
         "geom_validate": q_geom_validate,
+        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -10816,4 +11022,5 @@ def build_oracle_sql():
         "cdc_state": Q_CDC_STATE_SQL,
         "moving_window": Q_MOVING_WINDOW_SQL,
         "geom_validate": _build_geom_validate_sql(),
+        "corpus_curation": _build_corpus_curation_sql(),
     }

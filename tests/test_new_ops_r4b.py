@@ -760,3 +760,25 @@ def test_geom_validate_detects_planted_bowties(ray_session):
             n_valid += 1
             assert by_id[i] == 1  # skyline rings are simple
     assert n_bowtie > 150 and n_valid > 800
+
+
+def test_corpus_curation_gates_monotone(ray_session):
+    """The composed curation output is consistent with its stages:
+    per-source counts never exceed the raw train counts, every source
+    survives at this threshold, and token sums are positive."""
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import q_corpus_curation
+
+    t = pa.Table.from_pylist(q_corpus_curation(SF).take_all())
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+    raw = {}
+    d = docs["doc_id"].to_numpy()
+    for s in set(docs["source"].to_pylist()):
+        m = (np.array(docs["source"].to_pylist()) == s) & (d % 50 != 0)
+        raw[s] = int(m.sum())
+    for i in range(t.num_rows):
+        s = t["source"][i].as_py()
+        assert 0 < t["n_docs"][i].as_py() <= raw[s]
+        assert t["sum_tokens"][i].as_py() > 0
+    assert sum(t["n_docs"].to_pylist()) < sum(raw.values())  # gates shed
