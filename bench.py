@@ -77,6 +77,7 @@ def bench_list():
         "image_features",
         "image_quality",
         "image_near_dup",
+        "image_curation",
         # image_dedup_components embeds the components fixpoint and
         # inherits its round-dominated toy-scale latency (see note below)
         "image_sim_topk",

@@ -10678,6 +10678,147 @@ def _build_corpus_curation_sql() -> str:
 """
 
 
+def q_image_curation(sf_dir: str):
+    """END-TO-END image curation — the image-axis twin of
+    corpus_curation, stages chained the way a dataset build runs them:
+
+      1. ONE real decode per image produces BOTH curation signals
+         (quality brightness ints + 64-bit pHash) — never two decode
+         passes;
+      2. quality gate (integer mid-gray rule, image_quality_keep);
+      3. near-dup dedup among survivors: banded pHash candidates →
+         exact popcount verify → drop the larger id of every verified
+         pair (canonical-min keeper, the variant collapse);
+      4. aspect-bucket report of the curated set (bounded groupby).
+
+    The dropped-id set is bounded by the variant count → broadcast;
+    the oracle replays every stage from generator-side pixel-math
+    literals, so one driver row-hash pins decode + gate + pairing +
+    bucketing TOGETHER."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..sources.images import (
+        image_quality_keep,
+        quality_stats,
+        read_synth_neardup_images,
+    )
+    from ..stages.dedup import hamming_candidate_pairs
+    from ..stages.image_ops import decode_image
+
+    def decode_profile(b: pa.Table) -> pa.Table:
+        from ..sources.images import _phash64
+
+        payloads = b["bytes"].to_pylist()
+        ws = b["w"].to_numpy()
+        hs = b["h"].to_numpy()
+        fmts = b["fmt"].to_pylist()
+        idxs = b["img_idx"].to_numpy()
+        keep_rows, ph = [], []
+        for i, payload in enumerate(payloads):
+            px = decode_image(payload, int(ws[i]), int(hs[i]), fmts[i])
+            bright, _, _ = quality_stats(px)
+            if image_quality_keep(bright, px.size):
+                keep_rows.append(i)
+                ph.append(np.int64(_phash64(px)))
+        take = pa.array(np.array(keep_rows, dtype=np.int64))
+        kept = b.select(["img_idx", "w", "h"]).take(take)
+        return kept.append_column("phash", pa.array(np.array(ph, dtype=np.int64)))
+
+    ds = read_synth_neardup_images(IMAGE_NEARDUP_N)
+    profiled = ds.map_batches(decode_profile, batch_format="pyarrow", batch_size=256)
+
+    exploded = profiled.map_batches(_phash_band_explode, batch_format="pyarrow")
+    pairs = hamming_candidate_pairs(
+        exploded,
+        max_hamming=IMAGE_NEARDUP_MAX_HAMMING,
+        key_col="img_idx",
+        sig_col="phash",
+        out_cols=("img_a", "img_b"),
+    )
+    # canonical-min keeper: the larger element of every verified pair
+    # drops; the set is bounded by the corpus's variant count
+    dropped = set()
+    for r in pairs.take_all():
+        dropped.add(int(r["img_b"]))
+    drop_ref = ray.put(dropped)
+
+    classes = np.asarray(list(ASPECT_TARGETS), dtype=object)
+
+    def survive_bucket(b: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        keep = pa.array([int(x) not in drop for x in b["img_idx"].to_pylist()])
+        kept = b.filter(keep)
+        w = kept["w"].to_numpy().astype(np.int64)
+        h = kept["h"].to_numpy().astype(np.int64)
+        cls_idx = np.where(
+            w == h,
+            0,
+            np.where(
+                w > h,
+                np.where(2 * w >= 3 * h, 2, 1),
+                np.where(2 * h >= 3 * w, 4, 3),
+            ),
+        )
+        t = pa.table(
+            {
+                "aspect": pa.array(classes[cls_idx], pa.string()),
+                "n": pa.array(np.ones(len(w), dtype=np.int64)),
+            }
+        )
+        agg = pa.TableGroupBy(t, "aspect").aggregate([("n", "sum")])
+        return agg.rename_columns(["aspect", "n"])
+
+    return (
+        profiled.map_batches(survive_bucket, batch_format="pyarrow")
+        .groupby("aspect")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def _build_image_curation_sql() -> str:
+    from ..sources.images import expected_curation_profile
+
+    values = _values_oracle_sql(expected_curation_profile(IMAGE_NEARDUP_N))
+    bandpw = ", ".join(f"{1 << (16 * k)}::HUGEINT" for k in range(4))
+    return f"""
+    WITH prof AS ({values}),
+    qk AS (SELECT * FROM prof WHERE 2 * bright >= 255 * n_sub),
+    u AS (
+      SELECT img_idx, phash,
+             CASE WHEN phash < 0
+                  THEN phash + 18446744073709551616::HUGEINT
+                  ELSE phash::HUGEINT END AS phu
+      FROM qk
+    ),
+    bands AS (
+      SELECT img_idx, phash, p.band AS band_id,
+             (phu // p.bpw) % 65536::HUGEINT AS band_val
+      FROM u, (SELECT unnest(range(4)) AS band, unnest([{bandpw}]) AS bpw) p
+    ),
+    dropped AS (
+      SELECT DISTINCT b.img_idx AS img_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.img_idx < b.img_idx
+      WHERE bit_count(xor(a.phash, b.phash)) <= {IMAGE_NEARDUP_MAX_HAMMING}
+    ),
+    surv AS (
+      SELECT qk.* FROM qk
+      WHERE qk.img_idx NOT IN (SELECT img_b FROM dropped)
+    ),
+    c AS (
+      SELECT CASE WHEN w = h THEN 'square'
+                  WHEN w > h AND 2*w >= 3*h THEN 'ultrawide'
+                  WHEN w > h THEN 'wide'
+                  WHEN 2*h >= 3*w THEN 'ultratall'
+                  ELSE 'tall' END AS aspect
+      FROM surv
+    )
+    SELECT aspect, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY aspect
+"""
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -10825,6 +10966,7 @@ def build_queries():
         "moving_window": q_moving_window,
         "geom_validate": q_geom_validate,
         "corpus_curation": q_corpus_curation,
+        "image_curation": q_image_curation,
     }
 
 
@@ -11023,4 +11165,5 @@ def build_oracle_sql():
         "moving_window": Q_MOVING_WINDOW_SQL,
         "geom_validate": _build_geom_validate_sql(),
         "corpus_curation": _build_corpus_curation_sql(),
+        "image_curation": _build_image_curation_sql(),
     }

@@ -795,3 +795,30 @@ def read_synth_image_meta(n_images: int, override_num_blocks: int | None = None)
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def expected_curation_profile(n_images: int, seed: int = 42) -> pa.Table:
+    """Generator-side (img_idx, phash, bright, n_sub, w, h) for the
+    near-dup corpus — the literal table the composed image-curation
+    oracle filters, pairs and buckets in SQL (pixel math only, never
+    the codec)."""
+    idxs = list(range(n_images))
+    ph, br, ns, ws, hs = [], [], [], [], []
+    for i in idxs:
+        px = _neardup_pixels(i, seed)
+        b, _, _ = quality_stats(px)
+        ph.append(_phash64(px))
+        br.append(b)
+        ns.append(px.shape[0] * px.shape[1] * 3)
+        hs.append(px.shape[0])
+        ws.append(px.shape[1])
+    return pa.table(
+        {
+            "img_idx": pa.array(idxs, pa.int64()),
+            "phash": pa.array(ph, pa.int64()),
+            "bright": pa.array(br, pa.int64()),
+            "n_sub": pa.array(ns, pa.int64()),
+            "w": pa.array(ws, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+        }
+    )
