@@ -10678,7 +10678,7 @@ def _build_corpus_curation_sql() -> str:
 """
 
 
-def q_image_curation(sf_dir: str):
+def q_image_curation(sf_dir: str, n_images: int | None = None):
     """END-TO-END image curation — the image-axis twin of
     corpus_curation, stages chained the way a dataset build runs them:
 
@@ -10725,7 +10725,7 @@ def q_image_curation(sf_dir: str):
         kept = b.select(["img_idx", "w", "h"]).take(take)
         return kept.append_column("phash", pa.array(np.array(ph, dtype=np.int64)))
 
-    ds = read_synth_neardup_images(IMAGE_NEARDUP_N)
+    ds = read_synth_neardup_images(n_images or IMAGE_NEARDUP_N)
     profiled = ds.map_batches(decode_profile, batch_format="pyarrow", batch_size=256)
 
     exploded = profiled.map_batches(_phash_band_explode, batch_format="pyarrow")
