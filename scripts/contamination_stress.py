@@ -59,8 +59,11 @@ def main(argv=None) -> int:
                 elif kind == 3:
                     base = (mix(i * 3 + 1) % (i // 20)) * 20 + 4
             rng = (base * 2654435761) % (1 << 32)
+            STOP = ("the", "a", "of", "and", "to", "in", "is")
             toks = [
-                VOCAB[(rng // (k + 1) + base * (k + 3)) % len(VOCAB)]
+                STOP[(base + k) % 7]
+                if k % 8 == 3  # ~12% stopwords → passes the quality gate
+                else VOCAB[(rng // (k + 1) + base * (k + 3)) % len(VOCAB)]
                 for k in range(24)
             ]
             if kind == 3 and i >= 40:
@@ -69,12 +72,15 @@ def main(argv=None) -> int:
         return pa.table(
             {
                 "doc_id": pa.array(idx.astype(np.int64), pa.int64()),
+                "source": pa.array(
+                    [f"src{int(i) % 20}" for i in idx], pa.string()
+                ),
                 "text": pa.array(texts, pa.string()),
             }
         )
 
     blocks = max(16, min(256, n // 2048))
-    corpus_dir = f"/tmp/contam_stress_corpus_{n}"
+    corpus_dir = f"/tmp/contam_stress_corpus_v3_{n}"
     if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
         rd.range(n, override_num_blocks=blocks).map_batches(
             gen, batch_format="pyarrow", batch_size=None
@@ -92,6 +98,14 @@ def main(argv=None) -> int:
             "eval_docs_flagged": len(rows),
             "contaminating_pairs": int(sum(r["n_train"] for r in rows)),
         }
+    # the composed text capstone over the same corpus
+    t0 = time.time()
+    rows = build_queries()["corpus_curation"](corpus_dir).take_all()
+    out["corpus_curation"] = {
+        "sec": round(time.time() - t0, 2),
+        "sources": len(rows),
+        "docs_kept": int(sum(r["n_docs"] for r in rows)),
+    }
     print(json.dumps(out))
     ray.shutdown()
     return 0
