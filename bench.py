@@ -148,6 +148,7 @@ def bench_list():
         "left_join",
         "tfidf_topterms",
         "bm25_topterms",
+        "bpe_merges",
         "event_gaps",
         "gap_fill",
         "period_over_period",

@@ -10819,6 +10819,113 @@ def _build_image_curation_sql() -> str:
 """
 
 
+BPE_ROUNDS = 3
+BPE_SEP = "·"
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (the canonical LLM preprocessing step),
+    3 merge rounds over the corpus: per round, count every adjacent
+    symbol pair (per-batch Counter partials → ONE bounded groupby —
+    pair cardinality tracks the vocabulary, not rows), pick the global
+    top pair (count DESC, pair lexicographic), broadcast it, and merge
+    it corpus-wide with ONE vectorized literal replace per batch
+    (pyarrow replace_substring — left-to-right non-overlapping,
+    exactly DuckDB's replace()).  State lives in the separator-joined
+    symbol string; the oracle unrolls the same three rounds as CTEs.
+    Output: one row per round (merged pair + its count)."""
+    from ray.data.aggregate import Sum
+
+    SEP = BPE_SEP
+
+    def to_symbols(b: pa.Table) -> pa.Table:
+        joined = [SEP.join(t) for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"], "sym": pa.array(joined, pa.string())})
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in b["sym"].to_pylist():
+            toks = s.split(SEP)
+            c.update(zip(toks, toks[1:]))
+        if not c:
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        a, bb, n = zip(*((k[0], k[1], v) for k, v in c.items()))
+        return pa.table(
+            {"a": pa.array(list(a), pa.string()), "b": pa.array(list(bb), pa.string()),
+             "n": pa.array(list(n), pa.int64())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_symbols, batch_format="pyarrow"
+    )
+    merges = []
+    for _ in range(BPE_ROUNDS):
+        counts = (
+            ds.map_batches(pair_counts, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()  # bounded: pairs over the current vocabulary
+        )
+        top = min(counts, key=lambda r: (-r["n"], r["a"], r["b"]))
+        merges.append((top["a"], top["b"], int(top["n"])))
+        pat, rep = top["a"] + SEP + top["b"], top["a"] + top["b"]
+
+        def apply_merge(b: pa.Table, _p=pat, _r=rep) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "sym": pc.replace_substring(b["sym"], pattern=_p, replacement=_r),
+                }
+            )
+
+        ds = ds.map_batches(apply_merge, batch_format="pyarrow")
+    return pa.table(
+        {
+            "round": pa.array(np.arange(1, BPE_ROUNDS + 1, dtype=np.int64)),
+            "sym_a": pa.array([m[0] for m in merges], pa.string()),
+            "sym_b": pa.array([m[1] for m in merges], pa.string()),
+            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )
+
+
+def _build_bpe_sql() -> str:
+    S = BPE_SEP
+    ctes = [
+        f"""s0 AS (
+      SELECT doc_id,
+             rtrim(regexp_replace(text, '(.)', '\\1{S}', 'g'), '{S}') AS sym
+      FROM documents
+    )"""
+    ]
+    for t in range(1, BPE_ROUNDS + 1):
+        prev = f"s{t - 1}"
+        ctes.append(
+            f"""p{t} AS (
+      SELECT pr[1] AS a, pr[2] AS b, COUNT(*) AS n FROM (
+        SELECT unnest(list_zip(l[1:-2], l[2:-1])) AS pr
+        FROM (SELECT string_split(sym, '{S}') AS l FROM {prev})
+      ) WHERE pr[2] IS NOT NULL GROUP BY 1, 2
+    ),
+    t{t} AS (SELECT a, b, n FROM p{t} ORDER BY n DESC, a, b LIMIT 1),
+    s{t} AS (
+      SELECT s.doc_id,
+             replace(s.sym, t.a || '{S}' || t.b, t.a || t.b) AS sym
+      FROM {prev} s CROSS JOIN t{t} t
+    )"""
+        )
+    rounds_sql = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS round, a AS sym_a, b AS sym_b, CAST(n AS BIGINT) AS pair_count FROM t{t}"
+        for t in range(1, BPE_ROUNDS + 1)
+    )
+    return "\n    WITH " + ",\n    ".join(ctes) + "\n    " + rounds_sql + "\n"
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -10967,6 +11074,7 @@ def build_queries():
         "geom_validate": q_geom_validate,
         "corpus_curation": q_corpus_curation,
         "image_curation": q_image_curation,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -11166,4 +11274,5 @@ def build_oracle_sql():
         "geom_validate": _build_geom_validate_sql(),
         "corpus_curation": _build_corpus_curation_sql(),
         "image_curation": _build_image_curation_sql(),
+        "bpe_merges": _build_bpe_sql(),
     }

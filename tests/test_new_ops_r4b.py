@@ -810,3 +810,25 @@ def test_image_curation_composition(ray_session):
         q_keep += image_quality_keep(b, px.size)
     assert 0 < total  # non-degenerate
     assert q_keep > 0.3 * N  # corpus is not degenerate either
+
+
+def test_bpe_merges_monotone_and_real(ray_session):
+    """BPE training invariants: top-pair counts are non-increasing
+    across rounds (a new pair's frequency is bounded by the previous
+    merge count), and each merged pair really is the corpus's most
+    frequent at its round (brute-force check for round 1)."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from rust_geo_booleanop_ray.pipelines.queries import q_bpe_merges
+
+    t = q_bpe_merges(SF)
+    assert t.num_rows == 3
+    counts = t["pair_count"].to_pylist()
+    assert counts[0] >= counts[1] >= counts[2] > 0
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    c = Counter()
+    for s in docs["text"].to_pylist():
+        c.update(zip(s, s[1:]))
+    (a, b), n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert (t["sym_a"][0].as_py(), t["sym_b"][0].as_py(), counts[0]) == (a, b, n)
