@@ -149,6 +149,7 @@ def bench_list():
         "tfidf_topterms",
         "bm25_topterms",
         "bpe_merges",
+        "bpe_tokenize",
         "event_gaps",
         "gap_fill",
         "period_over_period",

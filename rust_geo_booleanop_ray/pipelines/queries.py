@@ -10926,6 +10926,85 @@ def _build_bpe_sql() -> str:
     return "\n    WITH " + ",\n    ".join(ctes) + "\n    " + rounds_sql + "\n"
 
 
+def q_bpe_tokenize(sf_dir: str):
+    """BPE tokenization APPLY (the trainer's other half): run the 3
+    learned merges over the corpus and emit each document's BPE token
+    count — the sequence-length profile a trainer packs batches by.
+    Same state representation as q_bpe_merges; counting is one split
+    per doc, vectorized via list_value_length."""
+    from ray.data.aggregate import Sum
+
+    SEP = BPE_SEP
+
+    def to_symbols(b: pa.Table) -> pa.Table:
+        joined = [SEP.join(t) for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"], "sym": pa.array(joined, pa.string())})
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for s in b["sym"].to_pylist():
+            toks = s.split(SEP)
+            c.update(zip(toks, toks[1:]))
+        if not c:
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        a, bb, n = zip(*((k[0], k[1], v) for k, v in c.items()))
+        return pa.table(
+            {"a": pa.array(list(a), pa.string()), "b": pa.array(list(bb), pa.string()),
+             "n": pa.array(list(n), pa.int64())}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_symbols, batch_format="pyarrow"
+    )
+    for _ in range(BPE_ROUNDS):
+        counts = (
+            ds.map_batches(pair_counts, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )
+        top = min(counts, key=lambda r: (-r["n"], r["a"], r["b"]))
+        pat, rep = top["a"] + SEP + top["b"], top["a"] + top["b"]
+
+        def apply_merge(b: pa.Table, _p=pat, _r=rep) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "sym": pc.replace_substring(b["sym"], pattern=_p, replacement=_r),
+                }
+            )
+
+        ds = ds.map_batches(apply_merge, batch_format="pyarrow")
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(b["sym"], SEP))
+        return pa.table(
+            {"doc_id": b["doc_id"], "n_bpe_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(count_tokens, batch_format="pyarrow")
+
+
+def _build_bpe_tokenize_sql() -> str:
+    # reuse the trainer's CTE chain; count symbols of the final state
+    chain = _build_bpe_sql()
+    # strip the trailing UNION ALL select and keep the WITH chain
+    head = chain.split("\n    SELECT CAST(1 AS BIGINT)")[0]
+    return (
+        head
+        + f"""
+    SELECT doc_id,
+           CAST(len(string_split(sym, '{BPE_SEP}')) AS BIGINT) AS n_bpe_tokens
+    FROM s{BPE_ROUNDS}
+"""
+    )
+
+
 def build_queries():
     return {
         "clip_area": q_clip_area,
@@ -11075,6 +11154,7 @@ def build_queries():
         "corpus_curation": q_corpus_curation,
         "image_curation": q_image_curation,
         "bpe_merges": q_bpe_merges,
+        "bpe_tokenize": q_bpe_tokenize,
     }
 
 
@@ -11275,4 +11355,5 @@ def build_oracle_sql():
         "corpus_curation": _build_corpus_curation_sql(),
         "image_curation": _build_image_curation_sql(),
         "bpe_merges": _build_bpe_sql(),
+        "bpe_tokenize": _build_bpe_tokenize_sql(),
     }

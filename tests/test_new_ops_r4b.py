@@ -832,3 +832,21 @@ def test_bpe_merges_monotone_and_real(ray_session):
         c.update(zip(s, s[1:]))
     (a, b), n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
     assert (t["sym_a"][0].as_py(), t["sym_b"][0].as_py(), counts[0]) == (a, b, n)
+
+
+def test_bpe_tokenize_shrinks_sequences(ray_session):
+    """Applying the learned merges shortens sequences: per-doc BPE
+    token count ≤ char count, and strictly less in total."""
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import q_bpe_tokenize
+
+    t = pa.Table.from_pylist(q_bpe_tokenize(SF).take_all())
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    chars = {d: len(s) for d, s in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist())}
+    total_bpe = total_chars = 0
+    for d, n in zip(t["doc_id"].to_pylist(), t["n_bpe_tokens"].to_pylist()):
+        assert n <= chars[d]
+        total_bpe += n
+        total_chars += chars[d]
+    assert total_bpe < total_chars
