@@ -21,6 +21,13 @@ from ..sources.arrow_geom import COORD_T
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
+    # the uint64 multiplies wrap BY DESIGN; errstate silences the
+    # scalar-overflow RuntimeWarning 0-d inputs would otherwise emit
+    with np.errstate(over="ignore"):
+        return _splitmix64_impl(np.asarray(x, dtype=np.uint64))
+
+
+def _splitmix64_impl(x: np.ndarray) -> np.ndarray:
     x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
     z = x
     z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
