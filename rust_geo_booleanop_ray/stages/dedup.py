@@ -1191,8 +1191,24 @@ def minhash_candidate_pairs_lean(sigs_ds, threshold: float, n_buckets: int = 64)
     cand = pair_reduce(cand, "doc_a", "doc_b", "one", how="min")
 
     def explode_pairs(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy().astype(np.uint64)
-        bb = b["doc_b"].to_numpy().astype(np.uint64)
+        a64 = b["doc_a"].to_numpy()
+        b64 = b["doc_b"].to_numpy()
+        # pair_key packs (doc_a, doc_b) as two uint32 halves; ids outside
+        # [0, 2^32) would silently collide — raise loudly instead (carry the
+        # pair as two columns / a two-word key, like content_hash, if a
+        # corpus ever needs wider ids).
+        if len(a64) and (
+            a64.min() < 0
+            or b64.min() < 0
+            or a64.max() >= 1 << 32
+            or b64.max() >= 1 << 32
+        ):
+            raise ValueError(
+                "minhash_candidate_pairs_lean packs doc ids as uint32 halves; "
+                "got ids outside [0, 2^32)"
+            )
+        a = a64.astype(np.uint64)
+        bb = b64.astype(np.uint64)
         key = ((a << np.uint64(32)) | bb).view(np.int64)
         m = len(a)
         return pa.table(
@@ -1278,7 +1294,21 @@ def minhash_candidate_pairs_lean(sigs_ds, threshold: float, n_buckets: int = 64)
                 sb.offset * n_perm : (sb.offset + len(sb)) * n_perm
             ].reshape(len(sb), n_perm)
         )[order]
-        # rows alternate (slot 0, slot 1) per pair_key
+        slot = slot[order]
+        # rows must alternate (slot 0, slot 1) per pair_key — a duplicate
+        # doc_id in the signatures dataset would make the join emit >2 rows
+        # for a pair and silently misalign every later pair in the bucket.
+        # Cheap invariant check: fail loudly instead.
+        if (
+            len(k) % 2 != 0
+            or not (k[0::2] == k[1::2]).all()
+            or not (slot[0::2] == 0).all()
+            or not (slot[1::2] == 1).all()
+        ):
+            raise ValueError(
+                "verify_bucket: pair rows not strictly (slot0, slot1) per "
+                "pair_key — duplicate doc_id in the signatures dataset?"
+            )
         a = sig[0::2]
         b = sig[1::2]
         est = (a == b).mean(axis=1)

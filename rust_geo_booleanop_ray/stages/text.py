@@ -325,8 +325,14 @@ def window_hashes_batch(batch: pa.Table) -> pa.Table:
         out_h.append(hv)
     return pa.table(
         {
-            "doc_id": pa.array(np.concatenate(out_doc) if out_doc else []),
-            "hv": pa.array(np.concatenate(out_h) if out_h else []),
+            "doc_id": pa.array(
+                np.concatenate(out_doc) if out_doc else np.empty(0, np.int64),
+                pa.int64(),
+            ),
+            "hv": pa.array(
+                np.concatenate(out_h) if out_h else np.empty(0, np.int64),
+                pa.int64(),
+            ),
         }
     )
 
@@ -366,7 +372,13 @@ def winnowed_hashes_batch(batch: pa.Table, w: int = WINNOW_W) -> pa.Table:
         out_h.append(hv)
     return pa.table(
         {
-            "doc_id": pa.array(np.concatenate(out_doc) if out_doc else []),
-            "hv": pa.array(np.concatenate(out_h) if out_h else []),
+            "doc_id": pa.array(
+                np.concatenate(out_doc) if out_doc else np.empty(0, np.int64),
+                pa.int64(),
+            ),
+            "hv": pa.array(
+                np.concatenate(out_h) if out_h else np.empty(0, np.int64),
+                pa.int64(),
+            ),
         }
     )
