@@ -10518,9 +10518,12 @@ def _winnow_hash_ctes(src: str, prefix: str) -> str:
 
 
 CURATION_CONTAM_MIN = 10
+# broadcast fast path only while the eval split stays benchmark-sized;
+# past this the decontamination gate switches to the bucketed-join plan
+CURATION_EVAL_BROADCAST_MAX_DOCS = 200_000
 
 
-def q_corpus_curation(sf_dir: str):
+def q_corpus_curation(sf_dir: str, scale_path: bool | None = None):
     """END-TO-END corpus curation — the composed LLM-training-data
     pipeline, stages chained the way a real job runs them, one result
     the oracle checks across ALL of them at once:
@@ -10528,33 +10531,49 @@ def q_corpus_curation(sf_dir: str):
       1. drop the eval split (doc_id % 50 == 0) from training;
       2. quality gate (integer-exact: 5 ≤ tokens ≤ 200, stopword
          ratio ≥ 4%) — sheds before anything expensive;
-      3. DECONTAMINATION: drop survivors sharing a winnowed
-         fingerprint with any eval doc (eval hash set is tiny —
-         broadcast via ray.put; the bucketed join in q_contamination
-         is the shape when it is not);
+      3. DECONTAMINATION: drop survivors sharing ≥ CURATION_CONTAM_MIN
+         winnowed fingerprints with any eval doc.  Two physical plans,
+         same answer: a size-guarded BROADCAST fast path for fixed
+         benchmark evals (eval hashes computed DISTRIBUTED, pulled as
+         one sorted int64 array, probed with np.isin — no per-row
+         Python), and the corpus-fraction SCALE path (eval hashes stay
+         a Dataset; one bucketed semi-join + doc-bucketed count + one
+         anti-join — nothing eval-sized ever on the driver, the
+         q_contamination shape);
       4. exact dedup among survivors (128-bit content hash, keeper =
          min doc_id, hash-bucketed lexsort merge);
       5. per-source corpus report (bounded groupby).
 
     Every stage reuses the already-oracle-checked kernels; the
-    composition is what this query pins."""
+    composition is what this query pins.  ``scale_path=None`` picks by
+    eval-split size (parquet metadata count, no execution)."""
     import ray
-    import pyarrow.parquet as pq_
 
     from ..stages.dedup import content_hash_batch
     from ..stages.footprint import _splitmix64
+    from ..stages.join import shuffle_hash_join
     from ..stages.text import _STOPWORDS, winnowed_hashes_batch
-
-    # eval fingerprints: pruned row-group read + one local kernel call
-    ev_docs = pq_.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ev_tbl = ev_docs.filter(pa.array(ev_docs["doc_id"].to_numpy() % 50 == 0))
-    ev_hashes = set(winnowed_hashes_batch(ev_tbl)["hv"].to_pylist())
-    ev_ref = ray.put(ev_hashes)
 
     N_BUCKETS = 64
 
-    def gate(b: pa.Table) -> pa.Table:
-        evs = ray.get(ev_ref)
+    # eval fingerprints computed DISTRIBUTED (never a driver-side read
+    # of the corpus): filter to the eval split inside map_batches, one
+    # winnowed-hash kernel call per block
+    def eval_hashes(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.array(b["doc_id"].to_numpy() % 50 == 0))
+        wh = winnowed_hashes_batch(t)
+        return pa.table({"hv": wh["hv"]})
+
+    ev_ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        eval_hashes, batch_format="pyarrow"
+    )
+
+    if scale_path is None:
+        # metadata-only row count: eval split is 2% of docs
+        n_docs = _read(sf_dir, "documents", ["doc_id"]).count()
+        scale_path = (n_docs // 50) > CURATION_EVAL_BROADCAST_MAX_DOCS
+
+    def quality_gate(b: pa.Table) -> pa.Table:
         doc = b["doc_id"].to_numpy()
         keep_train = doc % 50 != 0
         toks = pc.list_value_length(pc.split_pattern(b["text"], " ")).to_numpy()
@@ -10568,27 +10587,15 @@ def q_corpus_curation(sf_dir: str):
         n_stop = np.zeros(b.num_rows, dtype=np.int64)
         np.add.at(n_stop, parent.to_numpy(), stop_hits.astype(np.int64))
         quality = (toks >= 5) & (toks <= 200) & (n_stop * 25 >= toks)
-        keep = keep_train & quality
-        kept = b.filter(pa.array(keep))
-        if kept.num_rows:
-            wh = winnowed_hashes_batch(kept)
-            wd = wh["doc_id"].to_numpy()
-            whv = wh["hv"].to_numpy()
-            hit = np.array([h in evs for h in whv], dtype=bool)
-            # strong-overlap rule: a doc is contaminated when ≥
-            # CURATION_CONTAM_MIN of its DISTINCT winnowed hashes
-            # appear in the eval set (one shared n-gram is background
-            # noise in a shared-vocabulary corpus)
-            from collections import Counter
+        return b.filter(pa.array(keep_train & quality))
 
-            cnt = Counter(wd[hit].tolist())
-            dirty_docs = {k for k, v in cnt.items() if v >= CURATION_CONTAM_MIN}
-            clean = pa.array([d not in dirty_docs for d in kept["doc_id"].to_pylist()])
-            kept = kept.filter(clean)
+    def finish(kept: pa.Table) -> pa.Table:
         hashed = content_hash_batch(kept)
-        toks_kept = pc.list_value_length(
-            pc.split_pattern(kept["text"], " ")
-        ).to_numpy().astype(np.int64)
+        toks_kept = (
+            pc.list_value_length(pc.split_pattern(kept["text"], " "))
+            .to_numpy()
+            .astype(np.int64)
+        )
         h = _splitmix64(hashed["content_hash"].to_numpy().astype(np.uint64))
         return pa.table(
             {
@@ -10615,10 +10622,104 @@ def q_corpus_curation(sf_dir: str):
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
-    survivors = (
-        ds.map_batches(gate, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(dedup_merge, batch_format="pyarrow")
+
+    if not scale_path:
+        # ---- broadcast fast path: eval hashes → ONE sorted int64
+        # array on the driver (bounded by the guard above), vectorized
+        # np.isin probes — no per-row Python membership anywhere
+        parts = [t["hv"].to_numpy() for t in ray.get(ev_ds.to_arrow_refs())]
+        ev = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        ev_ref = ray.put(ev)
+
+        def gate(b: pa.Table) -> pa.Table:
+            evs = ray.get(ev_ref)
+            kept = quality_gate(b)
+            if kept.num_rows:
+                wh = winnowed_hashes_batch(kept)
+                wd = wh["doc_id"].to_numpy()
+                whv = wh["hv"].to_numpy()
+                hit = np.isin(whv, evs)
+                # strong-overlap rule: a doc is contaminated when ≥
+                # CURATION_CONTAM_MIN of its DISTINCT winnowed hashes
+                # appear in the eval set (one shared n-gram is
+                # background noise in a shared-vocabulary corpus)
+                du, dc = np.unique(wd[hit], return_counts=True)
+                dirty = du[dc >= CURATION_CONTAM_MIN]
+                clean = ~np.isin(kept["doc_id"].to_numpy(), dirty)
+                kept = kept.filter(pa.array(clean))
+            return finish(kept)
+
+        staged = ds.map_batches(gate, batch_format="pyarrow")
+    else:
+        # ---- corpus-fraction scale path: eval hashes stay a Dataset.
+        # gated train hashes semi-join the eval set on hv (one bucketed
+        # exchange), per-doc hit counts merge in ONE doc-bucketed
+        # lexsort kernel, dirty ids anti-join the survivor stream —
+        # nothing proportional to the eval split touches the driver.
+        gated = ds.map_batches(quality_gate, batch_format="pyarrow")
+
+        def train_hashes(b: pa.Table) -> pa.Table:
+            return winnowed_hashes_batch(b)
+
+        hits = shuffle_hash_join(
+            gated.map_batches(train_hashes, batch_format="pyarrow"),
+            ev_ds,
+            "hv",
+            ["doc_id"],
+            [],
+            how="semi",
+            n_buckets=N_BUCKETS,
+            left_schema=pa.schema(
+                [pa.field("doc_id", pa.int64()), pa.field("hv", pa.int64())]
+            ),
+            right_schema=pa.schema([pa.field("hv", pa.int64())]),
+        )
+
+        def add_doc_bucket(b: pa.Table) -> pa.Table:
+            d = b["doc_id"].to_numpy()
+            bk = _splitmix64(d.astype(np.uint64)) % np.uint64(N_BUCKETS)
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "dbucket": pa.array(bk.astype(np.int64)),
+                }
+            )
+
+        def dirty_in_bucket(group: pa.Table) -> pa.Table:
+            d = np.sort(group["doc_id"].to_numpy())
+            first = np.concatenate(([True], d[1:] != d[:-1]))
+            starts = np.flatnonzero(first)
+            counts = np.diff(np.append(starts, len(d)))
+            dirty = d[starts[counts >= CURATION_CONTAM_MIN]]
+            return pa.table({"doc_id": pa.array(dirty, pa.int64())})
+
+        dirty_ds = (
+            hits.map_batches(add_doc_bucket, batch_format="pyarrow")
+            .groupby("dbucket")
+            .map_groups(dirty_in_bucket, batch_format="pyarrow")
+        )
+
+        clean = shuffle_hash_join(
+            gated,
+            dirty_ds,
+            "doc_id",
+            ["source", "text"],
+            [],
+            how="anti",
+            n_buckets=N_BUCKETS,
+            left_schema=pa.schema(
+                [
+                    pa.field("doc_id", pa.int64()),
+                    pa.field("source", pa.string()),
+                    pa.field("text", pa.string()),
+                ]
+            ),
+            right_schema=pa.schema([pa.field("doc_id", pa.int64())]),
+        )
+        staged = clean.map_batches(finish, batch_format="pyarrow")
+
+    survivors = staged.groupby("bucket").map_groups(
+        dedup_merge, batch_format="pyarrow"
     )
 
     def src_partial(b: pa.Table) -> pa.Table:
@@ -10691,11 +10792,14 @@ def q_image_curation(sf_dir: str, n_images: int | None = None):
          pair (canonical-min keeper, the variant collapse);
       4. aspect-bucket report of the curated set (bounded groupby).
 
-    The dropped-id set is bounded by the variant count → broadcast;
-    the oracle replays every stage from generator-side pixel-math
-    literals, so one driver row-hash pins decode + gate + pairing +
-    bucketing TOGETHER."""
-    import ray
+    The drop set is applied as a DISTRIBUTED anti-join (the
+    q_dedup_apply shape): pairs → per-block dropped-key extraction →
+    ONE shuffle_hash_join(how='anti') against the survivor stream —
+    the dropped ids never materialize on the driver, so the collapse
+    scales with the corpus's variant count instead of pinning a Python
+    set in every worker.  The oracle replays every stage from
+    generator-side pixel-math literals, so one driver row-hash pins
+    decode + gate + pairing + bucketing TOGETHER."""
     from ray.data.aggregate import Sum
 
     from ..sources.images import (
@@ -10725,8 +10829,22 @@ def q_image_curation(sf_dir: str, n_images: int | None = None):
         kept = b.select(["img_idx", "w", "h"]).take(take)
         return kept.append_column("phash", pa.array(np.array(ph, dtype=np.int64)))
 
-    ds = read_synth_neardup_images(n_images or IMAGE_NEARDUP_N)
+    n_img = n_images or IMAGE_NEARDUP_N
+    ds = read_synth_neardup_images(n_img)
     profiled = ds.map_batches(decode_profile, batch_format="pyarrow", batch_size=256)
+    if n_img >= 100_000:
+        # decode ONCE at volume: profiled is consumed by both the pair
+        # branch and the anti-join left side; after decode_profile the
+        # stream is 4 int columns (~32 B/row — payloads shed in-stage),
+        # so pinning it in the object store is cheap wherever decode
+        # dominates, and it halves the pipeline's decode work.  Coalesce
+        # to the downstream bucket count first: the sort shuffle behind
+        # every groupby pays a per-block × per-partition scheduling
+        # cost, so hundreds of ~2k-row decode output blocks would
+        # dominate the exchange (measured 9.3 s → 0.7 s at 1M images).
+        # Below the cutoff the materialize barrier costs more than the
+        # duplicate decode it saves — stay fully streaming there.
+        profiled = profiled.repartition(64).materialize()
 
     exploded = profiled.map_batches(_phash_band_explode, batch_format="pyarrow")
     pairs = hamming_candidate_pairs(
@@ -10737,20 +10855,37 @@ def q_image_curation(sf_dir: str, n_images: int | None = None):
         out_cols=("img_a", "img_b"),
     )
     # canonical-min keeper: the larger element of every verified pair
-    # drops; the set is bounded by the corpus's variant count
-    dropped = set()
-    for r in pairs.take_all():
-        dropped.add(int(r["img_b"]))
-    drop_ref = ray.put(dropped)
+    # drops — per-block dropped-key rows, then ONE anti-join shuffle
+    # against the survivor stream (no driver materialization)
+    from ..stages.join import shuffle_hash_join
+
+    def dropped_keys(b: pa.Table) -> pa.Table:
+        u = pc.unique(b["img_b"])
+        return pa.table({"img_idx": u.cast(pa.int64())})
+
+    dropped = pairs.map_batches(dropped_keys, batch_format="pyarrow")
+    survivors = shuffle_hash_join(
+        profiled,
+        dropped,
+        "img_idx",
+        ["w", "h"],
+        [],
+        how="anti",
+        left_schema=pa.schema(
+            [
+                pa.field("img_idx", pa.int64()),
+                pa.field("w", pa.int32()),
+                pa.field("h", pa.int32()),
+            ]
+        ),
+        right_schema=pa.schema([pa.field("img_idx", pa.int64())]),
+    )
 
     classes = np.asarray(list(ASPECT_TARGETS), dtype=object)
 
     def survive_bucket(b: pa.Table) -> pa.Table:
-        drop = ray.get(drop_ref)
-        keep = pa.array([int(x) not in drop for x in b["img_idx"].to_pylist()])
-        kept = b.filter(keep)
-        w = kept["w"].to_numpy().astype(np.int64)
-        h = kept["h"].to_numpy().astype(np.int64)
+        w = b["w"].to_numpy().astype(np.int64)
+        h = b["h"].to_numpy().astype(np.int64)
         cls_idx = np.where(
             w == h,
             0,
@@ -10770,7 +10905,7 @@ def q_image_curation(sf_dir: str, n_images: int | None = None):
         return agg.rename_columns(["aspect", "n"])
 
     return (
-        profiled.map_batches(survive_bucket, batch_format="pyarrow")
+        survivors.map_batches(survive_bucket, batch_format="pyarrow")
         .groupby("aspect")
         .aggregate(Sum("n", alias_name="n"))
     )
