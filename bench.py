@@ -89,6 +89,7 @@ def bench_list():
         "lang_id",
         "ngram_dedup",
         "poly_clip",
+        "wkb_clip",
         "poly_clip_quads",
         "tile_coverage_rects",
         "tile_coverage",

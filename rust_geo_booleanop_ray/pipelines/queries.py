@@ -499,7 +499,7 @@ def q_pip_join_rtree(sf_dir: str):
         RtreeContainsJoin,
         fn_constructor_kwargs={"zones_ref": zones_ref},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=(4, 64),
     )
     return out.map_batches(
         lambda b: pa.table({"p_partkey": b["zone_id"], "c_custkey": b["pid"]}),
@@ -1742,7 +1742,7 @@ def q_range_join(sf_dir: str):
         BroadcastIntervalJoin,
         fn_constructor_kwargs={"intervals": iref},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(2, 64),
     )
     pairs = joined.map_batches(
         lambda b: pa.table({"s_suppkey": b["interval_id"], "value_c": b["value_c"]}),
@@ -3568,7 +3568,7 @@ def q_poly_clip(sf_dir: str):
         BroadcastPolyJoinClip,
         fn_constructor_kwargs={"polys": polys_ref},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(2, 64),
     )
 
     def to_int(batch: pa.Table) -> pa.Table:
@@ -3616,6 +3616,83 @@ def _build_poly_clip_sql() -> str:
 Q_POLY_CLIP_SQL = _build_poly_clip_sql()
 
 
+def q_wkb_clip(sf_dir: str):
+    """WKB ingest escape hatch end-to-end (the SURVEY §1.4 promise):
+    the same part-derived rect subjects arrive as a WIRE-FORMAT WKB
+    binary column (little-endian ISO MultiPolygon — what GeoParquet
+    carries), one decode stage (sources/arrow_geom.py::wkb_to_mp_arrow)
+    rebuilds the nested-list geometry + vectorized bbox columns, and
+    the stream flows through the SAME warm R-tree Martinez clip stage
+    as poly_clip.  Oracle identical to poly_clip — driver equality
+    through the wire format pins the codec both ways (the subjects are
+    ENCODED with mp_arrow_to_wkb first, so a bug in either direction
+    breaks the hash).  Reference geometry model: lib/src/boolean/
+    mod.rs:33, fill_queue.rs:25-28."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.arrow_geom import (
+        arrow_mp_bounds,
+        mp_arrow_to_wkb,
+        wkb_to_mp_arrow,
+    )
+    from ..stages.join_clip import BroadcastPolyJoinClip
+
+    polys_ref = ray.put(_region_polys_table())
+
+    def to_wkb(batch: pa.Table) -> pa.Table:
+        # the "reader": subjects serialized to the GeoParquet wire format
+        b = _part_rect_batch(batch)
+        return pa.table(
+            {
+                "image_id": pc.cast(b["p_partkey"], pa.string()),
+                "wkb": mp_arrow_to_wkb(b["footprint"]),
+            }
+        )
+
+    def decode_wkb(batch: pa.Table) -> pa.Table:
+        mp = wkb_to_mp_arrow(batch["wkb"])
+        bb = arrow_mp_bounds(mp)
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "footprint": mp,
+                "minx": pa.array(bb["minx"]),
+                "miny": pa.array(bb["miny"]),
+                "maxx": pa.array(bb["maxx"]),
+                "maxy": pa.array(bb["maxy"]),
+            }
+        )
+
+    fp = (
+        _read(sf_dir, "part", ["p_partkey", "p_size"])
+        .map_batches(to_wkb, batch_format="pyarrow")
+        .map_batches(decode_wkb, batch_format="pyarrow")
+    )
+    out = fp.map_batches(
+        BroadcastPolyJoinClip,
+        fn_constructor_kwargs={"polys": polys_ref},
+        batch_format="pyarrow",
+        concurrency=(2, 64),
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "region_id": batch["tile_id"],
+                "area_e6": pa.array(
+                    np.round(batch["clip_area"].to_numpy() * 1e6).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        out.map_batches(to_int, batch_format="pyarrow")
+        .groupby("region_id")
+        .aggregate(Count(alias_name="n_pieces"), Sum("area_e6", alias_name="area_e6"))
+    )
+
+
 def q_poly_clip_quads(sf_dir: str):
     """Rotated image-footprint quads × the irregular region set through
     the warm broadcast R-tree actor (BroadcastPolyJoinClip, whole-batch
@@ -3641,7 +3718,7 @@ def q_poly_clip_quads(sf_dir: str):
         BroadcastPolyJoinClip,
         fn_constructor_kwargs={"polys": polys_ref},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(2, 64),
     )
     part = out.map_batches(RasterizePartial(px=16), batch_format="pyarrow")
     merged = part.groupby("tile_id").map_groups(merge_rasters, batch_format="pyarrow")
@@ -3746,7 +3823,7 @@ def q_scene_stats(sf_dir: str):
 
     ds = read_synth_videos(500)
     return ds.map_batches(
-        SceneStats, batch_format="pyarrow", batch_size=64, concurrency=2
+        SceneStats, batch_format="pyarrow", batch_size=64, concurrency=(2, 64)
     )
 
 
@@ -3766,7 +3843,7 @@ def q_video_frames(sf_dir: str):
         fn_constructor_kwargs={"stride": 2},
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=2,
+        concurrency=(2, 64),
     )
     return out.select_columns(
         ["video_id", "frame_idx", "frame_phash", "frame_checksum"]
@@ -3782,7 +3859,7 @@ def q_audio_features(sf_dir: str):
 
     ds = read_synth_audio(1000)
     return ds.map_batches(
-        AudioFeatures, batch_format="pyarrow", batch_size=128, concurrency=2
+        AudioFeatures, batch_format="pyarrow", batch_size=128, concurrency=(2, 64)
     )
 
 
@@ -11207,6 +11284,7 @@ def build_queries():
         "tile_mosaic": q_tile_mosaic,
         "footprint_metrics": q_footprint_metrics,
         "poly_clip": q_poly_clip,
+        "wkb_clip": q_wkb_clip,
         "poly_clip_quads": q_poly_clip_quads,
         "revenue_by_nation": q_revenue_by_nation,
         "order_priority": q_order_priority,
@@ -11419,6 +11497,7 @@ def build_oracle_sql():
         "skyline": Q_SKYLINE_SQL,
         "lang_id": Q_LANG_ID_SQL,
         "poly_clip": Q_POLY_CLIP_SQL,
+        "wkb_clip": Q_POLY_CLIP_SQL,
         "poly_clip_quads": Q_POLY_CLIP_QUADS_SQL,
         "tile_coverage_rects": Q_TILE_COVERAGE_RECTS_SQL,
         "tile_coverage": Q_TILE_COVERAGE_SQL,

@@ -277,3 +277,145 @@ def shoelace_area(mp) -> float:
             a = abs(a) / 2.0
             total += a if ri == 0 else -a
     return total
+
+
+# ----------------------------------------------------------------- WKB
+# The escape hatch promised by SURVEY §1.4: real-world footprints
+# arrive as WKB columns in GeoParquet; these two codecs bridge that
+# wire format to the engine's nested-list layout (and back) so any
+# Martinez / join / tiling stage can consume a WKB parquet unchanged.
+# Supports 2-D Polygon (type 3) and MultiPolygon (type 6), both byte
+# orders, and EWKB SRID headers on ingest; encodes canonical
+# little-endian ISO WKB MultiPolygon.  Reference geometry model:
+# lib/src/boolean/mod.rs:33, fill_queue.rs:25-28.
+
+_WKB_POLYGON = 3
+_WKB_MULTIPOLYGON = 6
+_EWKB_SRID_FLAG = 0x20000000
+_EWKB_Z_FLAG = 0x80000000
+_EWKB_M_FLAG = 0x40000000
+
+
+def _parse_wkb_polygon_body(buf: memoryview, cur: int, dt) -> tuple[list, int]:
+    """Parse numRings + rings at ``cur`` (after the polygon header).
+    Returns (list of (n_points, coord_ndarray), new cursor)."""
+    (n_rings,) = np.frombuffer(buf, dtype=dt["u4"], count=1, offset=cur)
+    cur += 4
+    rings = []
+    for _ in range(int(n_rings)):
+        (n_pts,) = np.frombuffer(buf, dtype=dt["u4"], count=1, offset=cur)
+        cur += 4
+        n_pts = int(n_pts)
+        xy = np.frombuffer(buf, dtype=dt["f8"], count=2 * n_pts, offset=cur)
+        cur += 16 * n_pts
+        rings.append((n_pts, xy.astype(np.float64, copy=False).reshape(n_pts, 2)))
+    return rings, cur
+
+
+def _wkb_header(buf: memoryview, cur: int) -> tuple[int, int, dict]:
+    """Byte-order byte + geometry type (+EWKB flags).  Returns
+    (base geometry type, cursor after any SRID, dtype table)."""
+    bo = buf[cur]
+    cur += 1
+    if bo == 1:
+        dt = {"u4": "<u4", "f8": "<f8"}
+    elif bo == 0:
+        dt = {"u4": ">u4", "f8": ">f8"}
+    else:
+        raise ValueError(f"WKB: bad byte-order byte {bo}")
+    (gtype,) = np.frombuffer(buf, dtype=dt["u4"], count=1, offset=cur)
+    gtype = int(gtype)
+    cur += 4
+    if gtype & (_EWKB_Z_FLAG | _EWKB_M_FLAG):
+        raise ValueError("WKB: Z/M dimensions not supported")
+    if gtype & _EWKB_SRID_FLAG:
+        cur += 4  # skip SRID
+        gtype &= ~_EWKB_SRID_FLAG
+    # ISO 1000-offset codes (1003 = PolygonZ etc.) carry dimensions
+    if gtype >= 1000:
+        raise ValueError(f"WKB: only 2-D geometries supported, got type {gtype}")
+    return gtype, cur, dt
+
+
+def wkb_to_mp_arrow(arr) -> pa.ListArray:
+    """WKB binary column → nested-list multipolygon column.
+
+    Per-row grammar walk (O(rows + rings) Python steps); coordinates
+    move as bulk ``np.frombuffer`` slices, never per-vertex Python.
+    Polygons are normalized to single-polygon multipolygons — the same
+    normalization the boolean kernel applies everywhere."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("wkb_to_mp_arrow: null WKB values; filter first")
+    xy_parts: list[np.ndarray] = []
+    ring_sizes: list[int] = []
+    poly_ring_counts: list[int] = []
+    mp_poly_counts: list[int] = []
+    for v in arr:
+        buf = memoryview(v.as_py())
+        gtype, cur, dt = _wkb_header(buf, 0)
+        if gtype == _WKB_POLYGON:
+            rings, cur = _parse_wkb_polygon_body(buf, cur, dt)
+            mp_poly_counts.append(1)
+            poly_ring_counts.append(len(rings))
+            for n_pts, xy in rings:
+                ring_sizes.append(n_pts)
+                xy_parts.append(xy)
+        elif gtype == _WKB_MULTIPOLYGON:
+            (n_polys,) = np.frombuffer(buf, dtype=dt["u4"], count=1, offset=cur)
+            cur += 4
+            mp_poly_counts.append(int(n_polys))
+            for _ in range(int(n_polys)):
+                pg, cur, pdt = _wkb_header(buf, cur)
+                if pg != _WKB_POLYGON:
+                    raise ValueError(f"WKB: MultiPolygon child has type {pg}")
+                rings, cur = _parse_wkb_polygon_body(buf, cur, pdt)
+                poly_ring_counts.append(len(rings))
+                for n_pts, xy in rings:
+                    ring_sizes.append(n_pts)
+                    xy_parts.append(xy)
+        else:
+            raise ValueError(f"WKB: unsupported geometry type {gtype}")
+    xy = (
+        np.concatenate(xy_parts)
+        if xy_parts
+        else np.empty((0, 2), dtype=np.float64)
+    )
+    return flat_to_arrow(
+        xy,
+        np.asarray(ring_sizes, dtype=np.int64),
+        np.asarray(poly_ring_counts, dtype=np.int64),
+        np.asarray(mp_poly_counts, dtype=np.int64),
+    )
+
+
+def mp_arrow_to_wkb(arr) -> pa.BinaryArray:
+    """Nested-list multipolygon column → little-endian ISO WKB
+    MultiPolygon bytes (the GeoParquet wire encoding).
+
+    One exact-size output buffer computed from the offset chains, then
+    headers and bulk coordinate copies written in place — O(rings)
+    Python steps, no per-vertex work."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError("mp_arrow_to_wkb: null geometries; filter first")
+    coords, ring_off, poly_off, mp_off = arrow_mp_offsets(arr)
+    n = len(arr)
+    out = []
+    for i in range(n):
+        p_lo, p_hi = mp_off[i], mp_off[i + 1]
+        buf = bytearray()
+        buf += b"\x01" + np.uint32(_WKB_MULTIPOLYGON).tobytes()
+        buf += np.uint32(p_hi - p_lo).tobytes()
+        for p in range(p_lo, p_hi):
+            r_lo, r_hi = poly_off[p], poly_off[p + 1]
+            buf += b"\x01" + np.uint32(_WKB_POLYGON).tobytes()
+            buf += np.uint32(r_hi - r_lo).tobytes()
+            for r in range(r_lo, r_hi):
+                c_lo, c_hi = ring_off[r], ring_off[r + 1]
+                buf += np.uint32(c_hi - c_lo).tobytes()
+                buf += coords[c_lo:c_hi].astype("<f8", copy=False).tobytes()
+        out.append(bytes(buf))
+    return pa.array(out, pa.binary())

@@ -59,3 +59,139 @@ def test_image_curation_no_driver_pairs(ray_session):
                     dropped.add(max(ia, ib))
     expected = len(keep) - len(dropped)
     assert sum(t["n"].to_pylist()) == expected
+
+
+def test_wkb_roundtrip_nested_list():
+    """WKB encode → decode is the identity on the nested-list codec,
+    including holes, multi-part geometries, and empty rows."""
+    from rust_geo_booleanop_ray.sources.arrow_geom import (
+        arrow_to_mps,
+        mp_arrow_to_wkb,
+        mps_to_arrow,
+        wkb_to_mp_arrow,
+    )
+
+    mps = [
+        [[[(0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 0.0)]]],
+        [
+            [
+                [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)],
+                [(2.0, 2.0), (2.0, 4.0), (4.0, 4.0), (4.0, 2.0), (2.0, 2.0)],
+            ],
+            [[(20.0, 20.0), (22.0, 20.0), (21.0, 23.0), (20.0, 20.0)]],
+        ],
+        [],
+        [[[(1.5, -2.25), (3.125, -2.25), (1.5, 7.75), (1.5, -2.25)]]],
+    ]
+    arr = mps_to_arrow(mps)
+    back = wkb_to_mp_arrow(mp_arrow_to_wkb(arr))
+    assert arrow_to_mps(back) == arrow_to_mps(arr)
+
+
+def test_wkb_foreign_variants():
+    """Ingest accepts big-endian blobs, bare Polygons (normalized to
+    1-poly multipolygons) and EWKB SRID headers; rejects Z/M."""
+    import struct
+
+    import pytest
+
+    from rust_geo_booleanop_ray.sources.arrow_geom import (
+        arrow_to_mps,
+        wkb_to_mp_arrow,
+    )
+
+    def poly_wkb(rings, endian="<", srid=None, gtype=3):
+        bo = b"\x01" if endian == "<" else b"\x00"
+        t = gtype | (0x20000000 if srid else 0)
+        b = bo + struct.pack(endian + "I", t)
+        if srid:
+            b += struct.pack(endian + "I", srid)
+        b += struct.pack(endian + "I", len(rings))
+        for r in rings:
+            b += struct.pack(endian + "I", len(r))
+            for x, y in r:
+                b += struct.pack(endian + "dd", x, y)
+        return b
+
+    ring = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]
+    dec = arrow_to_mps(
+        wkb_to_mp_arrow(
+            pa.array(
+                [
+                    poly_wkb([ring]),
+                    poly_wkb([ring], endian=">"),
+                    poly_wkb([ring], srid=4326),
+                ],
+                pa.binary(),
+            )
+        )
+    )
+    assert dec[0] == dec[1] == dec[2] == [[ring]]
+    with pytest.raises(ValueError):
+        wkb_to_mp_arrow(pa.array([poly_wkb([ring], gtype=1003)], pa.binary()))
+
+
+def test_wkb_parquet_ingest(ray_session, tmp_path):
+    """A WKB-column parquet round-trips through ray.data.read_parquet
+    → decode stage → Martinez boolean op, matching the nested-list
+    path exactly."""
+    import ray.data as rd
+
+    from rust_geo_booleanop_ray.geom.boolean_op import boolean_op
+    from rust_geo_booleanop_ray.sources.arrow_geom import (
+        arrow_mp_bounds,
+        arrow_to_mps,
+        mp_arrow_to_wkb,
+        mps_to_arrow,
+        wkb_to_mp_arrow,
+    )
+
+    subj = [[[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]]
+    mps = [
+        [[[(float(i), 0.0), (float(i) + 2.0, 0.0), (float(i) + 2.0, 2.0), (float(i), 0.0)]]]
+        for i in range(20)
+    ]
+    tbl = pa.table(
+        {
+            "gid": pa.array(list(range(20)), pa.int64()),
+            "wkb": mp_arrow_to_wkb(mps_to_arrow(mps)),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "wkb.parquet")
+    pq.write_table(tbl, path)
+
+    def decode_and_clip(b: pa.Table) -> pa.Table:
+        mp = wkb_to_mp_arrow(b["wkb"])
+        bb = arrow_mp_bounds(mp)
+        areas = []
+        for m in arrow_to_mps(mp):
+            clipped = boolean_op(m, subj, "intersection")
+            s = 0.0
+            for poly in clipped:
+                for ri, ring in enumerate(poly):
+                    a = 0.0
+                    for k in range(len(ring) - 1):
+                        a += ring[k][0] * ring[k + 1][1] - ring[k + 1][0] * ring[k][1]
+                    s += abs(a) / 2.0 if ri == 0 else -abs(a) / 2.0
+            areas.append(s)
+        return pa.table(
+            {
+                "gid": b["gid"],
+                "minx": pa.array(bb["minx"]),
+                "clip_area": pa.array(areas, pa.float64()),
+            }
+        )
+
+    out = (
+        rd.read_parquet(path)
+        .map_batches(decode_and_clip, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("gid")
+    )
+    assert len(out) == 20
+    # triangle (i, i+2) clipped by [0,4]² — geometric expectation
+    assert out.iloc[0]["clip_area"] == 2.0  # fully inside
+    assert out.iloc[0]["minx"] == 0.0
+    assert all(out.iloc[i]["clip_area"] == 0.0 for i in range(4, 20))
