@@ -62,6 +62,7 @@ def bench_list():
         "mode_event",
         "hash_sample",
         "dedup_exact",
+        "incremental_dedup",
         "normalized_dedup",
         "bottomk_sample",
         "grouped_sample",
@@ -105,6 +106,7 @@ def bench_list():
         "dissolve",
         "fingerprints",
         "contamination",
+        "substring_dedup",
         "contamination_winnow",
         "corpus_curation",
         "embedding_near_dup",

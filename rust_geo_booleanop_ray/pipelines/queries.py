@@ -1799,6 +1799,73 @@ Q_DEDUP_EXACT_SQL = """
 """
 
 
+INCR_ID_OFFSET = 1 << 40  # append-batch id space, disjoint from priors
+
+
+def q_incremental_dedup(sf_dir: str, prior_sigs=None):
+    """Incremental dedup against a PERSISTED signature table (the
+    append-only 100-TB pipeline shape: a prior run saved 24 B/doc of
+    (doc_id, content_hash lo/hi); the new batch dedups against
+    old+new WITHOUT re-reading or re-signing the old corpus).  The
+    append batch models a re-crawl: every doc_id % 7 == 0 document
+    arrives again as id + 2^40, and every doc_id % 13 == 0 document a
+    second time as id + 2^41 (so docs ≡ 0 mod 91 also collide
+    new-vs-new).  ``prior_sigs`` defaults to signing the full corpus
+    inline, standing in for the ``read_parquet`` of the persisted
+    table that scripts/dedup_incremental_stress.py exercises for
+    real.  Flags = (new doc, keeper): the doc duplicates keeper, the
+    smallest prior or smaller-id new partner.  Engine:
+    stages/dedup.py::incremental_exact_dedup — one bucketed shuffle
+    over signature rows, one lexsort/run kernel per bucket."""
+    from ..stages.dedup import content_hash_batch, incremental_exact_dedup
+
+    M = INCR_ID_OFFSET
+
+    def new_split(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        a = b.filter(pa.array(d % 7 == 0))
+        c = b.filter(pa.array(d % 13 == 0))
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [a["doc_id"].to_numpy() + M, c["doc_id"].to_numpy() + 2 * M]
+                    ),
+                    pa.int64(),
+                ),
+                "text": pa.concat_arrays(
+                    [a["text"].combine_chunks(), c["text"].combine_chunks()]
+                ),
+            }
+        )
+        return content_hash_batch(t)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    new_sigs = docs.map_batches(new_split, batch_format="pyarrow")
+    if prior_sigs is None:
+        prior_sigs = docs.map_batches(content_hash_batch, batch_format="pyarrow")
+    return incremental_exact_dedup(new_sigs, prior_sigs)
+
+
+Q_INCREMENTAL_DEDUP_SQL = f"""
+    WITH nw AS (
+      SELECT doc_id + {INCR_ID_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + {2 * INCR_ID_OFFSET} AS doc_id, text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    cand AS (
+      SELECT n.doc_id AS doc_id, b.doc_id AS b
+      FROM nw n JOIN documents b ON b.text = n.text
+      UNION ALL
+      SELECT n.doc_id, b.doc_id
+      FROM nw n JOIN nw b ON b.text = n.text AND b.doc_id < n.doc_id
+    )
+    SELECT doc_id, CAST(MIN(b) AS BIGINT) AS keeper FROM cand GROUP BY doc_id
+"""
+
+
 def q_normalized_dedup(sf_dir: str):
     """Canonicalize-then-dedup: trim / lowercase / collapse space runs
     (the text canonicalization every training-data pipeline runs before
@@ -9597,6 +9664,135 @@ def _build_contamination_sql() -> str:
 """
 
 
+def q_substring_dedup(sf_dir: str):
+    """Substring-level EXACT dedup (the Lee-et-al. "long repeated run"
+    modality, the third dedup granularity next to whole-doc exact and
+    near-dup): a doc is flagged when it shares an exact run of
+    ≥ SUBSTR_RUN_LEN code points with a SMALLER-id doc; output is
+    (doc_id, keeper) where keeper is the smallest such partner — the
+    canonical-min drop decision.
+
+    Shape: per-doc distinct L-window rolling hashes (stages/text.py::
+    long_window_hashes_batch — shared run ≥ L ⟺ shared L-window hash)
+    → ONE hash-bucketed shuffle; within each hv run the fan-out is
+    LINEAR (every non-min doc pairs with the run min — never the
+    quadratic pair product) → ONE doc-bucketed min merge.  At 10^12
+    docs the winnowed fingerprints pre-filter candidates (see the
+    kernel docstring); exhaustive windows here keep the oracle exact."""
+    from ..stages.footprint import _splitmix64
+    from ..stages.text import long_window_hashes_batch
+
+    N_BUCKETS = 64
+
+    def prep(b: pa.Table) -> pa.Table:
+        w = long_window_hashes_batch(b)
+        h = w["hv"].to_numpy()
+        return w.append_column(
+            "bucket",
+            pa.array(
+                (_splitmix64(h.astype(np.uint64)) % np.uint64(N_BUCKETS)).astype(
+                    np.int64
+                )
+            ),
+        )
+
+    def flag_bucket(group: pa.Table) -> pa.Table:
+        h = group["hv"].to_numpy()
+        d = group["doc_id"].to_numpy()
+        order = np.lexsort((d, h))
+        h, d = h[order], d[order]
+        starts = np.concatenate(([0], np.flatnonzero(h[1:] != h[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(h)]))
+        # docs are sorted within each hv run: d[start] is the run min,
+        # every later doc pairs with it — O(run length) fan-out
+        run_min = np.repeat(d[starts], ends - starts)
+        keep = d != run_min
+        if not keep.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "keeper": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(d[keep], pa.int64()),
+                "keeper": pa.array(run_min[keep], pa.int64()),
+            }
+        )
+
+    def dbucket(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy().astype(np.uint64)
+        return b.append_column(
+            "bucket",
+            pa.array((_splitmix64(d) % np.uint64(N_BUCKETS)).astype(np.int64)),
+        )
+
+    def min_bucket(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy()
+        k = group["keeper"].to_numpy()
+        order = np.lexsort((k, d))
+        d, k = d[order], k[order]
+        first = np.concatenate(([True], d[1:] != d[:-1]))
+        return pa.table(
+            {
+                "doc_id": pa.array(d[first], pa.int64()),
+                "keeper": pa.array(k[first], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    flagged = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(flag_bucket, batch_format="pyarrow")
+    )
+    return (
+        flagged.map_batches(dbucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(min_bucket, batch_format="pyarrow")
+    )
+
+
+def _build_substring_dedup_sql() -> str:
+    """SQL mirror of q_substring_dedup: the same L-term polynomial
+    expansion as the contamination oracle, self-joined a.doc > b.doc,
+    keeper = MIN(b.doc).  Note MIN over partners equals the engine's
+    min-over-run-minima: in any shared hv run the run min IS the
+    smallest partner."""
+    from ..stages.text import _FP_BASE, SUBSTR_RUN_LEN
+
+    L = SUBSTR_RUN_LEN
+    B = int(_FP_BASE)
+    H = 1 << 64
+    powers = [pow(B, k, H) for k in range(L)]
+    terms = " + ".join(
+        f"unicode(t[i+{j}:i+{j}]) * {powers[L - 1 - j]}::HUGEINT" for j in range(L)
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < {L}
+                  THEN text || repeat(' ', {L} - length(text))
+                  ELSE text END AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest([ (({terms}) % 18446744073709551616::HUGEINT)
+                      FOR i IN range(1, length(t) - {L - 2}) ]) AS hv
+      FROM c
+    ),
+    d AS (SELECT DISTINCT doc_id, hv FROM w)
+    SELECT a.doc_id AS doc_id, CAST(MIN(b.doc_id) AS BIGINT) AS keeper
+    FROM d a JOIN d b ON a.hv = b.hv AND a.doc_id > b.doc_id
+    GROUP BY a.doc_id
+"""
+
+
+Q_SUBSTRING_DEDUP_SQL = _build_substring_dedup_sql()
+
+
 PR_RANGE_SHIFT = 14  # price ranges of 2^14 cents (~$164)
 PR_BUCKETS = 64
 
@@ -11246,6 +11442,7 @@ def build_queries():
         "range_join": q_range_join,
         "range_join_big": q_range_join_big,
         "dedup_exact": q_dedup_exact,
+        "incremental_dedup": q_incremental_dedup,
         "normalized_dedup": q_normalized_dedup,
         "bottomk_sample": q_bottomk_sample,
         "grouped_sample": q_grouped_sample,
@@ -11353,6 +11550,7 @@ def build_queries():
         "period_over_period": q_period_over_period,
         "skew_report": q_skew_report,
         "contamination": q_contamination,
+        "substring_dedup": q_substring_dedup,
         "percent_rank": q_percent_rank,
         "kmeans_labels": q_kmeans_labels,
         "late_events": q_late_events,
@@ -11473,6 +11671,7 @@ def build_oracle_sql():
         "range_join": Q_RANGE_JOIN_SQL,
         "range_join_big": Q_RANGE_JOIN_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
+        "incremental_dedup": Q_INCREMENTAL_DEDUP_SQL,
         "dedup_components": Q_DEDUP_COMPONENTS_SQL,
         "dedup_apply": Q_DEDUP_APPLY_SQL,
         "safe_split": Q_SAFE_SPLIT_SQL,
@@ -11555,6 +11754,7 @@ def build_oracle_sql():
         "period_over_period": Q_PERIOD_OVER_PERIOD_SQL,
         "skew_report": Q_SKEW_REPORT_SQL,
         "contamination": _build_contamination_sql(),
+        "substring_dedup": Q_SUBSTRING_DEDUP_SQL,
         "percent_rank": Q_PERCENT_RANK_SQL,
         "kmeans_labels": _build_kmeans_sql(),
         "late_events": Q_LATE_EVENTS_SQL,

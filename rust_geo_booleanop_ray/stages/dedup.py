@@ -1372,3 +1372,86 @@ def hamming_candidate_pairs(
         val_type=pa.int64(),
         n_buckets=n_buckets,
     )
+
+
+def incremental_exact_dedup(new_sigs, prior_sigs, n_buckets: int = DEDUP_BUCKETS):
+    """Incremental exact dedup against PERSISTED signatures: flag each
+    NEW doc that duplicates (same 128-bit content hash) any PRIOR doc
+    or a smaller-id new doc, without ever re-reading — let alone
+    re-signing — the prior corpus.  ``prior_sigs`` is the signature
+    table a previous run persisted (read_parquet of
+    (doc_id, content_hash, content_hash_hi) — 24 B/doc); ``new_sigs``
+    is the same schema for the append batch.
+
+    Returns (doc_id, keeper) for flagged new docs, keeper = the
+    smallest qualifying partner (the canonical doc the duplicate
+    collapses into).  ONE bucketed shuffle over old+new signature rows;
+    per bucket a single lexsort + run-boundary kernel (never per-key
+    dispatch).  Equivalence: with prior_sigs empty this is exactly the
+    full-corpus drop decision, so incremental(old, new) flags on new
+    docs == full-run flags restricted to new docs (prior-vs-prior dups
+    are the previous run's business, by construction)."""
+    from .footprint import _splitmix64
+
+    def tag(is_new: int):
+        def fn(b: pa.Table) -> pa.Table:
+            h = b["content_hash"].to_numpy().astype(np.uint64)
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "h_lo": b["content_hash"],
+                    "h_hi": b["content_hash_hi"],
+                    "is_new": pa.array(
+                        np.full(b.num_rows, is_new, dtype=np.int8), pa.int8()
+                    ),
+                    "bucket": pa.array(
+                        (_splitmix64(h) % np.uint64(n_buckets)).astype(np.int64)
+                    ),
+                }
+            )
+
+        return fn
+
+    unioned = new_sigs.map_batches(tag(1), batch_format="pyarrow").union(
+        prior_sigs.map_batches(tag(0), batch_format="pyarrow")
+    )
+
+    empty = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("keeper", pa.int64())]
+    ).empty_table()
+
+    def flag_bucket(group: pa.Table) -> pa.Table:
+        d = group["doc_id"].to_numpy()
+        lo = group["h_lo"].to_numpy()
+        hi = group["h_hi"].to_numpy()
+        nw = group["is_new"].to_numpy().astype(bool)
+        order = np.lexsort((d, hi, lo))
+        d, lo, hi, nw = d[order], lo[order], hi[order], nw[order]
+        run_id = np.concatenate(
+            ([0], np.cumsum((lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])))
+        )
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(run_id)) + 1))
+        # docs ascend within each hash run, so the run head is the
+        # global min partner for every later doc; a run-head NEW doc
+        # can only be flagged by a prior partner (necessarily larger)
+        first = np.zeros(len(d), dtype=bool)
+        first[starts] = True
+        head = np.repeat(d[starts], np.diff(np.append(starts, len(d))))
+        INF = np.iinfo(np.int64).max
+        dp = np.where(~nw, d, INF)
+        min_prior = np.repeat(
+            np.minimum.reduceat(dp, starts) if len(d) else np.empty(0, np.int64),
+            np.diff(np.append(starts, len(d))),
+        )
+        keeper = np.where(first, min_prior, head)
+        flag = nw & (keeper != INF)
+        if not flag.any():
+            return empty
+        return pa.table(
+            {
+                "doc_id": pa.array(d[flag], pa.int64()),
+                "keeper": pa.array(keeper[flag], pa.int64()),
+            }
+        )
+
+    return unioned.groupby("bucket").map_groups(flag_bucket, batch_format="pyarrow")

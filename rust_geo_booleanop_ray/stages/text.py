@@ -382,3 +382,48 @@ def winnowed_hashes_batch(batch: pa.Table, w: int = WINNOW_W) -> pa.Table:
             ),
         }
     )
+
+
+SUBSTR_RUN_LEN = 40  # code points — the "long exact repeat" threshold
+
+
+def long_window_hashes_batch(batch: pa.Table, L: int = SUBSTR_RUN_LEN) -> pa.Table:
+    """ALL distinct L-code-point rolling-hash window values per doc —
+    the substring-level exact-dedup signal (Lee et al.'s "repeated
+    ≥k-token run" modality): two docs share an exact run of ≥ L code
+    points iff they share an L-window hash (64-bit collisions aside,
+    the same assumption every hash-dedup op here makes).  Same
+    polynomial as the 8-gram fingerprints, just a longer window, so
+    the SQL mirror reuses the proven term expansion.  Short docs are
+    space-padded to one window (exact-content matching for them).
+
+    At 10^12 docs the candidate stage runs over winnowed fingerprints
+    first (winnowed_hashes_batch: any shared run ≥ 23 code points
+    collides) and only candidate docs pay the full L-window pass; the
+    exhaustive set here keeps the oracle exact at test scale."""
+    texts = batch["text"].to_pylist()
+    ids = batch["doc_id"].to_numpy()
+    out_doc, out_h = [], []
+    for i, t in enumerate(texts):
+        if len(t) < L:
+            t = t + " " * (L - len(t))
+        data = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        n = len(data) - L + 1
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(L):
+            h = h * _FP_BASE + data[j : j + n]
+        hv = np.unique(h.astype(np.int64))
+        out_doc.append(np.full(len(hv), ids[i], dtype=np.int64))
+        out_h.append(hv)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                np.concatenate(out_doc) if out_doc else np.empty(0, np.int64),
+                pa.int64(),
+            ),
+            "hv": pa.array(
+                np.concatenate(out_h) if out_h else np.empty(0, np.int64),
+                pa.int64(),
+            ),
+        }
+    )

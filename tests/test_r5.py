@@ -195,3 +195,85 @@ def test_wkb_parquet_ingest(ray_session, tmp_path):
     assert out.iloc[0]["clip_area"] == 2.0  # fully inside
     assert out.iloc[0]["minx"] == 0.0
     assert all(out.iloc[i]["clip_area"] == 0.0 for i in range(4, 20))
+
+
+def test_substring_dedup_planted_repeat(ray_session, tmp_path):
+    """Docs sharing a planted ≥40-char exact run are flagged against
+    the smallest partner; unrelated docs are not."""
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import q_substring_dedup
+
+    run = "x" + "q r s t u v w x y z " * 3  # 61 chars, shared verbatim
+    texts = {
+        0: "alpha beta gamma " + run + " tail zero",
+        1: "completely different words with no long overlap here one",
+        2: run + " other suffix",  # shares run with 0
+        3: "short doc",
+        4: "prefix words then " + run,  # shares run with 0 and 2
+        5: "alpha beta gamma delta epsilon unrelated filler text okay",
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = {
+        r["doc_id"]: r["keeper"]
+        for r in q_substring_dedup(str(d)).take_all()
+    }
+    assert out == {2: 0, 4: 0}
+
+
+def test_incremental_dedup_equals_full_run(ray_session, tmp_path):
+    """incremental(prior_sigs, new_sigs) flags on the new batch equal
+    the full-corpus drop decision restricted to new docs — including
+    new-vs-new dups and genuinely fresh docs."""
+    import ray.data as rd
+
+    from rust_geo_booleanop_ray.stages.dedup import (
+        content_hash_batch,
+        incremental_exact_dedup,
+    )
+
+    old_rows = [(i, f"old doc number {i % 37} body") for i in range(100)]
+    new_rows = (
+        [(1000 + i, f"old doc number {i % 37} body") for i in range(0, 30, 3)]  # re-crawls
+        + [(2000, "brand new text a"), (2001, "brand new text a")]  # new-new dup
+        + [(2002, "unique fresh text")]  # fresh
+    )
+
+    def mk(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        ).map_batches(content_hash_batch, batch_format="pyarrow")
+
+    inc = {
+        r["doc_id"]: r["keeper"]
+        for r in incremental_exact_dedup(mk(new_rows), mk(old_rows)).take_all()
+    }
+    # full run = incremental against an empty prior over old+new
+    full = {
+        r["doc_id"]: r["keeper"]
+        for r in incremental_exact_dedup(
+            mk(old_rows + new_rows), mk([]).filter(lambda r: False)
+        ).take_all()
+    }
+    full_new = {d: k for d, k in full.items() if d >= 1000}
+    assert inc == full_new
+    # spot semantics: re-crawl keeps the old canonical, new-new dup
+    # keeps the smaller new id, fresh doc is unflagged
+    assert inc[1000] == 0  # "old doc number 0 body" → oldest holder
+    assert inc[2001] == 2000
+    assert 2002 not in inc
+    assert all(d >= 1000 for d in inc)
+    assert len(inc) == len(new_rows) - 2  # all but first new-new + fresh
