@@ -24,6 +24,9 @@ from ..stages.tiles import (
     merge_rasters,
     vectorize_tiles_batch,
 )
+from ..tuning import tune_data_context
+
+tune_data_context()
 
 
 def footprints_dataset(n_images: int = 2000, seed: int = 42, images_ds=None):

@@ -26,6 +26,9 @@ import pyarrow.compute as pc
 
 from ..sources.arrow_geom import shoelace_area
 from ..stages.boolean_batch import BooleanOpBatch
+from ..tuning import tune_data_context
+
+tune_data_context()
 
 # ------------------------------------------------------------------ helpers
 

@@ -113,6 +113,26 @@ def synth_image_batch(indices: np.ndarray, seed: int = 42) -> pa.Table:
     )
 
 
+def _default_num_blocks(n_images: int) -> int:
+    """Source block sizing: ~4k rows/block (≈ tens of MB with image
+    payloads) AND at least 2 blocks per CPU so the decode/clip map
+    stages fill the cluster at mid-size inputs (40k images in 9 blocks
+    left 22 of 32 CPUs idle and capped the flagship wall at the
+    slowest single task).  Capped at 256 so the all-to-all tile
+    shuffle never pays per-block constants on hundreds of tiny blocks:
+    the flagship at 400k images runs 2.7× faster with ~100 blocks than
+    with 512 (the sort's per-block × per-partition overhead dominates
+    the 32-CPU wall).  ≥512 rows/block keeps small catalog inputs from
+    fragmenting."""
+    import ray
+
+    ncpu = 8
+    if ray.is_initialized():
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    target = max(n_images // 4096, 2 * ncpu)
+    return max(8, min(256, target, max(8, n_images // 512)))
+
+
 def read_synth_images(n_images: int, seed: int = 42, override_num_blocks: int | None = None):
     """Streaming Ray Data source: rd.range → per-batch generation in tasks.
 
@@ -122,13 +142,7 @@ def read_synth_images(n_images: int, seed: int = 42, override_num_blocks: int | 
     import ray.data as rd
 
     if override_num_blocks is None:
-        # Block sizing targets ~4k rows/block (≈ tens of MB with image
-        # payloads), capped so the all-to-all tile shuffle never pays
-        # per-block constants on hundreds of tiny blocks: the flagship
-        # at 400k images runs 2.7× faster with ~100 blocks than with
-        # 512 (the sort's per-block overhead was dominating the
-        # 32-CPU wall and capping scaling efficiency).
-        override_num_blocks = max(8, min(256, n_images // 4096))
+        override_num_blocks = _default_num_blocks(n_images)
     ds = rd.range(n_images, override_num_blocks=override_num_blocks)
 
     def gen(batch: pa.Table) -> pa.Table:
@@ -377,7 +391,7 @@ def read_synth_neardup_images(
     import ray.data as rd
 
     if override_num_blocks is None:
-        override_num_blocks = max(8, min(256, n_images // 4096))
+        override_num_blocks = _default_num_blocks(n_images)
     ds = rd.range(n_images, override_num_blocks=override_num_blocks)
 
     def gen(batch: pa.Table) -> pa.Table:
