@@ -1,0 +1,417 @@
+"""Approximate-nearest-neighbor queries: brute/IVF/LSH/PQ, mutual-NN.
+
+Split out of pipelines/queries.py (round 5); behavior-identical.
+"""
+from __future__ import annotations
+
+import numpy as np  # noqa: F401
+import pyarrow as pa  # noqa: F401
+import pyarrow.compute as pc  # noqa: F401
+
+from ...sources.arrow_geom import shoelace_area  # noqa: F401
+from ...sources.arrow_geom import rects_to_arrow as _rect_mp_array  # noqa: F401
+from ...stages.boolean_batch import BooleanOpBatch  # noqa: F401
+from ._shared import GRAM_DIM, _read  # noqa: F401
+
+ANN_K = 10
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors (vec_id < 5)."""
+    from ...stages.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, _ann_queries(sf_dir), ANN_K)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "vec_id": batch["vec_id"],
+                "cosine_r": pa.array(np.round(batch["cosine"].to_numpy(), 4)),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+Q_ANN_TOPK_SQL = f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)
+    SELECT query_id, vec_id, cosine_r FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) AS cosine_r,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+             ) AS rnk
+      FROM embeddings e, q
+    ) WHERE rnk <= {ANN_K}
+"""
+
+
+def q_ann_filtered(sf_dir: str):
+    """Metadata-filtered vector search (pre-filter semantics): exact
+    cosine top-10 restricted to corpus vectors with label = 3 — the
+    "search within a tenant / category" query every vector store
+    serves.  The predicate is applied INSIDE the scan stage, before
+    any distance work or exchange, so the matmul and the per-batch
+    partial top-k only ever see qualifying rows; recall is exact by
+    construction (no post-filter k-starvation)."""
+    from ...stages.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["label"], 3)).select(["vec_id", "embedding"])
+
+    out = brute_force_topk(
+        ds.map_batches(keep, batch_format="pyarrow"), _ann_queries(sf_dir), ANN_K
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "vec_id": batch["vec_id"],
+                "cosine_r": pa.array(np.round(batch["cosine"].to_numpy(), 4)),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+Q_ANN_FILTERED_SQL = f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)
+    SELECT query_id, vec_id, cosine_r FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             round(CAST(list_cosine_similarity(e.embedding, q.embedding) AS DOUBLE), 4) AS cosine_r,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+             ) AS rnk
+      FROM (SELECT * FROM embeddings WHERE label = 3) e, q
+    ) WHERE rnk <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------- non-SQL (rows-only)
+
+
+def _ann_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    # predicate pushdown: only row groups containing the query ids are
+    # read — never the whole embedding column (wrong at 100 TB)
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 5)],
+    )
+    q_ids = qt["vec_id"].to_numpy()
+    emb = qt["embedding"].combine_chunks()
+    qmat = (
+        emb.values.to_numpy(zero_copy_only=False)
+        .reshape(len(qt), -1)
+        .astype(np.float64)
+    )
+    return q_ids, qmat
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN (the scale path): vectors bucketed into inverted lists
+    inside map_batches, queries probe their nprobe nearest lists.  The
+    catalog query runs with FIXED deterministic centroids (Rademacher
+    ±1 rows — equal norms, so assignment is argmax of signed
+    coordinate sums), which makes assignment + probing + ranking
+    value-exact vs the SQL mirror.  k-means training stays a separate
+    tested function (train_ivf_centroids + recall test)."""
+    from ...stages.ann import ivf_fixed_centroids, ivf_topk
+
+    centroids = ivf_fixed_centroids(IVF_CENTROIDS, 64, seed=IVF_SEED)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, _ann_queries(sf_dir), ANN_K, centroids, nprobe=IVF_NPROBE)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+IVF_SEED = 29
+
+
+def _build_ann_ivf_sql() -> str:
+    """SQL mirror of the fixed-centroid IVF pipeline: the ±1 centroid
+    rows inline as signed coordinate sums; assignment is first-argmax
+    (list_position of list_max — numpy argmax semantics); each query
+    probes its nprobe top centroids; exact cosine ranks within the
+    probed lists."""
+    from ...stages.ann import ivf_fixed_centroids
+
+    cent = ivf_fixed_centroids(IVF_CENTROIDS, 64, seed=IVF_SEED)
+    dot_exprs = ",\n        ".join(
+        "("
+        + " ".join(
+            ("+" if cent[c, d] > 0 else "-") + f" embedding[{d + 1}]"
+            for d in range(cent.shape[1])
+        ).lstrip("+ ")
+        + ")"
+        for c in range(cent.shape[0])
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, embedding, [
+        {dot_exprs}
+      ] AS dots FROM e
+    ),
+    asg AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid
+      FROM d
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, dots AS qdots FROM d WHERE vec_id < 5),
+    qc AS (
+      SELECT qid, qe, c - 1 AS centroid,
+             row_number() OVER (PARTITION BY qid ORDER BY qdots[c] DESC, c) AS crnk
+      FROM q, UNNEST(generate_series(1, {IVF_CENTROIDS})) AS t(c)
+    ),
+    probe AS (SELECT qid, qe, centroid FROM qc WHERE crnk <= {IVF_NPROBE}),
+    cand AS (
+      SELECT p.qid AS query_id, a.vec_id,
+             list_cosine_similarity(a.embedding, p.qe) AS cos
+      FROM asg a JOIN probe p ON a.centroid = p.centroid
+    )
+    SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= {ANN_K}
+"""
+
+
+Q_ANN_IVF_SQL = _build_ann_ivf_sql()
+
+
+def q_ann_lsh(sf_dir: str):
+    """Sign-LSH bucketed ANN (alternative scale path).  The planes are
+    deterministic Rademacher ±1 matrices, so the oracle reproduces the
+    exact bucketing (sign expressions inlined as literals) and the
+    same candidate set → value-exact ranks."""
+    from ...stages.ann import lsh_bucketed_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = lsh_bucketed_topk(ds, _ann_queries(sf_dir), ANN_K, n_bits=4)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def _sign_bucket_expr(n_bits: int, seed: int, dim: int = 64) -> str:
+    """SQL expression computing the sign-LSH bucket of ``embedding``
+    with the SAME deterministic Rademacher planes as the engine.
+    Signs are inlined (the sign of Σ ±e_d equals the engine's
+    unit-vector projection sign — normalization is a positive
+    scale)."""
+    from ...stages.dedup import rademacher_planes
+
+    planes = rademacher_planes(dim, n_bits, seed)
+    bits = []
+    for b in range(n_bits):
+        terms = " + ".join(
+            ("" if planes[d, b] > 0 else "-") + f"embedding[{d + 1}]"
+            for d in range(dim)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _build_ann_lsh_sql() -> str:
+    bucket = _sign_bucket_expr(n_bits=4, seed=13)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
+    eb AS (SELECT vec_id, embedding, {bucket} AS bucket FROM e),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb FROM eb WHERE vec_id < 5),
+    cand AS (
+      SELECT q.qid AS query_id, eb.vec_id,
+             list_cosine_similarity(eb.embedding, q.qe) AS cos
+      FROM eb JOIN q ON eb.bucket = q.qb
+    )
+    SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= {ANN_K}
+"""
+
+
+Q_ANN_LSH_SQL = _build_ann_lsh_sql()
+
+
+def q_mutual_nn(sf_dir: str):
+    """Reciprocal-nearest-neighbor ("best buddy") pairs within sign-LSH
+    buckets: each vector's nearest neighbor by EXACT integer squared-L2
+    over fixed-point quantized embeddings; a pair survives iff each is
+    the other's nearest.  The mutual-NN criterion is the standard
+    high-precision near-dup verifier (one-sided NN over-pairs hubs).
+    Integer distances (floor(x·1000+0.5) quantization, the Gram/dim
+    stats convention) make the RANKING itself exact across engines —
+    a float cosine rank could flip on a one-ulp difference.  Buckets
+    are the bounded 256-ary sign-LSH partition (never an all-pairs
+    scan); ties break on (d2, vec_id), mirrored in the SQL window."""
+    from ...stages.dedup import EmbeddingLshBucket
+    from ...stages.linalg import quantize_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    bucketed = ds.map_batches(
+        EmbeddingLshBucket(n_bits=8), batch_format="pyarrow"
+    )
+
+    def mutual_in_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                pa.field("vec_a", pa.int64()),
+                pa.field("vec_b", pa.int64()),
+                pa.field("d2", pa.int64()),
+            ]
+        ).empty_table()
+        if group.num_rows < 2:
+            return empty
+        ids = group["vec_id"].to_numpy()
+        q = quantize_embeddings(group["embedding"])
+        uniq, pos = np.unique(ids, return_index=True)
+        q = q[pos]
+        n = len(uniq)
+        if n < 2:
+            return empty
+        # rows sorted by vec_id (np.unique), so the FIRST minimum in a
+        # row is the smallest-vec_id tie — the SQL (d2, vec_id) order
+        sq = (q * q).sum(axis=1)
+        big = np.iinfo(np.int64).max
+        nn = np.empty(n, dtype=np.int64)
+        nnd = np.empty(n, dtype=np.int64)
+        chunk = max(1, (1 << 22) // n)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            d2 = sq[lo:hi, None] + sq[None, :] - 2 * (q[lo:hi] @ q.T)
+            d2[np.arange(lo, hi) - lo, np.arange(lo, hi)] = big  # no self
+            nn[lo:hi] = d2.argmin(axis=1)
+            nnd[lo:hi] = d2[np.arange(hi - lo), nn[lo:hi]]
+        i = np.arange(n)
+        mutual = (nn[nn] == i) & (i < nn)
+        if not mutual.any():
+            return empty
+        return pa.table(
+            {
+                "vec_a": pa.array(uniq[mutual], pa.int64()),
+                "vec_b": pa.array(uniq[nn[mutual]], pa.int64()),
+                "d2": pa.array(nnd[mutual], pa.int64()),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(
+        mutual_in_bucket, batch_format="pyarrow"
+    )
+
+
+def _build_mutual_nn_sql() -> str:
+    bucket = _sign_bucket_expr(n_bits=8, seed=13)
+    d2 = " + ".join(
+        f"(a.q[{d}]-b.q[{d}])*(a.q[{d}]-b.q[{d}])" for d in range(1, GRAM_DIM + 1)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
+    eb AS (
+      SELECT vec_id, {bucket} AS bucket,
+             list_transform(embedding,
+                            x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS q
+      FROM e
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, {d2} AS d2
+      FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT src, dst, d2,
+             row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rnk
+      FROM pairs
+    ),
+    nn AS (SELECT src, dst, d2 FROM r WHERE rnk = 1)
+    SELECT x.src AS vec_a, x.dst AS vec_b, CAST(x.d2 AS BIGINT) AS d2
+    FROM nn x JOIN nn y ON x.dst = y.src AND y.dst = x.src AND x.src < y.src
+"""
+
+
+PQ_M = 4
+PQ_K = 16
+PQ_SEED = 37
+
+
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (the 10^12-vector scale path): vectors
+    compress to PQ_M centroid codes inside map_batches — 64 floats →
+    4 bytes per row on the wire at scale — and queries rank by ADC
+    lookup-table sums.  Runs with FIXED deterministic ±1 codebooks
+    (stages/ann.py::pq_fixed_codebooks) so assignment + ADC ranking
+    are value-exact vs the SQL mirror; per-subspace k-means training
+    (pq_train) stays a separately recall-tested function."""
+    from ...stages.ann import pq_fixed_codebooks, pq_topk
+
+    books = pq_fixed_codebooks(PQ_M, PQ_K, 64, seed=PQ_SEED)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = pq_topk(ds, _ann_queries(sf_dir), ANN_K, books)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def _build_ann_pq_sql() -> str:
+    """SQL mirror of fixed-codebook PQ: per-subspace signed-sum lists
+    for assignment (first-argmax via list_position of list_max), the
+    query's own lists as the ADC lookup table, score = Σ_s
+    qd_s[code_s], exact rank by (score DESC, vec_id)."""
+    from ...stages.ann import pq_fixed_codebooks
+
+    books = pq_fixed_codebooks(PQ_M, PQ_K, 64, seed=PQ_SEED)
+    m, K, sub = books.shape
+
+    def dots_list(s: int) -> str:
+        exprs = []
+        for c in range(K):
+            terms = " ".join(
+                ("+" if books[s, c, d] > 0 else "-") + f" embedding[{s * sub + d + 1}]"
+                for d in range(sub)
+            ).lstrip("+ ")
+            exprs.append("(" + terms + ")")
+        return "[\n        " + ",\n        ".join(exprs) + "\n      ]"
+
+    dots_cols = ",\n      ".join(
+        f"{dots_list(s)} AS dots{s}" for s in range(m)
+    )
+    code_cols = ", ".join(
+        f"CAST(list_position(dots{s}, list_max(dots{s})) AS INT) AS c{s}"
+        for s in range(m)
+    )
+    score = " + ".join(f"q.qd{s}[a.c{s}]" for s in range(m))
+    qd_cols = ", ".join(f"dots{s} AS qd{s}" for s in range(m))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id,
+      {dots_cols}
+      FROM e
+    ),
+    asg AS (SELECT vec_id, {code_cols} FROM d),
+    q AS (SELECT vec_id AS qid, {qd_cols} FROM d WHERE vec_id < 5),
+    cand AS (
+      SELECT q.qid AS query_id, a.vec_id, {score} AS score
+      FROM asg a, q
+    )
+    SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= {ANN_K}
+"""

@@ -47,6 +47,10 @@ def main(argv=None) -> int:
 
     rd.DataContext.get_current().enable_progress_bars = False
 
+    from rust_geo_booleanop_ray.tuning import tune_data_context
+
+    tune_data_context()
+
     from rust_geo_booleanop_ray.stages.dedup import content_hash_batch
     from rust_geo_booleanop_ray.state.lineage import resumable_write
 

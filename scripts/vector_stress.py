@@ -80,6 +80,10 @@ def main(argv=None) -> int:
 
     rd.DataContext.get_current().enable_progress_bars = False
 
+    from rust_geo_booleanop_ray.tuning import tune_data_context
+
+    tune_data_context()
+
     from rust_geo_booleanop_ray.stages.ann import (
         brute_force_topk,
         pq_fixed_codebooks,

@@ -296,7 +296,13 @@ def test_contain_join_group_chunks_hot_cell(monkeypatch):
     """One hot cell must never allocate an unbounded pts×rects matrix:
     with the chunk cap forced tiny, the output is identical to the
     single-matrix evaluation."""
-    import rust_geo_booleanop_ray.pipelines.queries as Q
+    # patch on the defining (catalog family) module: the kernel resolves
+    # MAX_CONTAIN_MATRIX in its own globals, not the façade's
+    import sys
+
+    from rust_geo_booleanop_ray.pipelines.queries import _contain_join_group
+
+    Q = sys.modules[_contain_join_group.__module__]
 
     rng = np.random.Generator(np.random.PCG64(17))
     n_pts, n_rects = 400, 300

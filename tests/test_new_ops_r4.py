@@ -118,8 +118,12 @@ def test_normalized_dedup_collapses_variants(ray_session):
     from rust_geo_booleanop_ray.pipelines.queries import q_normalized_dedup
 
     # direct kernel check via a tiny in-memory table routed through the
-    # same query body (monkey-path the read with from_arrow)
-    import rust_geo_booleanop_ray.pipelines.queries as Q
+    # same query body (monkey-patch the read with from_arrow, on the
+    # module that DEFINES the query — the catalog family module — since
+    # its body resolves _read in its own globals, not the façade's)
+    import sys
+
+    Q = sys.modules[q_normalized_dedup.__module__]
 
     t = pa.table(
         {
