@@ -415,3 +415,133 @@ def _build_ann_pq_sql() -> str:
       FROM cand
     ) WHERE rnk <= {ANN_K}
 """
+
+
+# ------------------------------------------------------------ recall eval
+
+ANN_RECALL_METHODS = ("ivf", "lsh", "pq")
+
+
+def q_ann_recall(sf_dir: str):
+    """ANN index-quality evaluation: recall@k of every approximate
+    index in the catalog (IVF, sign-LSH, PQ) against the exact
+    brute-force top-k ground truth — the eval harness that decides
+    which index a 10^12-vector deployment ships.  Each of the four
+    rankings is the SAME pipeline its own catalog query runs (and each
+    is independently hash-exact vs its mirror), so the composition
+    inherits their exactness.
+
+    Scale shape: every per-query top-k list is k-bounded REGARDLESS of
+    corpus size, so the hit-count combine is a bounded driver pull
+    (n_queries × k rows per method — the tfidf-vocabulary convention),
+    never a shuffle.  The four index scans stream independently.
+    recall_bp = hits × 10000 // k (integer, exact)."""
+    from ...stages.ann import (
+        brute_force_topk,
+        ivf_fixed_centroids,
+        ivf_topk,
+        lsh_bucketed_topk,
+        pq_fixed_codebooks,
+        pq_topk,
+    )
+
+    qs = _ann_queries(sf_dir)
+    q_ids = qs[0]
+
+    def ids_by_query(rows) -> dict:
+        out: dict = {}
+        for r in rows:
+            out.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+        return out
+
+    truth = ids_by_query(
+        brute_force_topk(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]), qs, ANN_K
+        )
+        .select_columns(["query_id", "vec_id"])
+        .take_all()
+    )
+    approx = {
+        "ivf": ids_by_query(
+            ivf_topk(
+                _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                qs,
+                ANN_K,
+                ivf_fixed_centroids(IVF_CENTROIDS, 64, seed=IVF_SEED),
+                nprobe=IVF_NPROBE,
+            )
+            .select_columns(["query_id", "vec_id"])
+            .take_all()
+        ),
+        "lsh": ids_by_query(
+            lsh_bucketed_topk(
+                _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                qs,
+                ANN_K,
+                n_bits=4,
+            )
+            .select_columns(["query_id", "vec_id"])
+            .take_all()
+        ),
+        "pq": ids_by_query(
+            pq_topk(
+                _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                qs,
+                ANN_K,
+                pq_fixed_codebooks(PQ_M, PQ_K, 64, seed=PQ_SEED),
+            )
+            .select_columns(["query_id", "vec_id"])
+            .take_all()
+        ),
+    }
+    methods, qids, hits = [], [], []
+    for m in ANN_RECALL_METHODS:
+        for qid in q_ids:
+            h = len(approx[m].get(int(qid), set()) & truth.get(int(qid), set()))
+            methods.append(m)
+            qids.append(int(qid))
+            hits.append(h)
+    hits_np = np.asarray(hits, dtype=np.int64)
+    return pa.table(
+        {
+            "method": pa.array(methods, pa.string()),
+            "query_id": pa.array(qids, pa.int64()),
+            "hits": pa.array(hits_np, pa.int64()),
+            "recall_bp": pa.array(hits_np * 10000 // ANN_K, pa.int64()),
+        }
+    )
+
+
+def _build_ann_recall_sql() -> str:
+    """Composes the (already individually hash-exact) brute/IVF/LSH/PQ
+    mirrors as CTE subqueries and counts per-query overlaps; a method ×
+    query grid left-join keeps zero-hit rows."""
+    return f"""
+    WITH truth AS (SELECT query_id, vec_id FROM ({Q_ANN_TOPK_SQL})),
+    ivf AS (SELECT query_id, vec_id FROM ({Q_ANN_IVF_SQL})),
+    lsh AS (SELECT query_id, vec_id FROM ({Q_ANN_LSH_SQL})),
+    pq AS (SELECT query_id, vec_id FROM ({_build_ann_pq_sql()})),
+    hits AS (
+      SELECT 'ivf' AS method, a.query_id, COUNT(*) AS h
+      FROM ivf a JOIN truth t ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+      GROUP BY a.query_id
+      UNION ALL
+      SELECT 'lsh' AS method, a.query_id, COUNT(*) AS h
+      FROM lsh a JOIN truth t ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+      GROUP BY a.query_id
+      UNION ALL
+      SELECT 'pq' AS method, a.query_id, COUNT(*) AS h
+      FROM pq a JOIN truth t ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+      GROUP BY a.query_id
+    ),
+    grid AS (
+      SELECT m.method, q.vec_id AS query_id
+      FROM (SELECT unnest(['ivf', 'lsh', 'pq']) AS method) m,
+           (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+    )
+    SELECT g.method, g.query_id,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+           CAST((COALESCE(h.h, 0) * 10000) // {ANN_K} AS BIGINT) AS recall_bp
+    FROM grid g LEFT JOIN hits h
+      ON g.method = h.method AND g.query_id = h.query_id
+"""

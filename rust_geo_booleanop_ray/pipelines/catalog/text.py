@@ -1267,3 +1267,229 @@ def _build_bpe_tokenize_sql() -> str:
     FROM s{BPE_ROUNDS}
 """
     )
+
+
+# ------------------------------------------------------------ bigram LM score
+
+LM_SCALE = 1_000_000
+
+
+def q_lm_score(sf_dir: str):
+    """Bigram language-model quality scoring — the CCNet/KenLM-shaped
+    filter every pretraining build runs: score each document by how
+    "typical" its word sequences are under a model trained on the
+    corpus itself.  The score is the mean corpus frequency of the
+    doc's adjacent-token bigrams in parts-per-million (integer floor,
+    positive operands — exact in both engines); perplexity's log is
+    deliberately avoided so the oracle is arithmetic-exact.
+
+    Scale shape (the rules the repo profiles mandate): bigram types
+    and doc ids are both ~rows-cardinality, so NEITHER is ever a
+    groupby key.  Two bounded exchanges:
+      1. one row per bigram occurrence, shuffled by splitmix64(bigram)
+         % 64 — every occurrence of a bigram lands in one bucket, so
+         ONE lexsort/run-length kernel per bucket yields each
+         occurrence's global count (the LM lookup is free: counts and
+         occurrences are co-located by construction, no join), then a
+         second in-kernel lexsort emits per-(bucket, doc) partial
+         sums — wire out ∝ docs × buckets-touched, not occurrences;
+      2. partials shuffled by splitmix64(doc_id) % 64 and merged with
+         the same reduceat kernel.
+    At 10^12 docs the occurrence exchange is the same volume as the
+    contamination window exchange (∝ total tokens); score sums stay
+    < 2^63 for corpora up to ~10^6 mean bigram frequency × 10^9-token
+    docs — far past any real corpus."""
+    from ...stages.footprint import _splitmix64
+    from ...stages.text import LM_BUCKETS, token_bigram_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = ds.map_batches(token_bigram_rows, batch_format="pyarrow")
+
+    partial_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("s", pa.int64()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def bucket_partials(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return partial_schema.empty_table()
+        ha = group["ha"].to_numpy()
+        hb = group["hb"].to_numpy()
+        order = np.lexsort((hb, ha))
+        a = ha[order]
+        b = hb[order]
+        d = group["doc_id"].to_numpy()[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1])) + 1)
+        )
+        rl = np.diff(np.concatenate((starts, [len(a)])))
+        w = np.repeat(rl, rl)  # each occurrence's global bigram count
+        o2 = np.argsort(d, kind="stable")
+        d2 = d[o2]
+        w2 = w[o2]
+        ds_ = np.concatenate(([0], np.flatnonzero(d2[1:] != d2[:-1]) + 1))
+        return pa.table(
+            {
+                "doc_id": pa.array(d2[ds_], pa.int64()),
+                "s": pa.array(np.add.reduceat(w2, ds_).astype(np.int64), pa.int64()),
+                "n": pa.array(
+                    np.diff(np.concatenate((ds_, [len(d2)]))).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    partials = rows.groupby("bucket").map_groups(
+        bucket_partials, batch_format="pyarrow"
+    )
+
+    def add_doc_bucket(b: pa.Table) -> pa.Table:
+        db = (
+            _splitmix64(b["doc_id"].to_numpy().astype(np.uint64))
+            % np.uint64(LM_BUCKETS)
+        ).astype(np.int64)
+        return b.append_column("dbucket", pa.array(db, pa.int64()))
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_bigrams", pa.int64()),
+            pa.field("score_ppm", pa.int64()),
+        ]
+    )
+
+    def merge_doc(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        d = group["doc_id"].to_numpy()
+        o = np.argsort(d, kind="stable")
+        d = d[o]
+        s = group["s"].to_numpy()[o]
+        n = group["n"].to_numpy()[o]
+        st = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+        S = np.add.reduceat(s, st)
+        N = np.add.reduceat(n, st)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[st], pa.int64()),
+                "n_bigrams": pa.array(N.astype(np.int64), pa.int64()),
+                "score_ppm": pa.array(
+                    ((S * LM_SCALE) // N).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        partials.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(merge_doc, batch_format="pyarrow")
+    )
+
+
+Q_LM_SCORE_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bigram
+      FROM toks
+    ),
+    cnt AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY bigram),
+    per AS (
+      SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(cnt.n) AS BIGINT) AS s
+      FROM bg JOIN cnt USING (bigram) GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST((s * {LM_SCALE}) // n_bigrams AS BIGINT) AS score_ppm
+    FROM per
+"""
+
+
+# ------------------------------------------------------- repetition stats
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals per document: total word count,
+    distinct-word count and the top word's share in basis points — the
+    "fraction of the doc that is one repeated token" rule real quality
+    gates apply before training.  Embarrassingly parallel: one
+    vectorized pass per batch, NO shuffle at any scale.  Word identity
+    uses Arrow dictionary_encode (exact, per-batch — repetition is a
+    WITHIN-doc property, so no cross-batch identity is needed), then
+    one lexsort over (doc, code) gives run lengths per word per doc."""
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_words", pa.int64()),
+            pa.field("n_distinct", pa.int64()),
+            pa.field("top_frac_bp", pa.int64()),
+        ]
+    )
+
+    def rep_stats(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), "[^a-z]+")
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "")
+        par = par[keep.to_numpy(zero_copy_only=False)]
+        flat = flat.filter(keep)
+        if len(par) == 0:
+            return out_schema.empty_table()
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, par))
+        p = par[order]
+        c = codes[order]
+        rs = np.concatenate(
+            ([0], np.flatnonzero((p[1:] != p[:-1]) | (c[1:] != c[:-1])) + 1)
+        )
+        rl = np.diff(np.concatenate((rs, [len(p)])))
+        run_doc = p[rs]
+        dstart = np.concatenate(
+            ([0], np.flatnonzero(run_doc[1:] != run_doc[:-1]) + 1)
+        )
+        n_words = np.add.reduceat(rl, dstart)
+        n_distinct = np.diff(np.concatenate((dstart, [len(rl)])))
+        max_n = np.maximum.reduceat(rl, dstart)
+        doc_ids = batch["doc_id"].to_numpy()[run_doc[dstart]]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids.astype(np.int64), pa.int64()),
+                "n_words": pa.array(n_words.astype(np.int64), pa.int64()),
+                "n_distinct": pa.array(n_distinct.astype(np.int64), pa.int64()),
+                "top_frac_bp": pa.array(
+                    (max_n * 10000 // n_words).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(rep_stats, batch_format="pyarrow")
+
+
+Q_REPETITION_STATS_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, term, COUNT(*) AS n
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    )
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST((MAX(n) * 10000) // SUM(n) AS BIGINT) AS top_frac_bp
+    FROM c GROUP BY doc_id
+"""

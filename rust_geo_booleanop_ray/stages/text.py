@@ -427,3 +427,81 @@ def long_window_hashes_batch(batch: pa.Table, L: int = SUBSTR_RUN_LEN) -> pa.Tab
             ),
         }
     )
+
+
+# ------------------------------------------------------------ bigram LM
+
+LM_BUCKETS = 64
+
+
+def ascii_token_hashes(arr: pa.Array) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit hash of each token in a StringArray.
+
+    Tokens come from ``split_pattern_regex(lower(text), '[^a-z]+')`` so
+    they are pure ASCII — bytes ARE code points (the repo's hashing
+    convention holds trivially).  Works straight off the Arrow offset +
+    data buffers in O(max_token_len) vectorized passes; no per-token
+    Python.  The hash is engine-internal only (the oracle groups by the
+    actual bigram strings), so only collision-freeness matters:
+    distinct-token space even at web scale (~10^7–10^8 types) is far
+    below the 64-bit birthday bound."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    odtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    buf_off = np.frombuffer(arr.buffers()[1], dtype=odtype)
+    off = buf_off[arr.offset : arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts = off[:-1]
+    lens = off[1:] - starts
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for p in range(int(lens.max()) if n else 0):
+            m = lens > p
+            h[m] = (h[m] ^ data[starts[m] + p].astype(np.uint64)) * prime
+    return h
+
+
+def token_bigram_rows(batch: pa.Table, n_buckets: int = LM_BUCKETS) -> pa.Table:
+    """One row per adjacent-token bigram OCCURRENCE: (doc_id, ha, hb,
+    bucket).  ha/hb are the two token hashes (the bigram's identity is
+    the exact pair — no extra collision beyond token-hash collisions);
+    bucket is a splitmix64 mix of the pair, so every occurrence of the
+    same bigram lands in the same bucket and the per-bucket kernel sees
+    each bigram's FULL corpus count locally.  Wire volume ∝ total
+    token count — the same exchange the contamination queries pay."""
+    from .footprint import _splitmix64
+
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), "[^a-z]+")
+    flat = pc.list_flatten(toks)
+    par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "")
+    kmask = keep.to_numpy(zero_copy_only=False)
+    par = par[kmask]
+    flat = flat.filter(keep)
+    h = ascii_token_hashes(flat)
+    if len(par) >= 2:
+        adj = par[:-1] == par[1:]
+    else:
+        adj = np.empty(0, bool)
+    ha = h[:-1][adj] if len(h) else np.empty(0, np.uint64)
+    hb = h[1:][adj] if len(h) else np.empty(0, np.uint64)
+    docs = (
+        batch["doc_id"].to_numpy()[par[:-1][adj]]
+        if len(par)
+        else np.empty(0, np.int64)
+    )
+    with np.errstate(over="ignore"):
+        mix = _splitmix64(ha * np.uint64(0x9E3779B97F4A7C15) ^ hb)
+    bucket = (mix % np.uint64(n_buckets)).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs.astype(np.int64), pa.int64()),
+            "ha": pa.array(ha.view(np.int64), pa.int64()),
+            "hb": pa.array(hb.view(np.int64), pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+        }
+    )

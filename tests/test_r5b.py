@@ -1,0 +1,158 @@
+"""Round-5 continuation: ANN recall eval, bigram-LM scoring,
+repetition stats — local invariants (the value-exact DuckDB gate
+covers the distributed paths)."""
+
+import numpy as np
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmp_path, texts: dict):
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_lm_score_planted_corpus(ray_session, tmp_path):
+    """Hand-computed mean bigram frequency on a tiny planted corpus:
+    'the cat' appears 3x corpus-wide, all other bigrams once."""
+    from rust_geo_booleanop_ray.pipelines.queries import q_lm_score
+
+    d = _write_docs(
+        tmp_path,
+        {
+            1: "the cat sat on the cat",
+            2: "Cat! the cat",
+            3: "x",  # single token: no bigrams, no output row
+        },
+    )
+    out = {r["doc_id"]: r for r in q_lm_score(d).take_all()}
+    assert set(out) == {1, 2}
+    # doc 1 bigrams: [the cat, cat sat, sat on, on the, the cat]
+    # counts:        [3,       1,       1,      1,      3      ] -> s=9, n=5
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["score_ppm"] == 9 * 1_000_000 // 5
+    # doc 2 bigrams: [cat the, the cat] -> s = 1 + 3 = 4, n = 2
+    assert out[2]["n_bigrams"] == 2
+    assert out[2]["score_ppm"] == 2_000_000
+
+
+def test_lm_score_repeated_boilerplate_scores_higher(ray_session, tmp_path):
+    """The filter semantics: a doc made of corpus-common bigrams must
+    outscore a doc of corpus-unique bigrams."""
+    from rust_geo_booleanop_ray.pipelines.queries import q_lm_score
+
+    common = "data processing at scale"
+    texts = {i: common for i in range(10)}
+    texts[10] = common  # the "typical" doc
+    texts[11] = "zq wv xj kp bn md"  # all-unique bigrams
+    d = _write_docs(tmp_path, texts)
+    out = {r["doc_id"]: r["score_ppm"] for r in q_lm_score(d).take_all()}
+    assert out[10] == 11 * 1_000_000  # every bigram appears 11x
+    assert out[11] == 1_000_000  # every bigram appears once
+    assert out[10] > out[11]
+
+
+def test_repetition_stats_planted(ray_session, tmp_path):
+    """Top-word share and distinct counts on planted docs; a doc with
+    no alphabetic tokens emits no row."""
+    from rust_geo_booleanop_ray.pipelines.queries import q_repetition_stats
+
+    d = _write_docs(
+        tmp_path,
+        {
+            1: "spam spam spam spam eggs",  # 5 words, 2 distinct, top 4/5
+            2: "all words here are unique",  # 5 words, 5 distinct, top 1/5
+            3: "12345 !!!",  # no [a-z] tokens at all
+        },
+    )
+    out = {r["doc_id"]: r for r in q_repetition_stats(d).take_all()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_words"] == 5
+    assert out[1]["n_distinct"] == 2
+    assert out[1]["top_frac_bp"] == 4 * 10000 // 5
+    assert out[2]["n_words"] == 5
+    assert out[2]["n_distinct"] == 5
+    assert out[2]["top_frac_bp"] == 10000 // 5
+
+
+def test_ann_recall_consistent_with_catalog_rankings(ray_session):
+    """ann_recall's hit counts must equal the overlap of the catalog's
+    own ann_ivf / ann_lsh / ann_pq results with ann_topk ground truth,
+    and recall_bp stays in [0, 10000]."""
+    from rust_geo_booleanop_ray.pipelines.queries import (
+        ANN_K,
+        q_ann_ivf,
+        q_ann_lsh,
+        q_ann_pq,
+        q_ann_recall,
+        q_ann_topk,
+    )
+
+    def sets(ds):
+        out = {}
+        for r in ds.take_all():
+            out.setdefault(int(r["query_id"]), set()).add(int(r["vec_id"]))
+        return out
+
+    truth = sets(q_ann_topk(SF))
+    per_method = {
+        "ivf": sets(q_ann_ivf(SF)),
+        "lsh": sets(q_ann_lsh(SF)),
+        "pq": sets(q_ann_pq(SF)),
+    }
+    got = q_ann_recall(SF)
+    assert got.num_rows == 3 * len(truth)
+    for m, qid, hits, bp in zip(
+        got["method"].to_pylist(),
+        got["query_id"].to_pylist(),
+        got["hits"].to_pylist(),
+        got["recall_bp"].to_pylist(),
+    ):
+        expect = len(per_method[m].get(qid, set()) & truth[qid])
+        assert hits == expect, (m, qid)
+        assert bp == hits * 10000 // ANN_K
+        assert 0 <= bp <= 10000
+
+
+def test_token_bigram_rows_bucket_is_pair_function(ray_session):
+    """Every occurrence of the same bigram must land in the same
+    bucket (the per-bucket count kernel depends on it), across
+    different docs and batches."""
+    from rust_geo_booleanop_ray.stages.text import token_bigram_rows
+
+    b1 = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": ["the cat sat on the cat"],
+        }
+    )
+    b2 = pa.table(
+        {"doc_id": pa.array([2], pa.int64()), "text": ["and THE cat again"]}
+    )
+    t1 = token_bigram_rows(b1)
+    t2 = token_bigram_rows(b2)
+    key = {}
+    for t in (t1, t2):
+        for ha, hb, bk in zip(
+            t["ha"].to_pylist(), t["hb"].to_pylist(), t["bucket"].to_pylist()
+        ):
+            assert key.setdefault((ha, hb), bk) == bk
+    # "the cat" occurs in both batches -> identical (ha, hb) appears twice
+    pairs1 = set(zip(t1["ha"].to_pylist(), t1["hb"].to_pylist()))
+    pairs2 = set(zip(t2["ha"].to_pylist(), t2["hb"].to_pylist()))
+    assert pairs1 & pairs2
+    # empty batch keeps the int64 schema (ADVICE r4 lesson)
+    e = token_bigram_rows(b1.slice(0, 0))
+    assert e.schema.field("ha").type == pa.int64()
+    assert e.num_rows == 0
