@@ -11,7 +11,7 @@ import pyarrow.compute as pc  # noqa: F401
 from ...sources.arrow_geom import shoelace_area  # noqa: F401
 from ...sources.arrow_geom import rects_to_arrow as _rect_mp_array  # noqa: F401
 from ...stages.boolean_batch import BooleanOpBatch  # noqa: F401
-from ._shared import MAX_CONTAIN_MATRIX, _read  # noqa: F401
+from ._shared import MAX_CONTAIN_MATRIX, _cents, _read  # noqa: F401
 
 
 # ------------------------------------------------------------------ helpers
@@ -2440,3 +2440,170 @@ def _build_geom_validate_sql() -> str:
         + ",\n      ".join(rows)
         + "\n    ) AS expected(shape_id, n_self_intersections, is_valid, area2)\n"
     )
+
+
+# -------------------------------------------------------- areal interpolation
+
+AREAL_SCALE = 1_000_000
+
+
+def q_areal_interp(sf_dir: str):
+    """Areal interpolation (the classic GIS re-aggregation: census
+    tracts → service areas): a value attached to SOURCE polygons (part
+    rects carrying retail-price cents) is redistributed onto TARGET
+    polygons (supplier rects) proportionally to the EXACT Martinez
+    intersection area — contribution = v · area(src ∩ tgt) / area(src),
+    kept integer-exact by per-pair floor division at ×10⁶ scale
+    (mirrored op-for-op in the SQL).
+
+    Scale shape end-to-end: the pair stream comes from the same PBSM
+    cell-partitioned join as poly_join_big (both sides exploded to
+    cells, ONE shuffle, reference-cell duplicate avoidance, whole-batch
+    native clip); source attributes rejoin by key through ONE bucketed
+    hash join (pair streams never carry payloads through the spatial
+    shuffle); and the per-target rollup is block partials + the shared
+    key-hash bucketed reduceat merge — suppliers are rows-cardinality
+    at scale, never a generic per-key aggregate.  Nothing lands on the
+    driver."""
+    from ...stages.cells import explode_to_cells
+    from ...stages.join import shuffle_hash_join
+    from ...stages.join_clip import join_cells_within_group_dedup
+    from ...stages.pivot import bucketed_wide_sum
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        batch = _part_rect_batch(batch)
+        n = batch.num_rows
+        t = pa.table(
+            {
+                "image_id": pc.cast(batch["p_partkey"], pa.string()),
+                "tile_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "footprint": batch["footprint"],
+                "geom": batch["footprint"],
+                "minx": batch["minx"],
+                "miny": batch["miny"],
+                "maxx": batch["maxx"],
+                "maxy": batch["maxy"],
+                "side": pa.array(["probe"] * n),
+            }
+        )
+        return explode_to_cells(t, KNN_RES)
+
+    def build_rows(batch: pa.Table) -> pa.Table:
+        batch = _supplier_rect_batch(batch)
+        n = batch.num_rows
+        t = pa.table(
+            {
+                "image_id": pa.array([""] * n, pa.string()),
+                "tile_id": batch["s_suppkey"],
+                "footprint": batch["geom"],
+                "geom": batch["geom"],
+                "minx": batch["minx"],
+                "miny": batch["miny"],
+                "maxx": batch["maxx"],
+                "maxy": batch["maxy"],
+                "side": pa.array(["build"] * n),
+            }
+        )
+        return explode_to_cells(t, KNN_RES)
+
+    probe = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        probe_rows, batch_format="pyarrow"
+    )
+    build = _read(sf_dir, "supplier", ["s_suppkey"]).map_batches(
+        build_rows, batch_format="pyarrow"
+    )
+    pairs = (
+        probe.union(build)
+        .groupby("cell")
+        .map_groups(join_cells_within_group_dedup, batch_format="pyarrow")
+    )
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        area = batch["clip_area"].to_numpy().astype(np.int64)
+        out = pa.table(
+            {
+                "p_partkey": pc.cast(batch["image_id"], pa.int64()),
+                "s_suppkey": batch["tile_id"],
+                "inter_area": pa.array(area, pa.int64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["inter_area"], 1))
+
+    pairs = pairs.map_batches(pair_rows, batch_format="pyarrow")
+
+    # source attribute table: value (retail-price cents) + exact rect area
+    def src_attrs(batch: pa.Table) -> pa.Table:
+        size = batch["p_size"].to_numpy().astype(np.int64)
+        hw = 1 + (size % 5)
+        hh = 1 + ((size * 3) % 7)
+        return pa.table(
+            {
+                "p_partkey": batch["p_partkey"],
+                "v_cents": pa.array(
+                    _cents(batch["p_retailprice"].to_numpy()), pa.int64()
+                ),
+                "src_area": pa.array(4 * hw * hh, pa.int64()),
+            }
+        )
+
+    attrs = _read(
+        sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"]
+    ).map_batches(src_attrs, batch_format="pyarrow")
+
+    joined = shuffle_hash_join(
+        pairs,
+        attrs,
+        "p_partkey",
+        ["s_suppkey", "inter_area"],
+        ["v_cents", "src_area"],
+    )
+
+    def contrib(b: pa.Table) -> pa.Table:
+        v = b["v_cents"].to_numpy()
+        ia = b["inter_area"].to_numpy()
+        sa = b["src_area"].to_numpy()
+        c = (v * ia * AREAL_SCALE) // sa
+        t = pa.table(
+            {
+                "s_suppkey": b["s_suppkey"],
+                "one": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+                "contrib": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+        agg = pa.TableGroupBy(t, "s_suppkey").aggregate(
+            [("one", "sum"), ("contrib", "sum")]
+        )
+        return pa.table(
+            {
+                "s_suppkey": agg["s_suppkey"],
+                "n_src": agg["one_sum"].cast(pa.int64()),
+                "interp_c": agg["contrib_sum"].cast(pa.int64()),
+            }
+        )
+
+    return bucketed_wide_sum(
+        joined.map_batches(contrib, batch_format="pyarrow"),
+        "s_suppkey",
+        ["n_src", "interp_c"],
+    )
+
+
+Q_AREAL_INTERP_SQL = f"""
+    WITH r AS (
+      SELECT pr.*, CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) AS v_cents
+      FROM ({PART_RECT_SQL}) pr JOIN part p USING (p_partkey)
+    ),
+    s AS ({SUPPLIER_RECT_SQL}),
+    pairs AS (
+      SELECT r.p_partkey, s.s_suppkey, r.v_cents,
+             CAST((least(r.maxx, s.maxx) - greatest(r.minx, s.minx)) *
+                  (least(r.maxy, s.maxy) - greatest(r.miny, s.miny)) AS BIGINT) AS ia,
+             CAST((r.maxx - r.minx) * (r.maxy - r.miny) AS BIGINT) AS sa
+      FROM r, s
+      WHERE least(r.maxx, s.maxx) > greatest(r.minx, s.minx)
+        AND least(r.maxy, s.maxy) > greatest(r.miny, s.miny)
+    )
+    SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_src,
+           CAST(SUM((v_cents * ia * {AREAL_SCALE}) // sa) AS BIGINT) AS interp_c
+    FROM pairs GROUP BY s_suppkey
+"""

@@ -156,3 +156,49 @@ def test_token_bigram_rows_bucket_is_pair_function(ray_session):
     e = token_bigram_rows(b1.slice(0, 0))
     assert e.schema.field("ha").type == pa.int64()
     assert e.num_rows == 0
+
+
+def test_areal_interp_brute_force(ray_session):
+    """Engine areal interpolation equals a direct numpy recompute of
+    rect-pair intersections (Martinez clip of axis-aligned rects IS
+    the closed-form overlap)."""
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import (
+        AREAL_SCALE,
+        q_areal_interp,
+    )
+
+    part = pq.read_table(
+        f"{SF}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+    supp = pq.read_table(f"{SF}/supplier.parquet", columns=["s_suppkey"])
+    pk = part["p_partkey"].to_numpy()
+    size = part["p_size"].to_numpy().astype(np.int64)
+    v = np.floor(part["p_retailprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    hw = 1 + (size % 5)
+    hh = 1 + ((size * 3) % 7)
+    pminx, pmaxx = pk % 97 - hw, pk % 97 + hw
+    pminy, pmaxy = (pk * 31) % 89 - hh, (pk * 31) % 89 + hh
+    sa = 4 * hw * hh
+    sk = supp["s_suppkey"].to_numpy().astype(np.int64)
+    shw = 2 + (sk % 6)
+    shh = 2 + ((sk * 3) % 5)
+    sminx, smaxx = (sk * 7) % 97 - shw, (sk * 7) % 97 + shw
+    sminy, smaxy = (sk * 11) % 89 - shh, (sk * 11) % 89 + shh
+    expect = {}
+    for j in range(len(sk)):
+        w = np.minimum(pmaxx, smaxx[j]) - np.maximum(pminx, sminx[j])
+        h = np.minimum(pmaxy, smaxy[j]) - np.maximum(pminy, sminy[j])
+        m = (w > 0) & (h > 0)
+        if m.any():
+            ia = (w[m] * h[m]).astype(np.int64)
+            expect[int(sk[j])] = (
+                int(m.sum()),
+                int(((v[m] * ia * AREAL_SCALE) // sa[m]).sum()),
+            )
+    got = {
+        r["s_suppkey"]: (r["n_src"], r["interp_c"])
+        for r in q_areal_interp(SF).take_all()
+    }
+    assert got == expect
