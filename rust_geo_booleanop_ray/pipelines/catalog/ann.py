@@ -365,11 +365,12 @@ def q_ann_pq(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
-def _build_ann_pq_sql() -> str:
+def _build_ann_pq_sql(k: int = ANN_K) -> str:
     """SQL mirror of fixed-codebook PQ: per-subspace signed-sum lists
     for assignment (first-argmax via list_position of list_max), the
     query's own lists as the ADC lookup table, score = Σ_s
-    qd_s[code_s], exact rank by (score DESC, vec_id)."""
+    qd_s[code_s], exact rank by (score DESC, vec_id).  ``k`` lets the
+    rerank mirror reuse the same CTE with a wider shortlist."""
     from ...stages.ann import pq_fixed_codebooks
 
     books = pq_fixed_codebooks(PQ_M, PQ_K, 64, seed=PQ_SEED)
@@ -413,7 +414,7 @@ def _build_ann_pq_sql() -> str:
       SELECT query_id, vec_id,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
       FROM cand
-    ) WHERE rnk <= {ANN_K}
+    ) WHERE rnk <= {k}
 """
 
 
@@ -544,4 +545,77 @@ def _build_ann_recall_sql() -> str:
            CAST((COALESCE(h.h, 0) * 10000) // {ANN_K} AS BIGINT) AS recall_bp
     FROM grid g LEFT JOIN hits h
       ON g.method = h.method AND g.query_id = h.query_id
+"""
+
+
+# ---------------------------------------------------------- two-stage rerank
+
+RERANK_SHORTLIST = 50
+
+
+def q_ann_rerank(sf_dir: str):
+    """Two-stage retrieval — the production ANN serving pattern: a
+    cheap PQ/ADC first stage retrieves a SHORTLIST (50 per query,
+    4-byte codes on the wire at 10^12 scale), then an exact cosine
+    second stage rescores ONLY the shortlisted vectors and emits the
+    final top-k.  Recall ≈ PQ recall@shortlist but ranking quality is
+    exact — the standard accuracy/cost trade.
+
+    Scale shape: the shortlist is k-bounded per query regardless of
+    corpus size (nq × 50 ids — the bounded-pull convention), broadcast
+    into a streaming rerank pass that selects members via sorted-array
+    searchsorted before any distance work.  Both stages stream; no
+    all-pairs work anywhere."""
+    from ...stages.ann import (
+        ShortlistRerank,
+        TopKPerQuery,
+        pq_fixed_codebooks,
+        pq_topk,
+    )
+
+    qs = _ann_queries(sf_dir)
+    books = pq_fixed_codebooks(PQ_M, PQ_K, 64, seed=PQ_SEED)
+    shortlist_rows = (
+        pq_topk(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            qs,
+            RERANK_SHORTLIST,
+            books,
+        )
+        .select_columns(["query_id", "vec_id"])
+        .take_all()
+    )
+    shortlists: dict = {}
+    for r in shortlist_rows:
+        shortlists.setdefault(int(r["query_id"]), []).append(int(r["vec_id"]))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    scored = ds.map_batches(
+        ShortlistRerank(qs, shortlists), batch_format="pyarrow"
+    )
+    out = scored.groupby("query_id").map_groups(
+        TopKPerQuery(ANN_K), batch_format="pyarrow"
+    )
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def _build_ann_rerank_sql() -> str:
+    """PQ shortlist CTE (same mirror, k=RERANK_SHORTLIST) joined back
+    to exact embeddings; exact cosine rank within the shortlist."""
+    return f"""
+    WITH sl AS (SELECT query_id, vec_id FROM ({_build_ann_pq_sql(RERANK_SHORTLIST)})),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < 5),
+    cand AS (
+      SELECT sl.query_id, sl.vec_id,
+             list_cosine_similarity(e.embedding, q.qe) AS cos
+      FROM sl JOIN e ON e.vec_id = sl.vec_id
+              JOIN q ON q.qid = sl.query_id
+    )
+    SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= {ANN_K}
 """

@@ -362,3 +362,65 @@ def pq_topk(embeddings_ds, queries, k: int, codebooks: np.ndarray):
     return cands.groupby("query_id").map_groups(
         TopKPerQuery(k), batch_format="pyarrow"
     )
+
+
+class ShortlistRerank:
+    """map_batches stage for two-stage retrieval: exact cosine scoring
+    restricted to each query's candidate shortlist (ids produced by a
+    cheap first stage — PQ/IVF/LSH).  The corpus streams through ONCE;
+    per query, a sorted-array membership check (searchsorted, no Python
+    set) selects only shortlisted rows before any distance work.
+    Output is ≤ Σ|shortlist| rows total — k-bounded regardless of
+    corpus size — so the downstream merge is trivially small."""
+
+    def __init__(self, queries, shortlists: dict):
+        try:
+            import ray
+
+            if isinstance(queries, ray.ObjectRef):
+                queries = ray.get(queries)
+        except ImportError:
+            pass
+        self.query_ids, qmat = queries
+        qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+        self.qunit = qmat / np.maximum(qnorm, 1e-12)
+        self.shortlists = {
+            int(q): np.sort(np.asarray(v, dtype=np.int64))
+            for q, v in shortlists.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        vecs = _embedding_matrix(batch["embedding"]).astype(np.float64)
+        unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(np.asarray(self.query_ids)):
+            sl = self.shortlists.get(int(qid))
+            if sl is None or not len(sl):
+                continue
+            pos = np.searchsorted(sl, ids)
+            pos[pos >= len(sl)] = len(sl) - 1
+            m = sl[pos] == ids
+            if not m.any():
+                continue
+            sims = unit[m] @ self.qunit[qi]
+            out_q.append(np.full(int(m.sum()), qid, dtype=np.int64))
+            out_v.append(ids[m])
+            out_s.append(sims)
+        if not out_q:
+            return pa.schema(
+                [
+                    pa.field("query_id", pa.int64()),
+                    pa.field("vec_id", pa.int64()),
+                    pa.field("cosine", pa.float64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine": pa.array(
+                    np.concatenate(out_s).astype(np.float64), pa.float64()
+                ),
+            }
+        )

@@ -202,3 +202,60 @@ def test_areal_interp_brute_force(ray_session):
         for r in q_areal_interp(SF).take_all()
     }
     assert got == expect
+
+
+def test_ann_rerank_is_exact_within_shortlist(ray_session):
+    """Rerank output must be exactly the brute-force cosine ranking
+    restricted to the PQ shortlist (and therefore a subset of it)."""
+    import pyarrow.parquet as pq
+
+    from rust_geo_booleanop_ray.pipelines.queries import (
+        ANN_K,
+        PQ_K,
+        PQ_M,
+        PQ_SEED,
+        RERANK_SHORTLIST,
+        q_ann_rerank,
+    )
+    from rust_geo_booleanop_ray.stages.ann import (
+        pq_fixed_codebooks,
+        pq_topk,
+    )
+    from rust_geo_booleanop_ray.pipelines.catalog.ann import _ann_queries
+    import ray.data as rd
+
+    got = {}
+    for r in q_ann_rerank(SF).take_all():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+
+    qs = _ann_queries(SF)
+    books = pq_fixed_codebooks(PQ_M, PQ_K, 64, seed=PQ_SEED)
+    sl = {}
+    for r in (
+        pq_topk(
+            rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]),
+            qs,
+            RERANK_SHORTLIST,
+            books,
+        ).take_all()
+    ):
+        sl.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    mat = (
+        emb["embedding"].combine_chunks().values.to_numpy(zero_copy_only=False)
+        .reshape(len(ids), -1)
+        .astype(np.float64)
+    )
+    unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    qids, qmat = qs
+    qunit = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    for qi, qid in enumerate(qids):
+        member = np.isin(ids, list(sl[int(qid)]))
+        cos = unit[member] @ qunit[qi]
+        mids = ids[member]
+        order = np.lexsort((mids, -cos))[:ANN_K]
+        expect = [(rk + 1, int(mids[o])) for rk, o in enumerate(order)]
+        assert sorted(got[int(qid)]) == expect
+        assert {v for _, v in got[int(qid)]} <= sl[int(qid)]
