@@ -67,10 +67,14 @@ def bench_list():
         "bottomk_sample",
         "grouped_sample",
         "text_stats",
+        "lm_score",
+        "repetition_stats",
+        "areal_interp",
         "ann_topk",
         "ann_ivf",
         "ann_pq",
         "ann_lsh",
+        "ann_rerank",
         "asof_join",
         "minhash_near_dup",
         "minhash_lean",
