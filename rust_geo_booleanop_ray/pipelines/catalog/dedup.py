@@ -352,13 +352,19 @@ Q_SAFE_SPLIT_SQL = f"""
 """
 
 
-def _build_minhash_sql(threshold: float = 0.5) -> str:
+def _build_minhash_sql(
+    threshold: float = 0.5,
+    docs_sql: str = "SELECT doc_id, text AS t FROM documents",
+    final_sql: str | None = None,
+) -> str:
     """Full SQL mirror of the MinHash+LSH pipeline: code-point shingle
     hashes (5-wide polynomial windows), the 64 splitmix64-derived
     permutations inlined as literals with the engine's exact
     wrap-mod-2^64-then-mod-p arithmetic, 8×8 banded blocking via
     list_reduce band hashes, and the k/64 signature-equality estimator
-    (dyadic — hash-exact across engines)."""
+    (dyadic — hash-exact across engines).  ``docs_sql`` / ``final_sql``
+    let the incremental variant reuse the same pipeline over an
+    appended corpus with a different pair rollup."""
     from ...stages.dedup import minhash_coeffs
 
     a, b = minhash_coeffs(64, 7)
@@ -379,8 +385,11 @@ def _build_minhash_sql(threshold: float = 0.5) -> str:
         f"(acc, x) -> (acc * {BF}::HUGEINT + x) % {H})"
         for j in range(8)
     )
+    if final_sql is None:
+        final_sql = f"""SELECT doc_a, doc_b, MAX(est) AS est_jaccard
+    FROM pairs WHERE est >= {threshold} GROUP BY doc_a, doc_b"""
     return f"""
-    WITH d AS (SELECT doc_id, text AS t FROM documents),
+    WITH d AS ({docs_sql}),
     s AS (
       SELECT doc_id,
         CASE WHEN length(t) <= 5
@@ -409,8 +418,7 @@ def _build_minhash_sql(threshold: float = 0.5) -> str:
       FROM bands x JOIN bands y
         ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
     )
-    SELECT doc_a, doc_b, MAX(est) AS est_jaccard
-    FROM pairs WHERE est >= {threshold} GROUP BY doc_a, doc_b
+    {final_sql}
 """
 
 
@@ -1304,3 +1312,122 @@ def _build_contamination_winnow_sql() -> str:
     SELECT eval_doc, CAST(COUNT(*) AS BIGINT) AS n_train
     FROM hits GROUP BY eval_doc
 """
+
+
+def q_incremental_minhash(sf_dir: str, prior_sigs=None):
+    """Incremental NEAR-dup dedup against persisted MinHash signatures
+    — the append-only companion to q_incremental_dedup's exact path: a
+    prior run saved (doc_id, sig[64]) per doc; the new crawl batch is
+    shingled+signed, and candidates come from banding over prior+new
+    signature rows WITHOUT re-reading or re-shingling the old corpus.
+    Same re-crawl append model as the exact variant (doc_id % 7 → id +
+    2^40, % 13 → id + 2^41).  Output per flagged new doc: keeper = the
+    smallest prior/smaller-new near-dup partner (est_jaccard ≥ 0.5),
+    n_dups = distinct such partners.
+
+    Scale shape: band exchange + pair verify are the proven bucketed
+    kernels (old×old pairs never pay the 64-wide verify — the flag
+    rides the payload); the keeper rollup is one more splitmix64(doc)
+    % 64 bucketed lexsort/reduceat merge.  ``prior_sigs`` defaults to
+    signing the corpus inline, standing in for the persisted-parquet
+    read that scripts/dedup_incremental_stress.py exercises."""
+    from ...stages.dedup import (
+        MinHasher,
+        incremental_minhash_pairs,
+        pair_reduce,
+    )
+    from ...stages.footprint import _splitmix64
+
+    M = INCR_ID_OFFSET
+
+    def new_split_texts(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        a = b.filter(pa.array(d % 7 == 0))
+        c = b.filter(pa.array(d % 13 == 0))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [a["doc_id"].to_numpy() + M, c["doc_id"].to_numpy() + 2 * M]
+                    ),
+                    pa.int64(),
+                ),
+                "text": pa.concat_arrays(
+                    [a["text"].combine_chunks(), c["text"].combine_chunks()]
+                ),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    new_sigs = docs.map_batches(new_split_texts, batch_format="pyarrow").map_batches(
+        MinHasher(), batch_format="pyarrow"
+    )
+    if prior_sigs is None:
+        prior_sigs = docs.map_batches(MinHasher(), batch_format="pyarrow")
+    pairs = incremental_minhash_pairs(
+        new_sigs, prior_sigs, threshold=0.5, new_min_id=M
+    )
+    pairs = pair_reduce(pairs, "doc_a", "doc_b", "est_jaccard", how="max")
+
+    # keeper rollup: per new doc (doc_b), min partner + distinct-partner
+    # count — one bucketed lexsort/reduceat merge (new-doc ids are
+    # rows-cardinality; never a generic per-key aggregate)
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b["doc_b"].to_numpy().astype(np.uint64)
+        return b.append_column(
+            "kb", pa.array((_splitmix64(k) % np.uint64(64)).astype(np.int64))
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("keeper", pa.int64()),
+            pa.field("n_dups", pa.int64()),
+        ]
+    )
+
+    def keeper_kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        bn = group["doc_b"].to_numpy()
+        an = group["doc_a"].to_numpy()
+        order = np.lexsort((an, bn))
+        bs = bn[order]
+        as_ = an[order]
+        st = np.concatenate(([0], np.flatnonzero(bs[1:] != bs[:-1]) + 1))
+        return pa.table(
+            {
+                "doc_id": pa.array(bs[st], pa.int64()),
+                "keeper": pa.array(np.minimum.reduceat(as_, st), pa.int64()),
+                "n_dups": pa.array(
+                    np.diff(np.concatenate((st, [len(bs)]))).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(keeper_kernel, batch_format="pyarrow")
+    )
+
+
+def _build_incremental_minhash_sql() -> str:
+    """The full minhash mirror over the appended corpus, restricted to
+    pairs whose GREATER id is new (new ids occupy the disjoint ≥ 2^40
+    space, and the mirror's pairs are ordered doc_a < doc_b), rolled up
+    to (new doc, min partner, distinct partners)."""
+    M = INCR_ID_OFFSET
+    docs_sql = f"""SELECT doc_id, text AS t FROM documents
+      UNION ALL
+      SELECT doc_id + {M} AS doc_id, text AS t
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + {2 * M} AS doc_id, text AS t
+      FROM documents WHERE doc_id % 13 = 0"""
+    final_sql = f"""SELECT doc_b AS doc_id, CAST(MIN(doc_a) AS BIGINT) AS keeper,
+           CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_dups
+    FROM pairs WHERE est >= 0.5 AND doc_b >= {M}
+    GROUP BY doc_b"""
+    return _build_minhash_sql(docs_sql=docs_sql, final_sql=final_sql)

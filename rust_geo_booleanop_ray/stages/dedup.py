@@ -928,39 +928,45 @@ def pair_reduce(pairs_ds, a_col: str, b_col: str, val_col: str, how: str = "min"
     several LSH bands/buckets) into one row carrying min/max of
     ``val_col``.  Pair cardinality is ~candidates — rows-scale — so
     the generic per-key aggregate would pay per-distinct-key overhead;
-    instead the (a, b) pair packs into ONE int64 (ids < 2^31), a
-    splitmix64 bucket co-locates all instances of a pair, and one
-    argsort + ufunc.reduceat per bucket merges at C speed.  Column
-    names and dtypes are preserved."""
+    instead the (a, b) pair rides as TWO int64 columns (full 64-bit id
+    spaces welcome — the incremental append path puts new docs at
+    ≥ 2^40, which a packed ``(a<<32)|b`` key would silently corrupt),
+    a splitmix64 bucket over the mixed pair co-locates all instances,
+    and one lexsort + ufunc.reduceat per bucket merges at C speed.
+    Column names and dtypes are preserved."""
     from .footprint import _splitmix64
 
     ufunc = {"min": np.minimum, "max": np.maximum}[how]
 
     def add_key(b: pa.Table) -> pa.Table:
-        a = b[a_col].to_numpy().astype(np.uint64)
-        bb = b[b_col].to_numpy().astype(np.uint64)
-        key = (a << np.uint64(32)) | bb
-        h = _splitmix64(key) % np.uint64(n_buckets)
+        a = b[a_col].to_numpy().astype(np.int64)
+        bb = b[b_col].to_numpy().astype(np.int64)
+        h = _splitmix64(
+            _splitmix64(a.view(np.uint64)) ^ bb.view(np.uint64)
+        ) % np.uint64(n_buckets)
         return pa.table(
             {
-                "pair_key": pa.array(key.view(np.int64)),
+                a_col: pa.array(a),
+                b_col: pa.array(bb),
                 val_col: b[val_col],
                 "bucket": pa.array(h.astype(np.int64)),
             }
         )
 
     def merge(group: pa.Table) -> pa.Table:
-        k = group["pair_key"].to_numpy()
+        a = group[a_col].to_numpy()
+        bb = group[b_col].to_numpy()
         v = group[val_col].to_numpy()
-        order = np.argsort(k, kind="stable")
-        k, v = k[order], v[order]
-        starts = np.concatenate(([0], np.flatnonzero(k[1:] != k[:-1]) + 1))
+        order = np.lexsort((bb, a))
+        a, bb, v = a[order], bb[order], v[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero((a[1:] != a[:-1]) | (bb[1:] != bb[:-1])) + 1)
+        )
         red = ufunc.reduceat(v, starts)
-        uk = k[starts].view(np.uint64)
         return pa.table(
             {
-                a_col: pa.array((uk >> np.uint64(32)).astype(np.int64)),
-                b_col: pa.array((uk & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                a_col: pa.array(a[starts]),
+                b_col: pa.array(bb[starts]),
                 val_col: pa.array(red),
             }
         )
@@ -1455,3 +1461,54 @@ def incremental_exact_dedup(new_sigs, prior_sigs, n_buckets: int = DEDUP_BUCKETS
         )
 
     return unioned.groupby("bucket").map_groups(flag_bucket, batch_format="pyarrow")
+
+
+def incremental_minhash_pairs(
+    new_sigs,
+    prior_sigs,
+    threshold: float,
+    new_min_id: int,
+    n_buckets: int = 64,
+):
+    """Incremental MinHash+LSH near-dup: candidate pairs touching AT
+    LEAST ONE new doc, over the union of a PERSISTED prior signature
+    table and the freshly-signed append batch.  The prior corpus is
+    never re-read or re-shingled — only its 536 B/doc signature rows
+    re-enter the band exchange (at 10^12 docs: signatures are ~0.1% of
+    corpus bytes, so the incremental run's input is ~append-sized).
+
+    Same bucketed kernel as the full run; the "touches a new doc"
+    predicate rides the verification payload as a flag column (new ids
+    occupy a disjoint id space ≥ ``new_min_id``), so old×old pairs are
+    skipped BEFORE the 64-wide signature comparison — candidate index
+    generation still enumerates them (cheap), but the O(perms) verify
+    work is only paid for pairs that can appear in the output."""
+
+    exploded = (
+        prior_sigs.union(new_sigs)
+        .map_batches(lsh_band_explode, batch_format="pyarrow")
+    )
+
+    def extract(group: pa.Table) -> np.ndarray:
+        m = _list_matrix(group["sig"], group.num_rows)
+        flag = (group["doc_id"].to_numpy() >= new_min_id).astype(m.dtype)
+        return np.concatenate([m, flag[:, None]], axis=1)
+
+    def ev(p: np.ndarray, ia: np.ndarray, ib: np.ndarray):
+        touch = (p[ia, -1] + p[ib, -1]) > 0
+        est = np.zeros(len(ia), dtype=np.float64)
+        if touch.any():
+            est[touch] = (p[ia[touch], :-1] == p[ib[touch], :-1]).mean(axis=1)
+        return est, touch & (est >= threshold)
+
+    return banded_pairs_bucketed(
+        exploded,
+        band_cols=("band_id", "band_hash"),
+        id_col="doc_id",
+        payload_extract=extract,
+        pair_eval=ev,
+        out_cols=("doc_a", "doc_b"),
+        val_col="est_jaccard",
+        val_type=pa.float64(),
+        n_buckets=n_buckets,
+    )

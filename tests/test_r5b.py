@@ -259,3 +259,58 @@ def test_ann_rerank_is_exact_within_shortlist(ray_session):
         expect = [(rk + 1, int(mids[o])) for rk, o in enumerate(order)]
         assert sorted(got[int(qid)]) == expect
         assert {v for _, v in got[int(qid)]} <= sl[int(qid)]
+
+
+def test_pair_reduce_64bit_ids(ray_session):
+    """Regression: pair_reduce used to pack (a<<32)|b into one int64,
+    silently corrupting the incremental append id space (new docs at
+    >= 2^40).  Pairs must survive full-64-bit ids verbatim."""
+    import ray
+
+    from rust_geo_booleanop_ray.stages.dedup import pair_reduce
+
+    M = 1 << 40
+    tbl = pa.table(
+        {
+            "doc_a": pa.array([3, 3, 7, 2**33 + 5], pa.int64()),
+            "doc_b": pa.array([M + 1, M + 1, 2 * M + 4, 2**40 + 9], pa.int64()),
+            "v": pa.array([0.25, 0.75, 0.5, 1.0], pa.float64()),
+        }
+    )
+    out = sorted(
+        (r["doc_a"], r["doc_b"], r["v"])
+        for r in pair_reduce(
+            ray.data.from_arrow(tbl), "doc_a", "doc_b", "v", how="max"
+        ).take_all()
+    )
+    assert out == [
+        (3, M + 1, 0.75),
+        (7, 2 * M + 4, 0.5),
+        (2**33 + 5, 2**40 + 9, 1.0),
+    ]
+
+
+def test_incremental_minhash_flags_every_appended_copy(ray_session):
+    """Each appended doc is a verbatim re-crawl of its source, so est=1
+    and its keeper must be <= the source id; the %7 set lands at
+    id+2^40, the %13 set at id+2^41."""
+    from rust_geo_booleanop_ray.pipelines.catalog.dedup import (
+        INCR_ID_OFFSET,
+        q_incremental_minhash,
+    )
+
+    M = INCR_ID_OFFSET
+    rows = {r["doc_id"]: r for r in q_incremental_minhash(SF).take_all()}
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    expect_ids = {int(d) + M for d in src if d % 7 == 0} | {
+        int(d) + 2 * M for d in src if d % 13 == 0
+    }
+    assert set(rows) == expect_ids
+    for did, r in rows.items():
+        base = did - (M if did < 2 * M else 2 * M)
+        assert r["keeper"] <= base
+        assert r["n_dups"] >= 1
