@@ -63,6 +63,8 @@ def bench_list():
         "hash_sample",
         "dedup_exact",
         "incremental_dedup",
+        "incremental_minhash",
+        "dedup_keep_best",
         "normalized_dedup",
         "bottomk_sample",
         "grouped_sample",

@@ -352,6 +352,122 @@ Q_SAFE_SPLIT_SQL = f"""
 """
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Cluster-representative selection by QUALITY — the curation
+    policy real training-data builds use instead of keep-min-id: per
+    similarity component, retain the member with the best quality
+    score (stopword ratio in ppm, integer-exact), ties to the smallest
+    doc_id.  Output per component: keeper, best_score, n_members.
+
+    Scale shape: components from the distributed label propagation,
+    per-doc scores vectorized in-batch, ONE bucketed hash join
+    attaches scores to labels, and the per-component argmax is the
+    splitmix64(component) % 64 bucketed lexsort/run-boundary kernel —
+    component cardinality is ~rows, never a generic per-key
+    aggregate."""
+    from ...stages.footprint import _splitmix64
+    from ...stages.join import shuffle_hash_join
+    from ...stages.text import text_stats_batch
+
+    comps = q_dedup_components(sf_dir)
+
+    def score_rows(b: pa.Table) -> pa.Table:
+        s = text_stats_batch(b)
+        tok = s["n_tokens"].to_numpy()
+        stop = s["n_stopwords"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": s["doc_id"],
+                "score": pa.array(
+                    stop * np.int64(1_000_000) // np.maximum(tok, 1), pa.int64()
+                ),
+            }
+        )
+
+    scores = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score_rows, batch_format="pyarrow"
+    )
+    j = shuffle_hash_join(
+        comps,
+        scores,
+        "doc_id",
+        ["component"],
+        ["score"],
+        left_schema=pa.schema(
+            [pa.field("doc_id", pa.int64()), pa.field("component", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [pa.field("doc_id", pa.int64()), pa.field("score", pa.int64())]
+        ),
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b["component"].to_numpy().astype(np.uint64)
+        return b.append_column(
+            "kb", pa.array((_splitmix64(k) % np.uint64(64)).astype(np.int64))
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("component", pa.int64()),
+            pa.field("keeper", pa.int64()),
+            pa.field("best_score", pa.int64()),
+            pa.field("n_members", pa.int64()),
+        ]
+    )
+
+    def best_kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        comp = group["component"].to_numpy()
+        did = group["doc_id"].to_numpy()
+        sc = group["score"].to_numpy()
+        order = np.lexsort((did, -sc, comp))
+        c, d, s = comp[order], did[order], sc[order]
+        st = np.concatenate(([0], np.flatnonzero(c[1:] != c[:-1]) + 1))
+        return pa.table(
+            {
+                "component": pa.array(c[st], pa.int64()),
+                "keeper": pa.array(d[st], pa.int64()),
+                "best_score": pa.array(s[st], pa.int64()),
+                "n_members": pa.array(
+                    np.diff(np.concatenate((st, [len(c)]))).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        j.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(best_kernel, batch_format="pyarrow")
+    )
+
+
+def _build_keep_best_sql() -> str:
+    from .spatial import STOPWORDS_SQL
+
+    return f"""
+    WITH comp AS ({Q_DEDUP_COMPONENTS_SQL}),
+    q AS (
+      SELECT doc_id,
+             (len(list_filter(string_split(text, ' '),
+                              x -> x IN {STOPWORDS_SQL})) * 1000000)
+               // GREATEST(len(string_split(text, ' ')), 1) AS score
+      FROM documents
+    ),
+    j AS (SELECT c.component, c.doc_id, q.score
+          FROM comp c JOIN q USING (doc_id)),
+    g AS (SELECT component, MAX(score) AS best_score,
+                 CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM j GROUP BY component)
+    SELECT g.component, CAST(MIN(j.doc_id) AS BIGINT) AS keeper,
+           g.best_score, g.n_members
+    FROM g JOIN j ON j.component = g.component AND j.score = g.best_score
+    GROUP BY g.component, g.best_score, g.n_members
+"""
+
+
 def _build_minhash_sql(
     threshold: float = 0.5,
     docs_sql: str = "SELECT doc_id, text AS t FROM documents",

@@ -6,6 +6,13 @@ WITHOUT re-reading or re-signing the 400k-doc prior corpus, and prove
 the flags match a full-corpus re-run exactly.
 
     python scripts/dedup_incremental_stress.py --old 400000 --new 100000
+
+``--minhash`` runs the NEAR-dup variant instead: the prior run
+persisted (doc_id, sig[64]) MinHash signatures (~536 B/doc); the new
+batch is shingled+signed and banded against the persisted signature
+table (old docs never re-shingled), and the candidate pairs touching
+the new batch must match a full-corpus re-run pair-for-pair
+(est_jaccard included).
 """
 
 from __future__ import annotations
@@ -37,7 +44,19 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     )
+    parser.add_argument(
+        "--minhash", action="store_true", help="near-dup (MinHash+LSH) variant"
+    )
+    parser.add_argument(
+        "--tokens",
+        type=int,
+        default=24,
+        help="tokens per doc (~7 chars each). 24 = toy; 160 ≈ a real "
+        "1.1 KB crawl doc, where shingling dominates and the "
+        "incremental path's savings show",
+    )
     args = parser.parse_args(argv)
+    n_tok = args.tokens
 
     import ray
 
@@ -80,7 +99,7 @@ def main(argv=None) -> int:
             rng = (base * 2654435761) % (1 << 32)
             toks = [
                 VOCAB[(rng // (k + 1) + base * (k + 3)) % len(VOCAB)]
-                for k in range(24)
+                for k in range(n_tok)
             ]
             if kind == 3 and i >= 40:
                 toks[5] = VOCAB[(i * 31) % len(VOCAB)]
@@ -103,6 +122,80 @@ def main(argv=None) -> int:
         )
 
     old_n, new_n = args.old, args.new
+
+    if args.minhash:
+        from rust_geo_booleanop_ray.stages.dedup import (
+            MinHasher,
+            incremental_minhash_pairs,
+            pair_reduce,
+        )
+
+        def band_pairs(new_sigs, prior_sigs):
+            p = incremental_minhash_pairs(
+                new_sigs, prior_sigs, threshold=0.5, new_min_id=old_n
+            )
+            return pair_reduce(p, "doc_a", "doc_b", "est_jaccard", how="max")
+
+        sig_dir = f"/tmp/incr_minhash_sigs_{old_n}"
+        shutil.rmtree(sig_dir, ignore_errors=True)
+
+        # untimed warmup: the first pipeline in a fresh Ray session
+        # pays worker-pool spin-up (measured ~2-3x on this box); don't
+        # bill it to whichever phase happens to run first
+        band_pairs(
+            corpus(0, 5000).map_batches(MinHasher(), batch_format="pyarrow"),
+            corpus(5000, 10000).map_batches(MinHasher(), batch_format="pyarrow"),
+        ).count()
+
+        # ---- prior run: shingle+sign the old corpus ONCE and persist
+        t0 = time.time()
+        corpus(0, old_n).map_batches(MinHasher(), batch_format="pyarrow").write_parquet(
+            sig_dir
+        )
+        prior_sec = round(time.time() - t0, 2)
+
+        # ---- incremental: persisted sigs + sign ONLY the new batch
+        t0 = time.time()
+        new_sigs = corpus(old_n, old_n + new_n).map_batches(
+            MinHasher(), batch_format="pyarrow"
+        )
+        inc_rows = band_pairs(new_sigs, rd.read_parquet(sig_dir)).take_all()
+        inc_sec = round(time.time() - t0, 2)
+
+        # ---- full re-run: shingle+sign old AND new from scratch
+        t0 = time.time()
+        full_rows = band_pairs(
+            corpus(old_n, old_n + new_n).map_batches(
+                MinHasher(), batch_format="pyarrow"
+            ),
+            corpus(0, old_n).map_batches(MinHasher(), batch_format="pyarrow"),
+        ).take_all()
+        full_sec = round(time.time() - t0, 2)
+
+        inc_map = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in inc_rows}
+        full_map = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in full_rows}
+        assert inc_map == full_map, (
+            f"incremental pairs diverge from full run: "
+            f"{len(inc_map)} vs {len(full_map)}"
+        )
+        print(
+            json.dumps(
+                {
+                    "mode": "minhash",
+                    "old_docs": old_n,
+                    "new_docs": new_n,
+                    "prior_sign_sec": prior_sec,
+                    "incremental_sec": inc_sec,
+                    "full_rerun_sec": full_sec,
+                    "speedup": round(full_sec / inc_sec, 2) if inc_sec else None,
+                    "pairs_touching_new": len(inc_map),
+                    "pairs_match_full_run": True,
+                }
+            )
+        )
+        ray.shutdown()
+        return 0
+
     sig_dir = f"/tmp/incr_dedup_sigs_{old_n}"
     shutil.rmtree(sig_dir, ignore_errors=True)
 
