@@ -444,6 +444,124 @@ def q_dedup_keep_best(sf_dir: str):
     )
 
 
+def q_keep_best_apply(sf_dir: str):
+    """Apply the keep-best curation policy end-to-end: the SURVIVING
+    corpus after collapsing each similarity component to its
+    best-quality member (q_dedup_keep_best's policy — score ppm,
+    ties to min doc_id).  Same physical plan as q_dedup_apply with the
+    policy swapped: scores join the component labels through one
+    bucketed hash join, the per-component kernel emits the DROPPED
+    member ids directly (everything but the argmax row), and one
+    anti-join shuffle prunes the corpus.  Nothing on the driver."""
+    from ...stages.footprint import _splitmix64
+    from ...stages.join import shuffle_hash_join
+    from ...stages.text import text_stats_batch
+
+    comps = q_dedup_components(sf_dir)
+
+    def score_rows(b: pa.Table) -> pa.Table:
+        s = text_stats_batch(b)
+        tok = s["n_tokens"].to_numpy()
+        stop = s["n_stopwords"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": s["doc_id"],
+                "score": pa.array(
+                    stop * np.int64(1_000_000) // np.maximum(tok, 1), pa.int64()
+                ),
+            }
+        )
+
+    scores = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score_rows, batch_format="pyarrow"
+    )
+    j = shuffle_hash_join(
+        comps,
+        scores,
+        "doc_id",
+        ["component"],
+        ["score"],
+        left_schema=pa.schema(
+            [pa.field("doc_id", pa.int64()), pa.field("component", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [pa.field("doc_id", pa.int64()), pa.field("score", pa.int64())]
+        ),
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b["component"].to_numpy().astype(np.uint64)
+        return b.append_column(
+            "kb", pa.array((_splitmix64(k) % np.uint64(64)).astype(np.int64))
+        )
+
+    drop_schema = pa.schema([pa.field("doc_id", pa.int64())])
+
+    def dropped_kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return drop_schema.empty_table()
+        comp = group["component"].to_numpy()
+        did = group["doc_id"].to_numpy()
+        sc = group["score"].to_numpy()
+        order = np.lexsort((did, -sc, comp))
+        c, d = comp[order], did[order]
+        st = np.zeros(len(c), dtype=bool)
+        st[0] = True
+        st[1:] = c[1:] != c[:-1]
+        return pa.table({"doc_id": pa.array(d[~st], pa.int64())})
+
+    dropped = (
+        j.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(dropped_kernel, batch_format="pyarrow")
+    )
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return shuffle_hash_join(
+        docs,
+        dropped,
+        "doc_id",
+        ["lang", "n_chars"],
+        [],
+        how="anti",
+        left_schema=pa.schema(
+            [
+                pa.field("doc_id", pa.int64()),
+                pa.field("lang", pa.string()),
+                pa.field("n_chars", pa.int64()),
+            ]
+        ),
+        right_schema=drop_schema,
+    )
+
+
+def _build_keep_best_apply_sql() -> str:
+    from .spatial import STOPWORDS_SQL
+
+    return f"""
+    WITH comp AS ({Q_DEDUP_COMPONENTS_SQL}),
+    q AS (
+      SELECT doc_id,
+             (len(list_filter(string_split(text, ' '),
+                              x -> x IN {STOPWORDS_SQL})) * 1000000)
+               // GREATEST(len(string_split(text, ' ')), 1) AS score
+      FROM documents
+    ),
+    j AS (SELECT c.component, c.doc_id, q.score
+          FROM comp c JOIN q USING (doc_id)),
+    g AS (SELECT component, MAX(score) AS best_score FROM j
+          GROUP BY component),
+    best AS (
+      SELECT g.component, MIN(j.doc_id) AS keeper
+      FROM g JOIN j ON j.component = g.component AND j.score = g.best_score
+      GROUP BY g.component
+    )
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM comp c JOIN best b ON b.component = c.component
+      WHERE c.doc_id = d.doc_id AND c.doc_id <> b.keeper)
+"""
+
+
 def _build_keep_best_sql() -> str:
     from .spatial import STOPWORDS_SQL
 

@@ -314,3 +314,48 @@ def test_incremental_minhash_flags_every_appended_copy(ray_session):
         base = did - (M if did < 2 * M else 2 * M)
         assert r["keeper"] <= base
         assert r["n_dups"] >= 1
+
+
+def _write_full_docs(tmp_path, rows):
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    d = tmp_path / "planted"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_keep_best_planted(ray_session, tmp_path):
+    """Four chained docs (same lang + token count → one component);
+    doc 3 has the best stopword-ppm score, so it is the keeper and the
+    sole survivor of its component; the off-chain doc (different token
+    count, unique n_chars%10 band) survives untouched."""
+    from rust_geo_booleanop_ray.pipelines.catalog.dedup import (
+        q_dedup_keep_best,
+        q_keep_best_apply,
+    )
+
+    rows = [
+        (1, "the x y z", "en", "s0"),       # 1/4 stopwords
+        (2, "the a x y", "en", "s0"),       # 2/4
+        (3, "the a of in", "en", "s0"),     # 4/4  <- best
+        (4, "the a of x", "en", "s0"),      # 3/4
+        (10, "zz qq", "de", "s9"),          # singleton (2 tokens)
+    ]
+    d = _write_full_docs(tmp_path, rows)
+    best = {r["component"]: r for r in q_dedup_keep_best(d).take_all()}
+    assert 1 in best
+    assert best[1]["keeper"] == 3
+    assert best[1]["best_score"] == 1_000_000
+    assert best[1]["n_members"] == 4
+    kept = sorted(r["doc_id"] for r in q_keep_best_apply(d).take_all())
+    assert kept == [3, 10]
