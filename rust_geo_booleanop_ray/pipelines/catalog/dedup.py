@@ -1548,6 +1548,31 @@ def _build_contamination_winnow_sql() -> str:
 """
 
 
+def _incr_split_texts_fn(M: int):
+    """The deterministic re-crawl append batch: every doc_id % 7 doc
+    re-arrives at id + M, every % 13 doc at id + 2M (verbatim text)."""
+
+    def new_split_texts(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        a = b.filter(pa.array(d % 7 == 0))
+        c = b.filter(pa.array(d % 13 == 0))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [a["doc_id"].to_numpy() + M, c["doc_id"].to_numpy() + 2 * M]
+                    ),
+                    pa.int64(),
+                ),
+                "text": pa.concat_arrays(
+                    [a["text"].combine_chunks(), c["text"].combine_chunks()]
+                ),
+            }
+        )
+
+    return new_split_texts
+
+
 def q_incremental_minhash(sf_dir: str, prior_sigs=None):
     """Incremental NEAR-dup dedup against persisted MinHash signatures
     — the append-only companion to q_incremental_dedup's exact path: a
@@ -1570,42 +1595,66 @@ def q_incremental_minhash(sf_dir: str, prior_sigs=None):
         incremental_minhash_pairs,
         pair_reduce,
     )
-    from ...stages.footprint import _splitmix64
 
     M = INCR_ID_OFFSET
-
-    def new_split_texts(b: pa.Table) -> pa.Table:
-        d = b["doc_id"].to_numpy()
-        a = b.filter(pa.array(d % 7 == 0))
-        c = b.filter(pa.array(d % 13 == 0))
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    np.concatenate(
-                        [a["doc_id"].to_numpy() + M, c["doc_id"].to_numpy() + 2 * M]
-                    ),
-                    pa.int64(),
-                ),
-                "text": pa.concat_arrays(
-                    [a["text"].combine_chunks(), c["text"].combine_chunks()]
-                ),
-            }
-        )
-
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    new_sigs = docs.map_batches(new_split_texts, batch_format="pyarrow").map_batches(
-        MinHasher(), batch_format="pyarrow"
-    )
+    new_sigs = docs.map_batches(
+        _incr_split_texts_fn(M), batch_format="pyarrow"
+    ).map_batches(MinHasher(), batch_format="pyarrow")
     if prior_sigs is None:
         prior_sigs = docs.map_batches(MinHasher(), batch_format="pyarrow")
     pairs = incremental_minhash_pairs(
         new_sigs, prior_sigs, threshold=0.5, new_min_id=M
     )
     pairs = pair_reduce(pairs, "doc_a", "doc_b", "est_jaccard", how="max")
+    return _incr_keeper_rollup(pairs)
 
-    # keeper rollup: per new doc (doc_b), min partner + distinct-partner
-    # count — one bucketed lexsort/reduceat merge (new-doc ids are
-    # rows-cardinality; never a generic per-key aggregate)
+
+def q_incremental_minhash_store(sf_dir: str):
+    """The band-store physical plan of ``incremental_minhash`` — SAME
+    oracle, third plan (cross-checks the union-exchange path exactly
+    like minhash_lean cross-checks the compact plan): the prior run
+    persists its band rows hash-partitioned by the exchange's own
+    bucket (stages/dedup.write_band_store); the append batch is the
+    ONLY thing shuffled, and each bucket task concatenates its store
+    partition via a direct parquet read.  Old band rows never re-enter
+    an exchange — the wire cost of the incremental run is ∝ append
+    size, not corpus size (the 10^12-doc design point; measured 1.9×
+    over the union-exchange plan at 1M prior docs and wire ∝ corpus
+    eliminated, scripts/dedup_incremental_stress.py --store)."""
+    import hashlib
+    import shutil
+
+    from ...stages.dedup import (
+        MinHasher,
+        incremental_minhash_pairs_store,
+        pair_reduce,
+        write_band_store,
+    )
+
+    M = INCR_ID_OFFSET
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    new_sigs = docs.map_batches(
+        _incr_split_texts_fn(M), batch_format="pyarrow"
+    ).map_batches(MinHasher(), batch_format="pyarrow")
+
+    store = "/tmp/incr_band_store_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    shutil.rmtree(store, ignore_errors=True)
+    write_band_store(docs.map_batches(MinHasher(), batch_format="pyarrow"), store)
+
+    pairs = incremental_minhash_pairs_store(
+        new_sigs, store, threshold=0.5, new_min_id=M
+    )
+    pairs = pair_reduce(pairs, "doc_a", "doc_b", "est_jaccard", how="max")
+    return _incr_keeper_rollup(pairs)
+
+
+def _incr_keeper_rollup(pairs):
+    """Per new doc (doc_b): min partner + distinct-partner count — one
+    bucketed lexsort/reduceat merge (new-doc ids are rows-cardinality;
+    never a generic per-key aggregate)."""
+    from ...stages.footprint import _splitmix64
+
     def add_bucket(b: pa.Table) -> pa.Table:
         k = b["doc_b"].to_numpy().astype(np.uint64)
         return b.append_column(

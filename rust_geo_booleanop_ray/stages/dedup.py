@@ -1022,8 +1022,58 @@ def banded_pairs_bucketed(
     each pair; duplicate pair rows across bands survive (merge with
     ``pair_reduce``, exactly like the per-group stages did).
     """
+    kernel = make_band_bucket_kernel(
+        band_cols=band_cols,
+        id_col=id_col,
+        payload_extract=payload_extract,
+        pair_eval=pair_eval,
+        out_cols=out_cols,
+        val_col=val_col,
+        val_type=val_type,
+        pair_chunk=pair_chunk,
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return band_bucket_column(b, band_cols, n_buckets)
+
+    return (
+        exploded.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def band_bucket_column(b: pa.Table, band_cols, n_buckets: int) -> pa.Table:
+    """Append the splitmix64(band key) % n_buckets shuffle column —
+    shared by the in-flight exchange AND the persisted band store (the
+    store's hive partitioning must agree with the exchange's bucket)."""
     from .footprint import _splitmix64
 
+    key = np.zeros(b.num_rows, dtype=np.uint64)
+    for c in band_cols:
+        key = _splitmix64(
+            key ^ b[c].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        )
+    return b.append_column(
+        "bucket", pa.array((key % np.uint64(n_buckets)).astype(np.int64))
+    )
+
+
+def make_band_bucket_kernel(
+    *,
+    band_cols,
+    id_col,
+    payload_extract,
+    pair_eval,
+    out_cols,
+    val_col,
+    val_type,
+    pair_chunk: int = 1 << 16,
+):
+    """The ONE-vectorized-pass-per-bucket candidate kernel of
+    ``banded_pairs_bucketed``, exposed so other physical plans (the
+    persisted band-store incremental path) can run the identical
+    logic over a bucket they assembled themselves."""
     empty = pa.schema(
         [
             pa.field(out_cols[0], pa.int64()),
@@ -1031,16 +1081,6 @@ def banded_pairs_bucketed(
             pa.field(val_col, val_type),
         ]
     ).empty_table()
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        key = np.zeros(b.num_rows, dtype=np.uint64)
-        for c in band_cols:
-            key = _splitmix64(
-                key ^ b[c].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-            )
-        return b.append_column(
-            "bucket", pa.array((key % np.uint64(n_buckets)).astype(np.int64))
-        )
 
     def bucket_kernel(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -1115,11 +1155,7 @@ def banded_pairs_bucketed(
             }
         )
 
-    return (
-        exploded.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_kernel, batch_format="pyarrow")
-    )
+    return bucket_kernel
 
 
 def minhash_candidate_pairs(exploded, threshold: float, n_buckets: int = 64):
@@ -1461,6 +1497,110 @@ def incremental_exact_dedup(new_sigs, prior_sigs, n_buckets: int = DEDUP_BUCKETS
         )
 
     return unioned.groupby("bucket").map_groups(flag_bucket, batch_format="pyarrow")
+
+
+def write_band_store(sigs_ds, store_dir: str, n_buckets: int = 64):
+    """Persist a corpus's LSH band rows hash-partitioned by the SAME
+    splitmix64(band key) % n_buckets bucket the candidate exchange
+    uses: ``store_dir/bucket=K/*.parquet``.  A later append-only run
+    can then dedup new docs against the corpus with NO old-side
+    shuffle at all — each bucket task reads its store partition
+    directly (``incremental_minhash_pairs_store``).  At 10^12 docs
+    the store is ~0.4% of corpus bytes and the incremental exchange
+    carries ONLY the append batch."""
+
+    def explode_bucket(b: pa.Table) -> pa.Table:
+        return band_bucket_column(
+            lsh_band_explode(b), ("band_id", "band_hash"), n_buckets
+        )
+
+    sigs_ds.map_batches(explode_bucket, batch_format="pyarrow").write_parquet(
+        store_dir, partition_cols=["bucket"]
+    )
+
+
+def incremental_minhash_pairs_store(
+    new_sigs,
+    store_dir: str,
+    threshold: float,
+    new_min_id: int,
+    n_buckets: int = 64,
+):
+    """Incremental MinHash+LSH against a PERSISTED, bucket-partitioned
+    band store (``write_band_store``): the append batch is signed,
+    exploded and shuffled by band bucket — the ONLY exchange — and
+    each bucket task concatenates its store partition (a direct
+    parquet read, no shuffle) with the new rows and runs the identical
+    ``make_band_bucket_kernel`` logic.  Buckets where no new doc lands
+    are never read at all; old×old pairs are skipped before the
+    64-wide verify exactly as in ``incremental_minhash_pairs``.
+    Output pairs are identical to the union-exchange plan."""
+    import os
+
+    import pyarrow.parquet as pq_mod
+
+    def extract(group: pa.Table) -> np.ndarray:
+        m = _list_matrix(group["sig"], group.num_rows)
+        flag = (group["doc_id"].to_numpy() >= new_min_id).astype(m.dtype)
+        return np.concatenate([m, flag[:, None]], axis=1)
+
+    def ev(p: np.ndarray, ia: np.ndarray, ib: np.ndarray):
+        touch = (p[ia, -1] + p[ib, -1]) > 0
+        est = np.zeros(len(ia), dtype=np.float64)
+        if touch.any():
+            est[touch] = (p[ia[touch], :-1] == p[ib[touch], :-1]).mean(axis=1)
+        return est, touch & (est >= threshold)
+
+    kernel = make_band_bucket_kernel(
+        band_cols=("band_id", "band_hash"),
+        id_col="doc_id",
+        payload_extract=extract,
+        pair_eval=ev,
+        out_cols=("doc_a", "doc_b"),
+        val_col="est_jaccard",
+        val_type=pa.float64(),
+    )
+    cols = ["band_id", "band_hash", "doc_id", "sig"]
+
+    def bucket_with_store(group: pa.Table) -> pa.Table:
+        k = int(group["bucket"][0].as_py())
+        part = os.path.join(store_dir, f"bucket={k}")
+        new_rows = _fix_sig_cols(group.select(cols))
+        if os.path.isdir(part):
+            old = _fix_sig_cols(pq_mod.read_table(part, columns=cols))
+            comb = pa.concat_tables([old, new_rows])
+        else:
+            comb = new_rows
+        return kernel(comb)
+
+    def _fix_sig_cols(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sig = t["sig"]
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        if not pa.types.is_fixed_size_list(sig.type):
+            n_perm = len(sig[0]) if len(sig) else 64
+            sig = pa.FixedSizeListArray.from_arrays(pc.list_flatten(sig), n_perm)
+        return pa.table(
+            {
+                "band_id": t["band_id"],
+                "band_hash": t["band_hash"],
+                "doc_id": t["doc_id"],
+                "sig": sig,
+            }
+        )
+
+    def explode_bucket(b: pa.Table) -> pa.Table:
+        return band_bucket_column(
+            lsh_band_explode(b), ("band_id", "band_hash"), n_buckets
+        )
+
+    return (
+        new_sigs.map_batches(explode_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_with_store, batch_format="pyarrow")
+    )
 
 
 def incremental_minhash_pairs(
