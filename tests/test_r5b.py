@@ -359,3 +359,60 @@ def test_keep_best_planted(ray_session, tmp_path):
     assert best[1]["n_members"] == 4
     kept = sorted(r["doc_id"] for r in q_keep_best_apply(d).take_all())
     assert kept == [3, 10]
+
+
+def test_incremental_store_missing_partitions(ray_session, tmp_path):
+    """A band store may lack partitions for buckets only NEW docs hash
+    to (and an empty/first-run store has none at all): the store plan
+    must degrade to new-only banding, which with new_min_id=0 equals a
+    plain full run over the batch."""
+    import ray
+
+    from rust_geo_booleanop_ray.stages.dedup import (
+        MinHasher,
+        incremental_minhash_pairs,
+        incremental_minhash_pairs_store,
+        pair_reduce,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["alpha beta gamma delta"] * 2 + ["zz yy xx ww vv", "unrelated"],
+                pa.string(),
+            ),
+        }
+    )
+    sigs = lambda: ray.data.from_arrow(docs).map_batches(  # noqa: E731
+        MinHasher(), batch_format="pyarrow"
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in pair_reduce(
+            incremental_minhash_pairs_store(
+                sigs(), str(tmp_path / "no_store"), threshold=0.5, new_min_id=0
+            ),
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            how="max",
+        ).take_all()
+    )
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64())}).add_column(
+            1, "sig", pa.array([], pa.list_(pa.int64()))
+        )
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in pair_reduce(
+            incremental_minhash_pairs(sigs(), empty, threshold=0.5, new_min_id=0),
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            how="max",
+        ).take_all()
+    )
+    assert got == want
+    assert got and got[0][:2] == (1, 2) and got[0][2] == 1.0
