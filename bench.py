@@ -86,6 +86,7 @@ def bench_list():
         "image_features",
         "image_quality",
         "image_near_dup",
+        "incremental_image_dedup",
         "image_curation",
         # image_dedup_components embeds the components fixpoint and
         # inherits its round-dominated toy-scale latency (see note below)

@@ -374,16 +374,28 @@ def _build_image_sim_sql() -> str:
 """
 
 
-def _build_image_near_dup_sql() -> str:
+def _build_image_near_dup_sql(
+    ph_sql: str | None = None, final_sql: str | None = None
+) -> str:
     """SQL mirror of the pHash near-dup pipeline over generator-side
     phash literals: unsigned reinterpretation, 4×16-bit band extraction,
-    band-equality self-join, bit_count(xor) hamming, min per pair."""
+    band-equality self-join, bit_count(xor) hamming, min per pair.
+    ``ph_sql`` / ``final_sql`` let the incremental variant reuse the
+    pipeline over an appended corpus with a keeper rollup."""
     from ...sources.images import expected_neardup_phashes
 
     values = _values_oracle_sql(expected_neardup_phashes(IMAGE_NEARDUP_N))
+    if ph_sql is None:
+        ph_sql = values
+    else:
+        ph_sql = ph_sql.format(values=values)
+    if final_sql is None:
+        final_sql = f"""SELECT img_a, img_b, CAST(MIN(ham) AS BIGINT) AS hamming
+    FROM pairs WHERE ham <= {IMAGE_NEARDUP_MAX_HAMMING}
+    GROUP BY img_a, img_b"""
     bandpw = ", ".join(f"{1 << (16 * k)}::HUGEINT" for k in range(4))
     return f"""
-    WITH ph AS ({values}),
+    WITH ph AS ({ph_sql}),
     u AS (
       SELECT img_idx, phash,
              CASE WHEN phash < 0
@@ -403,10 +415,79 @@ def _build_image_near_dup_sql() -> str:
         ON a.band_id = b.band_id AND a.band_val = b.band_val
        AND a.img_idx < b.img_idx
     )
-    SELECT img_a, img_b, CAST(MIN(ham) AS BIGINT) AS hamming
-    FROM pairs WHERE ham <= {IMAGE_NEARDUP_MAX_HAMMING}
-    GROUP BY img_a, img_b
+    {final_sql}
 """
+
+
+def q_incremental_image_dedup(sf_dir: str):
+    """Incremental IMAGE near-dup against persisted perceptual hashes
+    — the image-axis twin of incremental_minhash: a prior run keeps
+    (img_idx, phash) at 16 B/image; a re-crawl append batch (every
+    img_idx % 5 image re-arrives VERBATIM at img_idx + 2^40) is the
+    only thing DECODED — prior images never touch the codec again.
+    Banding runs over prior ∪ new hash rows, old×old pairs skip the
+    popcount verify via the payload flag, and the keeper rollup per
+    new image (min partner, distinct partners) is the shared bucketed
+    lexsort kernel.  At 10^12 images the persisted hash table is ~16
+    TB vs ~100 TB of pixels — the append run's input is hash-table +
+    append-sized.  Value-exact: the oracle duplicates the generator-
+    side phash literals into the append id space and mirrors banding,
+    bit_count(xor) and the rollup."""
+    from ..catalog.dedup import INCR_ID_OFFSET, _incr_keeper_rollup
+    from ...sources.images import read_synth_neardup_images
+    from ...stages.dedup import incremental_hamming_pairs, pair_reduce
+    from ...stages.image_ops import DecodePhash
+
+    M = INCR_ID_OFFSET
+    prior = read_synth_neardup_images(IMAGE_NEARDUP_N)
+
+    def recrawl(b: pa.Table) -> pa.Table:
+        keep = b.filter(pa.array(b["img_idx"].to_numpy() % 5 == 0))
+        return keep.set_column(
+            keep.column_names.index("img_idx"),
+            "img_idx",
+            pa.array(keep["img_idx"].to_numpy() + M, pa.int64()),
+        )
+
+    new_hashes = prior.map_batches(recrawl, batch_format="pyarrow").map_batches(
+        DecodePhash(), batch_format="pyarrow", batch_size=256
+    )
+    # the persisted prior hash table (stand-in: computed inline; the
+    # scripts exercise the parquet read path for the text twin)
+    prior_hashes = prior.map_batches(
+        DecodePhash(), batch_format="pyarrow", batch_size=256
+    )
+    exploded = prior_hashes.union(new_hashes).map_batches(
+        _phash_band_explode, batch_format="pyarrow"
+    )
+    pairs = incremental_hamming_pairs(
+        exploded,
+        max_hamming=IMAGE_NEARDUP_MAX_HAMMING,
+        new_min_id=M,
+        key_col="img_idx",
+        sig_col="phash",
+        out_cols=("doc_a", "doc_b"),
+    )
+    pairs = pair_reduce(pairs, "doc_a", "doc_b", "hamming", how="min")
+    return _incr_keeper_rollup(pairs).map_batches(
+        lambda b: b.rename_columns(["img_id", "keeper", "n_dups"]),
+        batch_format="pyarrow",
+    )
+
+
+def _build_incremental_image_sql() -> str:
+    from ..catalog.dedup import INCR_ID_OFFSET
+
+    M = INCR_ID_OFFSET
+    ph_sql = f"""SELECT img_idx, phash FROM ({{values}})
+      UNION ALL
+      SELECT img_idx + {M} AS img_idx, phash
+      FROM ({{values}}) WHERE img_idx % 5 = 0"""
+    final_sql = f"""SELECT img_b AS img_id, CAST(MIN(img_a) AS BIGINT) AS keeper,
+           CAST(COUNT(DISTINCT img_a) AS BIGINT) AS n_dups
+    FROM pairs WHERE ham <= {IMAGE_NEARDUP_MAX_HAMMING} AND img_b >= {M}
+    GROUP BY img_b"""
+    return _build_image_near_dup_sql(ph_sql=ph_sql, final_sql=final_sql)
 
 
 def q_image_dedup_components(sf_dir: str):

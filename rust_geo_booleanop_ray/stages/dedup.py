@@ -1416,6 +1416,54 @@ def hamming_candidate_pairs(
     )
 
 
+def incremental_hamming_pairs(
+    exploded,
+    max_hamming: int,
+    new_min_id: int,
+    *,
+    key_col: str = "doc_id",
+    sig_col: str = "simhash",
+    out_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    n_buckets: int = 64,
+):
+    """Incremental hamming near-dup (SimHash text / pHash image):
+    candidate pairs touching AT LEAST ONE new id (ids ≥ ``new_min_id``
+    occupy the disjoint append space) over prior ∪ new band rows.
+    The prior corpus contributes only its 16 B/row signatures — never
+    re-decoded/re-tokenized — and old×old pairs skip the popcount
+    verify via the payload flag, mirroring
+    ``incremental_minhash_pairs``."""
+
+    def extract(group: pa.Table) -> np.ndarray:
+        sig = np.ascontiguousarray(
+            group[sig_col].to_numpy(zero_copy_only=False)
+        ).view(np.uint64)
+        flag = (group[key_col].to_numpy() >= new_min_id).astype(np.uint64)
+        return np.stack([sig, flag], axis=1)
+
+    def ev(p: np.ndarray, ia: np.ndarray, ib: np.ndarray):
+        touch = (p[ia, 1] + p[ib, 1]) > 0
+        ham = np.full(len(ia), max_hamming + 1, dtype=np.int64)
+        if touch.any():
+            x = np.ascontiguousarray(p[ia[touch], 0] ^ p[ib[touch], 0])
+            ham[touch] = _POPCOUNT8[x.view(np.uint8).reshape(-1, 8)].sum(
+                axis=-1, dtype=np.int64
+            )
+        return ham, touch & (ham <= max_hamming)
+
+    return banded_pairs_bucketed(
+        exploded,
+        band_cols=("band_id", "band_val"),
+        id_col=key_col,
+        payload_extract=extract,
+        pair_eval=ev,
+        out_cols=out_cols,
+        val_col="hamming",
+        val_type=pa.int64(),
+        n_buckets=n_buckets,
+    )
+
+
 def incremental_exact_dedup(new_sigs, prior_sigs, n_buckets: int = DEDUP_BUCKETS):
     """Incremental exact dedup against PERSISTED signatures: flag each
     NEW doc that duplicates (same 128-bit content hash) any PRIOR doc
