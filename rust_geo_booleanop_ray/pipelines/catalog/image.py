@@ -528,6 +528,113 @@ def _build_image_dedup_components_sql() -> str:
 """
 
 
+def q_image_keep_best(sf_dir: str):
+    """Cluster-representative selection on the IMAGE axis: per
+    near-dup component keep the SHARPEST member (max integer edge
+    energy, ties to min img_idx) — the real curation policy when a
+    variant chain mixes originals and re-encoded/brightness-shifted
+    copies.  Image twin of dedup_keep_best: components from the
+    distributed label propagation over pHash pairs, per-image quality
+    from ONE decode (DecodeQuality with the dark-filter off — scoring,
+    not gating), ONE bucketed hash join, and the per-component argmax
+    is the splitmix64(component) % 64 bucketed lexsort kernel.
+    Output: (component, keeper, best_edge, n_members)."""
+    from ...sources.images import read_synth_neardup_images
+    from ...stages.footprint import _splitmix64
+    from ...stages.image_ops import DecodeQuality
+    from ...stages.join import shuffle_hash_join
+
+    comps = q_image_dedup_components(sf_dir)
+    scores = (
+        read_synth_neardup_images(IMAGE_NEARDUP_N)
+        .map_batches(
+            DecodeQuality(filter_dark=False, keep_cols=("img_idx",)),
+            batch_format="pyarrow",
+            batch_size=256,
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {"img_idx": b["img_idx"], "score": b["edge_energy"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    j = shuffle_hash_join(
+        comps,
+        scores,
+        "img_idx",
+        ["component"],
+        ["score"],
+        left_schema=pa.schema(
+            [pa.field("img_idx", pa.int64()), pa.field("component", pa.int64())]
+        ),
+        right_schema=pa.schema(
+            [pa.field("img_idx", pa.int64()), pa.field("score", pa.int64())]
+        ),
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b["component"].to_numpy().astype(np.uint64)
+        return b.append_column(
+            "kb", pa.array((_splitmix64(k) % np.uint64(64)).astype(np.int64))
+        )
+
+    out_schema = pa.schema(
+        [
+            pa.field("component", pa.int64()),
+            pa.field("keeper", pa.int64()),
+            pa.field("best_edge", pa.int64()),
+            pa.field("n_members", pa.int64()),
+        ]
+    )
+
+    def best_kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        comp = group["component"].to_numpy()
+        idx = group["img_idx"].to_numpy()
+        sc = group["score"].to_numpy()
+        order = np.lexsort((idx, -sc, comp))
+        c, d, s = comp[order], idx[order], sc[order]
+        st = np.concatenate(([0], np.flatnonzero(c[1:] != c[:-1]) + 1))
+        return pa.table(
+            {
+                "component": pa.array(c[st], pa.int64()),
+                "keeper": pa.array(d[st], pa.int64()),
+                "best_edge": pa.array(s[st], pa.int64()),
+                "n_members": pa.array(
+                    np.diff(np.concatenate((st, [len(c)]))).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        j.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(best_kernel, batch_format="pyarrow")
+    )
+
+
+def _build_image_keep_best_sql() -> str:
+    from ...sources.images import expected_neardup_quality
+
+    values = _values_oracle_sql(expected_neardup_quality(IMAGE_NEARDUP_N))
+    return f"""
+    WITH comp AS ({_build_image_dedup_components_sql()}),
+    q AS ({values}),
+    j AS (SELECT c.component, c.img_idx, q.edge_energy AS score
+          FROM comp c JOIN q USING (img_idx)),
+    g AS (SELECT component, MAX(score) AS best_edge,
+                 CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM j GROUP BY component)
+    SELECT g.component, CAST(MIN(j.img_idx) AS BIGINT) AS keeper,
+           g.best_edge, g.n_members
+    FROM g JOIN j ON j.component = g.component AND j.score = g.best_edge
+    GROUP BY g.component, g.best_edge, g.n_members
+"""
+
+
 def q_image_safe_split(sf_dir: str):
     """Leakage-safe train/test split on the IMAGE axis: every image is
     assigned by the hash of its near-dup COMPONENT (its own index when

@@ -400,6 +400,23 @@ def read_synth_neardup_images(
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
 
 
+def expected_neardup_quality(n_images: int, seed: int = 42) -> pa.Table:
+    """Generator-side (img_idx, edge_energy) for EVERY near-dup corpus
+    row (no filter) — the sharpness signal the keep-best policy ranks
+    on, computed from the pixel math directly so the oracle pins the
+    decode + scoring path."""
+    idxs = list(range(n_images))
+    return pa.table(
+        {
+            "img_idx": pa.array(idxs, pa.int64()),
+            "edge_energy": pa.array(
+                [quality_stats(_neardup_pixels(i, seed))[2] for i in idxs],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def expected_neardup_phashes(n_images: int, seed: int = 42) -> pa.Table:
     """Generator-side (img_idx, phash) for the near-dup corpus —
     computed from the pixel math directly, never through the codec.

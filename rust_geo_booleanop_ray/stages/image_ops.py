@@ -258,9 +258,10 @@ class DecodeQuality:
     (e.g. footprint bbox columns for a downstream spatial stage) — the
     payload itself is always dropped."""
 
-    def __init__(self, strict: bool = False, keep_cols=()):
+    def __init__(self, strict: bool = False, keep_cols=(), filter_dark: bool = True):
         self.strict = strict
         self.keep_cols = tuple(keep_cols)
+        self.filter_dark = filter_dark
         from ..sources.images import image_quality_keep, quality_stats
 
         self._stats = quality_stats
@@ -279,7 +280,9 @@ class DecodeQuality:
         for i, payload in enumerate(payloads):
             px = decode_image(payload, int(ws[i]), int(hs[i]), fmts[i], self.strict)
             bright[i], ssq[i], edge[i] = self._stats(px)
-            keep[i] = self._keep(int(bright[i]), px.size)
+            keep[i] = (not self.filter_dark) or self._keep(
+                int(bright[i]), px.size
+            )
         out = pa.table(
             {
                 "image_id": batch["image_id"],
